@@ -2,19 +2,29 @@
 
 Tests run on CPU with 8 virtual devices so multi-chip sharding paths
 (mesh/pjit/shard_map) are exercised without TPU hardware, mirroring how
-the driver dry-runs `__graft_entry__.dryrun_multichip`. Must run before
-jax is imported anywhere.
+the driver dry-runs `__graft_entry__.dryrun_multichip`.
+
+Note: this environment's sitecustomize imports jax at interpreter start,
+so setting JAX_PLATFORMS here is too late; use jax.config.update instead
+(valid until the first backend is initialized).
 """
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: XLA_FLAGS fallback above
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
