@@ -1,0 +1,209 @@
+"""Byte I/O layer.
+
+Analog of AVIOContext/URLProtocol (/root/reference/libavformat/avio.h:160,
+aviobuf.c, url.h:52): a buffered, seekable byte stream abstraction that
+demuxers/muxers use, with probe-friendly peeking. Protocol selection by
+URL scheme mirrors the reference's protocol registry (protocols.c);
+file/pipe/memory are built in, network protocols plug in via register().
+"""
+from __future__ import annotations
+
+import io as _pyio
+import os
+import struct
+import sys
+from typing import BinaryIO, Callable
+
+
+class IOContext:
+    """Buffered byte reader/writer with peek support."""
+
+    def __init__(self, fh: BinaryIO, *, seekable: bool | None = None,
+                 url: str = ""):
+        self._fh = fh
+        self.url = url
+        if seekable is None:
+            try:
+                fh.seek(fh.tell())
+                seekable = True
+            except (OSError, ValueError, _pyio.UnsupportedOperation):
+                seekable = False
+        self.seekable = seekable
+        self._peek = b""
+        self.eof = False
+
+    # -- reading ------------------------------------------------------
+    def read(self, n: int) -> bytes:
+        if self._peek:
+            out, self._peek = self._peek[:n], self._peek[n:]
+            if len(out) == n:
+                return out
+            rest = self._fh.read(n - len(out))
+            if not rest:
+                self.eof = True
+            return out + rest
+        data = self._fh.read(n)
+        if len(data) < n:
+            self.eof = True
+        return data
+
+    def read_exact(self, n: int) -> bytes:
+        data = self.read(n)
+        if len(data) != n:
+            from librempeg_tpu.core.errors import EndOfStream
+
+            raise EndOfStream(f"needed {n} bytes, got {len(data)}")
+        return data
+
+    def peek(self, n: int) -> bytes:
+        """Return up to n bytes without consuming them."""
+        if len(self._peek) < n:
+            more = self._fh.read(n - len(self._peek))
+            self._peek += more
+        return self._peek[:n]
+
+    def skip(self, n: int) -> None:
+        if self._peek:
+            k = min(len(self._peek), n)
+            self._peek = self._peek[k:]
+            n -= k
+        if n:
+            if self.seekable:
+                self._fh.seek(n, os.SEEK_CUR)
+            else:
+                self._fh.read(n)
+
+    # -- binary helpers (names follow avio.h rl/rb conventions) -------
+    def rl16(self) -> int:
+        return struct.unpack("<H", self.read_exact(2))[0]
+
+    def rl24(self) -> int:
+        b = self.read_exact(3)
+        return b[0] | b[1] << 8 | b[2] << 16
+
+    def rl32(self) -> int:
+        return struct.unpack("<I", self.read_exact(4))[0]
+
+    def rl64(self) -> int:
+        return struct.unpack("<Q", self.read_exact(8))[0]
+
+    def rb16(self) -> int:
+        return struct.unpack(">H", self.read_exact(2))[0]
+
+    def rb24(self) -> int:
+        b = self.read_exact(3)
+        return b[0] << 16 | b[1] << 8 | b[2]
+
+    def rb32(self) -> int:
+        return struct.unpack(">I", self.read_exact(4))[0]
+
+    def rb64(self) -> int:
+        return struct.unpack(">Q", self.read_exact(8))[0]
+
+    def r8(self) -> int:
+        return self.read_exact(1)[0]
+
+    # -- writing ------------------------------------------------------
+    def write(self, data: bytes) -> None:
+        self._fh.write(data)
+
+    def wl16(self, v: int) -> None:
+        self._fh.write(struct.pack("<H", v & 0xFFFF))
+
+    def wl32(self, v: int) -> None:
+        self._fh.write(struct.pack("<I", v & 0xFFFFFFFF))
+
+    def wl64(self, v: int) -> None:
+        self._fh.write(struct.pack("<Q", v & (1 << 64) - 1))
+
+    def wb16(self, v: int) -> None:
+        self._fh.write(struct.pack(">H", v & 0xFFFF))
+
+    def wb24(self, v: int) -> None:
+        self._fh.write(bytes([(v >> 16) & 255, (v >> 8) & 255, v & 255]))
+
+    def wb32(self, v: int) -> None:
+        self._fh.write(struct.pack(">I", v & 0xFFFFFFFF))
+
+    def w8(self, v: int) -> None:
+        self._fh.write(bytes([v & 255]))
+
+    # -- position -----------------------------------------------------
+    def tell(self) -> int:
+        return self._fh.tell() - len(self._peek)
+
+    def seek(self, pos: int, whence: int = os.SEEK_SET) -> int:
+        self._peek = b""
+        self.eof = False
+        return self._fh.seek(pos, whence)
+
+    @property
+    def size(self) -> int:
+        """Stream size in bytes, or -1 if unknown (avio_size)."""
+        if not self.seekable:
+            return -1
+        cur = self._fh.tell()
+        end = self._fh.seek(0, os.SEEK_END)
+        self._fh.seek(cur)
+        return end
+
+    def flush(self) -> None:
+        if hasattr(self._fh, "flush"):
+            self._fh.flush()
+
+    def close(self) -> None:
+        self.flush()
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# -- protocol registry ------------------------------------------------------
+
+_PROTOCOLS: dict[str, Callable[[str, str], IOContext]] = {}
+
+
+def register_protocol(scheme: str, opener: Callable[[str, str], IOContext]) -> None:
+    _PROTOCOLS[scheme] = opener
+
+
+def _open_file(url: str, mode: str) -> IOContext:
+    path = url[len("file:"):] if url.startswith("file:") else url
+    if path == "-":
+        return _open_pipe(url, mode)
+    fh = open(path, "rb" if mode == "r" else "wb")
+    return IOContext(fh, url=url)
+
+
+def _open_pipe(url: str, mode: str) -> IOContext:
+    fd = url[len("pipe:"):] if url.startswith("pipe:") else ""
+    if fd and fd not in ("0", "1", "2"):
+        fh = os.fdopen(int(fd), "rb" if mode == "r" else "wb")
+    else:
+        fh = sys.stdin.buffer if mode == "r" else sys.stdout.buffer
+    return IOContext(fh, seekable=False, url=url)
+
+
+register_protocol("file", _open_file)
+register_protocol("pipe", _open_pipe)
+
+
+def open_io(url: str, mode: str = "r") -> IOContext:
+    """Open a URL with the registered protocol (avio_open analog)."""
+    scheme = url.split(":", 1)[0] if ":" in url and not os.path.exists(url) else "file"
+    opener = _PROTOCOLS.get(scheme, _open_file)
+    return opener(url, mode)
+
+
+class MemoryIO(IOContext):
+    """In-memory IOContext (the reference's dyn_buf / buffer-backed avio)."""
+
+    def __init__(self, data: bytes = b""):
+        super().__init__(_pyio.BytesIO(data), seekable=True, url="memory:")
+
+    def getvalue(self) -> bytes:
+        return self._fh.getvalue()

@@ -1,0 +1,36 @@
+"""Container registry (allformats.c analog): importing this module
+registers every built-in demuxer/muxer via their decorators."""
+from librempeg_tpu.formats import wav  # noqa: F401
+
+try:
+    from librempeg_tpu.formats import rawvideo  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import yuv4mpeg  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import image2  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import framehash  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import rawaudio  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import avi  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import matroska  # noqa: F401
+except ImportError:
+    pass
+try:
+    from librempeg_tpu.formats import mov  # noqa: F401
+except ImportError:
+    pass

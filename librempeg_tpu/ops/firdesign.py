@@ -63,7 +63,9 @@ def resample_bank(
     level exactly.
     """
     taps = np.zeros((phase_count, filter_size))
-    center = (filter_size - 1) / 2
+    # integer center so tap k of phase frac sits at distance k-center-frac
+    # from the output position; the consumer's window offset must match.
+    center = filter_size // 2 - 1 if filter_size > 1 else 0
     for p in range(phase_count):
         frac = p / phase_count
         x = (np.arange(filter_size) - center - frac) * cutoff
