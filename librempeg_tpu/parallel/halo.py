@@ -1,0 +1,58 @@
+"""Row-sharded stencils with halo exchange.
+
+The TPU equivalent of the reference's slice threading for filters whose
+taps cross slice borders (deblocking, vertical FIR — the reason
+swscale's vscale pass synchronizes slices): each device holds a
+contiguous row band of the frame; neighbors exchange `halo` edge rows
+over ICI with ppermute, then the stencil runs locally.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def exchange_row_halo(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Inside shard_map: [.., rows, W] -> [.., rows + 2*halo, W] with
+    neighbor rows (edge-replicated at the global boundary)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    # send bottom rows to the next device, top rows to the previous
+    down = jax.lax.ppermute(
+        x[..., -halo:, :], axis_name,
+        [(i, (i + 1) % n) for i in range(n)])
+    up = jax.lax.ppermute(
+        x[..., :halo, :], axis_name,
+        [(i, (i - 1) % n) for i in range(n)])
+    # at global edges, replicate own border instead of the wrapped data
+    top_edge = jnp.broadcast_to(x[..., :1, :], x.shape[:-2] + (halo, x.shape[-1]))
+    bot_edge = jnp.broadcast_to(x[..., -1:, :], x.shape[:-2] + (halo, x.shape[-1]))
+    top = jnp.where(idx == 0, top_edge, down)
+    bot = jnp.where(idx == n - 1, bot_edge, up)
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def row_sharded_stencil(fn: Callable[[jax.Array], jax.Array], halo: int,
+                        mesh: Mesh, axis_name: str = "spatial"):
+    """Wrap `fn` (a stencil needing `halo` valid rows above/below; it gets
+    [.., rows+2*halo, W] and must return [.., rows, W]) into a
+    shard_map'ed op over row-sharded [N, H, W] input."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P("data", axis_name, None),
+        out_specs=P("data", axis_name, None))
+    def sharded(x):
+        xh = exchange_row_halo(x, halo, axis_name)
+        return fn(xh)
+
+    return sharded
+
+
+def vblur3(xh: jax.Array) -> jax.Array:
+    """Example 3-tap vertical stencil ([.., R+2, W] -> [.., R, W])."""
+    return (xh[..., :-2, :] + 2.0 * xh[..., 1:-1, :] + xh[..., 2:, :]) * 0.25

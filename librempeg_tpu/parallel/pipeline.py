@@ -1,0 +1,128 @@
+"""The flagship device pipeline: batched transcode step.
+
+This is the device-side compute of BASELINE config 4 (decode -> scale ->
+MPEG-4-class encode), expressed as ONE jitted program over a frame batch:
+
+  scale: separable GEMM resize 1080p class -> target (ops/fir)
+  motion: hierarchical block search + half-pel refine (ops/motion)
+  transform: 8x8 fdct -> quantize -> dequant -> idct -> reconstruction
+             (the encoder's in-loop decode, ops/dct8x8)
+
+The reference runs these as per-macroblock scalar/SIMD loops across
+pthread slices (mpegvideo_enc.c:3737-3902); here the whole frame batch is
+tensors in HBM and every stage is MXU/VPU work, so frames-per-second
+per chip is the single number that matters.
+
+Multichip: `make_sharded_step` shards the batch over the mesh's 'data'
+axis and row-shards a deblocking-style stencil over 'spatial' with halo
+exchange — the §2.10 DP+TP mapping.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from librempeg_tpu.ops import dct8x8, motion
+from librempeg_tpu.ops.fir import resize_matrix
+
+
+def _quant_tables(qscale: float):
+    """Flat quantizer (MPEG-4 style qscale*2 for AC, 8 for intra DC)."""
+    q = np.full((8, 8), 2.0 * qscale, np.float32)
+    q[0, 0] = 8.0
+    return q
+
+
+def encode_intra_like(y: jax.Array, qscale: float) -> dict[str, jax.Array]:
+    """Intra path: fdct -> quant -> dequant -> idct (reconstruction)."""
+    q = jnp.asarray(_quant_tables(qscale))
+    blocks = dct8x8.to_blocks(y.astype(jnp.float32) - 128.0)
+    coeffs = dct8x8.fdct(blocks)
+    levels = jnp.round(coeffs / q)
+    recon_blocks = dct8x8.idct(levels * q) + 128.0
+    n, h, w = y.shape
+    recon = dct8x8.from_blocks(recon_blocks, h, w)
+    return {"levels": levels, "recon": jnp.clip(recon, 0.0, 255.0)}
+
+
+def encode_inter_like(cur: jax.Array, ref: jax.Array, qscale: float,
+                      search_range: int = 16) -> dict[str, jax.Array]:
+    """P-frame path: ME -> half-pel MC -> residual transform -> recon."""
+    mv_int, _ = motion.hierarchical_search(cur, ref, search_range)
+    mv_half, _ = motion.halfpel_refine(cur, ref, mv_int)
+    pred = motion.motion_compensate_halfpel(ref, mv_half)
+    resid = cur.astype(jnp.float32) - pred
+    q = jnp.asarray(_quant_tables(qscale))
+    blocks = dct8x8.to_blocks(resid)
+    levels = jnp.round(dct8x8.fdct(blocks) / q)
+    rec_resid = dct8x8.idct(levels * q)
+    n, h, w = cur.shape
+    recon = pred + dct8x8.from_blocks(rec_resid, h, w)
+    return {"mv": mv_half, "levels": levels,
+            "recon": jnp.clip(recon, 0.0, 255.0)}
+
+
+@functools.partial(jax.jit, static_argnames=("dst_h", "dst_w", "qscale"))
+def transcode_step(y: jax.Array, u: jax.Array, v: jax.Array,
+                   ref_y: jax.Array, dst_h: int, dst_w: int,
+                   qscale: float = 4.0) -> dict[str, Any]:
+    """Full device transcode step over a batch of yuv420 frames.
+
+    y: [N, H, W]; u, v: [N, H/2, W/2]; ref_y: [N, dst_h, dst_w]
+    (the previous reconstructed scaled luma, for P-frame coding).
+    """
+    yf = y.astype(jnp.float32)
+    uf = u.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    h, w = y.shape[-2], y.shape[-1]
+    mv_y = jnp.asarray(resize_matrix(h, dst_h, "bicubic"))
+    mh_y = jnp.asarray(resize_matrix(w, dst_w, "bicubic"))
+    mv_c = jnp.asarray(resize_matrix(h // 2, dst_h // 2, "bicubic"))
+    mh_c = jnp.asarray(resize_matrix(w // 2, dst_w // 2, "bicubic"))
+
+    def rs(x, mv, mh):
+        x = jnp.einsum("hk,nkw->nhw", mv, x,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("nhk,wk->nhw", x, mh,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    sy = jnp.clip(rs(yf, mv_y, mh_y), 0.0, 255.0)
+    su = jnp.clip(rs(uf, mv_c, mh_c), 0.0, 255.0)
+    sv = jnp.clip(rs(vf, mv_c, mh_c), 0.0, 255.0)
+
+    enc = encode_inter_like(sy, ref_y.astype(jnp.float32), qscale)
+    enc_u = encode_intra_like(su, qscale)
+    enc_v = encode_intra_like(sv, qscale)
+    return {
+        "y": enc["recon"], "u": enc_u["recon"], "v": enc_v["recon"],
+        "mv": enc["mv"],
+        "levels_y": enc["levels"],
+        "levels_u": enc_u["levels"], "levels_v": enc_v["levels"],
+    }
+
+
+def make_sharded_step(mesh: Mesh, dst_h: int, dst_w: int,
+                      qscale: float = 4.0):
+    """Multi-chip transcode step: batch sharded over 'data'; adds a
+    row-sharded deblock-style smoothing pass over 'spatial' with halo
+    exchange (slice-threading analog with real ICI communication)."""
+    from librempeg_tpu.parallel.halo import row_sharded_stencil, vblur3
+
+    batch_sh = NamedSharding(mesh, P("data", None, None))
+    deblock = row_sharded_stencil(vblur3, halo=1, mesh=mesh)
+
+    def step(y, u, v, ref_y):
+        out = transcode_step(y, u, v, ref_y, dst_h=dst_h, dst_w=dst_w,
+                             qscale=qscale)
+        out["y"] = deblock(out["y"])
+        return out
+
+    return jax.jit(
+        step,
+        in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh),
+    )
