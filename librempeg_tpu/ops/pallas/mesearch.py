@@ -1,0 +1,163 @@
+"""Pallas fused motion-search + motion-compensation kernel.
+
+The TPU replacement for the reference's SAD inner loops
+(/root/reference/libavcodec/me_cmp.c pix_abs16 family + motion_est.c
+search drivers): one kernel instance DMAs a cur tile and its ref search
+window into VMEM ONCE, then evaluates every candidate displacement from
+on-chip memory — no HBM traffic per candidate, which is what makes
+XLA's shift-per-candidate formulation bandwidth-bound.
+
+Grid: (N, H/TH, W/TW). Each instance:
+  cur tile   [TH, TW]            VMEM (auto-pipelined BlockSpec)
+  ref window [TH+2R, TW+2R]      VMEM (manual DMA from HBM: windows
+                                 overlap between tiles, which BlockSpec
+                                 index maps cannot express)
+  loop over (2R+1)^2 candidates: SAD per 16x16 block via reshape-sum,
+  running min/argmin             (VPU, full-lane [TH, TW] ops)
+  winner slice per block -> prediction tile (fused MC)
+
+Outputs: best candidate index [N, bh, bw] (int32; dy = idx//(2R+1)-R,
+dx = idx%(2R+1)-R), cost [N, bh, bw] (f32), pred [N, H, W] (f32).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BS = 16  # macroblock size
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
+            r: int, th: int, tw: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    nb_y, nb_x = th // BS, tw // BS
+
+    # the scratch window is lane-padded to a multiple of 128 (rotates and
+    # DMA slices need aligned shapes); the ref array is over-padded so a
+    # full-width window DMA is always in bounds. Only the first tw+2r
+    # columns hold wanted data, and left-rotates by dx <= 2r never pull
+    # the pad region into [:tw].
+    wh, ww = win.shape
+    dma = pltpu.make_async_copy(
+        ref_hbm.at[i, pl.ds(j * th, wh), pl.ds(k * tw, ww)], win, sem)
+    dma.start()
+    cur = cur_ref[0]
+    # block-sum indicator matrices (built from iota: no host constants)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (nb_y, th), 0)
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (nb_y, th), 1)
+    a_row = (row_j // BS == row_i).astype(jnp.float32)       # [nb_y, th]
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (tw, nb_x), 1)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (tw, nb_x), 0)
+    a_col = (col_j // BS == col_i).astype(jnp.float32)       # [tw, nb_x]
+    dma.wait()
+    wv = win[:, :]
+
+    def cand_body(c, carry):
+        best_cost, best_idx, pred = carry
+        dy = c // (2 * r + 1)
+        dx = c % (2 * r + 1)
+        # unaligned dynamic slices are not lowerable on TPU; rotate the
+        # window (sublane/lane rotates are native ops) and slice statically
+        shifted = pltpu.roll(pltpu.roll(wv, -dy, 0), -dx, 1)[:th, :tw]
+        diff = jnp.abs(cur - shifted)
+        # per-16x16-block SAD via indicator GEMMs (MXU; tile-crossing
+        # reshapes are not lowerable on TPU)
+        sads = jnp.dot(jnp.dot(a_row, diff,
+                               preferred_element_type=jnp.float32),
+                       a_col, preferred_element_type=jnp.float32)
+        take = sads < best_cost
+        best_cost = jnp.where(take, sads, best_cost)
+        best_idx = jnp.where(take, c, best_idx)
+        # fused MC: winners overwrite their block's pixels (expand the
+        # take mask to pixel resolution with the same indicators)
+        take_pix = jnp.dot(jnp.dot(a_row.T, take.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32),
+                           a_col.T, preferred_element_type=jnp.float32)
+        pred = jnp.where(take_pix > 0.5, shifted, pred)
+        return best_cost, best_idx, pred
+
+    ncand = (2 * r + 1) ** 2
+    init = (jnp.full((nb_y, nb_x), jnp.float32(3.4e38), jnp.float32),
+            jnp.zeros((nb_y, nb_x), jnp.int32),
+            jnp.zeros((th, tw), jnp.float32))
+    best_cost, best_idx, pred = jax.lax.fori_loop(0, ncand, cand_body, init)
+
+    idx_ref[0, 0, 0] = best_idx
+    cost_ref[0, 0, 0] = best_cost
+    pred_ref[0] = pred
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "tile_h",
+                                             "tile_w"))
+def full_search_mc(cur: jax.Array, ref: jax.Array, search_range: int = 8,
+                   tile_h: int = 128, tile_w: int = 256):
+    """Fused exhaustive search + prediction.
+
+    cur/ref: [N, H, W] float32 (H % tile_h == 0, W % tile_w == 0 after
+    tile clamping). Returns (mv [N,bh,bw,2] int32, cost [N,bh,bw] f32,
+    pred [N,H,W] f32). Candidates near tile borders search within the
+    tile's haloed window only (slice-local ME, like the reference's
+    slice threading).
+    """
+    n, h, w = cur.shape
+    r = search_range
+    th, tw = min(tile_h, h), min(tile_w, w)
+    assert h % th == 0 and w % tw == 0, (h, w, th, tw)
+    cur = cur.astype(jnp.float32)
+    # over-pad so every tile's aligned DMA window stays in bounds
+    wh = _round_up(th + 2 * r, 8)
+    ww = _round_up(tw + 2 * r, 128)
+    ref_pad = jnp.pad(ref.astype(jnp.float32),
+                      ((0, 0), (r, wh - th - r), (r, ww - tw - r)),
+                      mode="edge")
+    grid = (n, h // th, w // tw)
+    nb_y, nb_x = th // BS, tw // BS
+
+    idx, cost, pred = pl.pallas_call(
+        functools.partial(_kernel, r=r, th=th, tw=tw),
+        grid=grid,
+        interpret=jax.default_backend() == "cpu",  # tests run on CPU
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ref stays in HBM
+            pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # [N, ty, tx, nb_y, nb_x]: last two dims equal the full array
+            # dims, satisfying the TPU block tiling constraint
+            pl.BlockSpec((1, 1, 1, nb_y, nb_x),
+                         lambda i, j, k: (i, j, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, nb_y, nb_x),
+                         lambda i, j, k: (i, j, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h // th, w // tw, nb_y, nb_x), jnp.int32),
+            jax.ShapeDtypeStruct((n, h // th, w // tw, nb_y, nb_x), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_round_up(th + 2 * r, 8),
+                        _round_up(tw + 2 * r, 128)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(ref_pad, cur)
+    # [N, ty, tx, nb_y, nb_x] -> [N, bh, bw]
+    idx = idx.transpose(0, 1, 3, 2, 4).reshape(n, h // BS, w // BS)
+    cost = cost.transpose(0, 1, 3, 2, 4).reshape(n, h // BS, w // BS)
+    side = 2 * r + 1
+    mv = jnp.stack([idx // side - r, idx % side - r], axis=-1)
+    return mv, cost, pred
