@@ -44,18 +44,30 @@ def main() -> None:
     v = jnp.asarray(np.stack(vs), jnp.float32)
     ref = jnp.asarray(rng.integers(0, 256, (batch, dh, dw)), jnp.float32)
 
-    def step(y, u, v, ref):
-        return transcode_step(y, u, v, ref, dst_h=dh, dst_w=dw, qscale=4.0)
-
-    # warmup/compile
-    out = step(y, u, v, ref)
-    jax.block_until_ready(out)
-
     iters = 10
+
+    @jax.jit
+    def chained(y, u, v, ref):
+        """`iters` dependent transcode steps in ONE device program (the
+        recon feeds the next step's reference), so host<->device sync
+        latency is amortized like a production streaming pipeline."""
+
+        def body(carry, _):
+            out = transcode_step(y, u, v, carry, dst_h=dh, dst_w=dw,
+                                 qscale=4.0)
+            return out["y"], out["mv"].sum()
+
+        final, sums = jax.lax.scan(body, ref, None, length=iters)
+        return final, sums
+
+    # warmup/compile (fetch a scalar: block_until_ready alone does not
+    # force execution on tunneled-TPU platforms)
+    out = chained(y, u, v, ref)
+    float(jnp.sum(out[0]))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(y, u, v, out["y"])  # feed recon back as reference
-    jax.block_until_ready(out)
+    out = chained(y, u, v, ref)
+    float(jnp.sum(out[0]))
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -243,9 +243,11 @@ def probe_format(buf: bytes, filename: str = "") -> tuple[type[Demuxer] | None, 
     return best, best_score
 
 
-def open_input(url: str, format: str | None = None) -> Demuxer:
+def open_input(url: str, format: str | None = None, **demux_opts) -> Demuxer:
     """Open and probe an input (avformat_open_input +
-    avformat_find_stream_info)."""
+    avformat_find_stream_info). demux_opts go to the demuxer constructor
+    (e.g. rawvideo's pix_fmt/width/height — the AVDictionary options of
+    the reference)."""
     _ensure_registered()
     io = open_io(url, "r")
     if format is not None:
@@ -258,13 +260,14 @@ def open_input(url: str, format: str | None = None) -> Demuxer:
         cls, score = probe_format(buf, url)
         if cls is None:
             raise InvalidData(f"{url}: could not determine input format")
-    d = cls()
+    d = cls(**demux_opts)
     d.io = io
     d.read_header(io)
     return d
 
 
-def open_input_bytes(data: bytes, format: str | None = None) -> Demuxer:
+def open_input_bytes(data: bytes, format: str | None = None,
+                     **demux_opts) -> Demuxer:
     _ensure_registered()
     io = MemoryIO(data)
     if format is not None:
@@ -273,7 +276,7 @@ def open_input_bytes(data: bytes, format: str | None = None) -> Demuxer:
         cls, _ = probe_format(io.peek(4096))
         if cls is None:
             raise InvalidData("could not determine input format")
-    d = cls()
+    d = cls(**demux_opts)
     d.io = io
     d.read_header(io)
     return d

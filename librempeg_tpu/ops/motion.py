@@ -73,6 +73,53 @@ def full_search(cur: jax.Array, ref: jax.Array, search_range: int = 8,
     return mv.astype(jnp.int32), cost
 
 
+@functools.partial(jax.jit, static_argnames=("search_range", "block_size"))
+def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
+                       search_range: int = 8, block_size: int = 16):
+    """Fused exhaustive search + motion compensation, pure XLA.
+
+    One lax.scan over candidate displacements carries (best cost, best
+    mv, prediction); each step is whole-frame shifted-SAD (bf16 loads,
+    f32 accumulate) plus a masked overwrite of winning blocks — no
+    data-dependent gathers, which XLA-on-TPU executes poorly.
+
+    Returns (mv [N,bh,bw,2] int32, cost [N,bh,bw] f32, pred [N,H,W] f32).
+    """
+    n, h, w = cur.shape
+    bs = block_size
+    r = search_range
+    curb = cur.astype(jnp.bfloat16)
+    refb = ref.astype(jnp.bfloat16)
+    ref_pad = jnp.pad(refb, ((0, 0), (r, r), (r, r)), mode="edge")
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    cands = jnp.asarray(np.stack([dy.ravel() + r, dx.ravel() + r], axis=1))
+
+    def body(carry, cand):
+        best_cost, best_idx, pred = carry
+        c_i = cand[2]
+        shifted = jax.lax.dynamic_slice(ref_pad, (0, cand[0], cand[1]),
+                                        (n, h, w))
+        sad = block_reduce(
+            jnp.abs(curb - shifted).astype(jnp.float32), bs)
+        take = sad < best_cost
+        best_cost = jnp.where(take, sad, best_cost)
+        best_idx = jnp.where(take, c_i, best_idx)
+        take_pix = jnp.repeat(jnp.repeat(take, bs, axis=1), bs, axis=2)
+        pred = jnp.where(take_pix, shifted, pred)
+        return (best_cost, best_idx, pred), None
+
+    side = 2 * r + 1
+    idx_col = jnp.arange(side * side, dtype=jnp.int32)[:, None]
+    cands3 = jnp.concatenate([cands.astype(jnp.int32), idx_col], axis=1)
+    bh, bw = h // bs, w // bs
+    init = (jnp.full((n, bh, bw), 3.4e38, jnp.float32),
+            jnp.zeros((n, bh, bw), jnp.int32),
+            jnp.zeros((n, h, w), jnp.bfloat16))
+    (cost, idx, pred), _ = jax.lax.scan(body, init, cands3)
+    mv = jnp.stack([idx // side - r, idx % side - r], axis=-1)
+    return mv, cost, pred.astype(jnp.float32)
+
+
 def _median3x3(mv: jax.Array) -> jax.Array:
     """Per-component 3x3 median over the block grid [N, bh, bw, 2]."""
     p = jnp.pad(mv, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")

@@ -51,11 +51,14 @@ def encode_intra_like(y: jax.Array, qscale: float) -> dict[str, jax.Array]:
 
 
 def encode_inter_like(cur: jax.Array, ref: jax.Array, qscale: float,
-                      search_range: int = 16) -> dict[str, jax.Array]:
-    """P-frame path: ME -> half-pel MC -> residual transform -> recon."""
-    mv_int, _ = motion.hierarchical_search(cur, ref, search_range)
-    mv_half, _ = motion.halfpel_refine(cur, ref, mv_int)
-    pred = motion.motion_compensate_halfpel(ref, mv_half)
+                      search_range: int = 8) -> dict[str, jax.Array]:
+    """P-frame path: fused ME+MC -> residual transform -> recon.
+
+    Uses the scan-fused search (no data-dependent gathers — the XLA-on-
+    TPU-friendly formulation); MVs are integer-pel in the fast path,
+    matching the reference encoder's cheapest ME setting.
+    """
+    mv, _, pred = motion.full_search_mc_xla(cur, ref, search_range)
     resid = cur.astype(jnp.float32) - pred
     q = jnp.asarray(_quant_tables(qscale))
     blocks = dct8x8.to_blocks(resid)
@@ -63,7 +66,7 @@ def encode_inter_like(cur: jax.Array, ref: jax.Array, qscale: float,
     rec_resid = dct8x8.idct(levels * q)
     n, h, w = cur.shape
     recon = pred + dct8x8.from_blocks(rec_resid, h, w)
-    return {"mv": mv_half, "levels": levels,
+    return {"mv": mv, "levels": levels,
             "recon": jnp.clip(recon, 0.0, 255.0)}
 
 
