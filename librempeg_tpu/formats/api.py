@@ -300,6 +300,11 @@ def guess_format(url: str = "", format: str | None = None) -> type[Muxer]:
 
 def open_output(url: str, format: str | None = None) -> Muxer:
     cls = guess_format(url, format)
+    if "%" in url and cls.NAME == "image2":
+        # patterned image sequence: the muxer opens per-frame files itself
+        io = MemoryIO()
+        io.url = url
+        return cls(io)
     return cls(open_io(url, "w"))
 
 

@@ -1,0 +1,256 @@
+"""Transcode pipeline orchestrator.
+
+Analog of the reference's fftools scheduler (ffmpeg_sched.c — a DAG of
+demux/decode/filter/encode/mux nodes with bounded queues and
+backpressure; architecture doc ffmpeg_sched.h:31-87) plus the per-node
+thread bodies (ffmpeg_demux.c/ffmpeg_dec.c/ffmpeg_filter.c/ffmpeg_enc.c/
+ffmpeg_mux.c).
+
+TPU-first differences:
+* Stages are coroutine-style objects driven by one control loop instead
+  of one pthread per node — device calls are already async (XLA dispatch)
+  and the host is a single orchestrator; an optional thread pool overlaps
+  host entropy coding with device compute (the reference's reason for
+  threads) without the queue plumbing.
+* Decoded frames flow as immutable arrays; the filter graph and encoder
+  device-batch them internally.
+* Interleaving/backpressure lives in the muxer's dts-ordered queue
+  (formats/api.Muxer), matching av_interleaved_write_frame semantics.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from librempeg_tpu.codecs.api import find_decoder, find_encoder
+from librempeg_tpu.core.errors import EndOfStream, InvalidData, TryAgain
+from librempeg_tpu.core.frame import AudioFrame, VideoFrame
+from librempeg_tpu.core.log import Logger
+from librempeg_tpu.core.rational import NOPTS, Rational
+from librempeg_tpu.filters import GraphRunner, StreamProps
+from librempeg_tpu.formats.api import (
+    CodecParameters,
+    open_input,
+    open_output,
+)
+
+log = Logger("transcode")
+
+
+@dataclass
+class StreamMap:
+    """One output stream's processing chain configuration."""
+
+    codec: str = ""                  # output codec name ("copy" = stream copy)
+    filters: str = ""                # filter graph description
+    codec_opts: dict = field(default_factory=dict)
+    # output format overrides
+    width: int = 0
+    height: int = 0
+    pix_fmt: str = ""
+    sample_rate: int = 0
+    channels: int = 0
+    frames_limit: int = 0            # -frames:v analog; 0 = unlimited
+
+
+@dataclass
+class TranscodeSpec:
+    input_url: str
+    output_url: str
+    input_format: str | None = None
+    input_opts: dict = field(default_factory=dict)
+    output_format: str | None = None
+    video: StreamMap | None = None
+    audio: StreamMap | None = None
+    no_video: bool = False
+    no_audio: bool = False
+    duration: float = 0.0            # -t
+    seek: float = 0.0                # -ss
+
+
+class _StreamChain:
+    """decode -> filter -> encode for one stream."""
+
+    def __init__(self, in_stream, smap: StreamMap, out_mux):
+        self.in_stream = in_stream
+        self.smap = smap
+        par = in_stream.codecpar
+        self.media = par.codec_type
+        self.copy = smap.codec == "copy"
+        self.frames_done = 0
+        self.eof = False
+
+        if self.copy:
+            self.decoder = None
+            self.graph = None
+            self.encoder = None
+            self.out_stream = out_mux.add_stream(par, in_stream.time_base)
+            return
+
+        self.decoder = find_decoder(par.codec_id)(par)
+
+        # source props for the filter graph
+        if self.media == "video":
+            props = StreamProps(
+                media="video", width=par.width, height=par.height,
+                pix_fmt=par.pix_fmt or "yuv420p",
+                frame_rate=par.framerate if par.framerate.num else
+                Rational(25, 1),
+                time_base=in_stream.time_base)
+        else:
+            from librempeg_tpu.core.samplefmt import ChannelLayout
+
+            props = StreamProps(
+                media="audio", sample_rate=par.sample_rate,
+                sample_fmt="s16p",
+                layout=ChannelLayout.default(par.nb_channels or 2),
+                time_base=in_stream.time_base)
+
+        desc = smap.filters or ("null" if self.media == "video" else "anull")
+        # append conversion stages implied by output overrides
+        extra = []
+        if self.media == "video":
+            if smap.width or smap.height:
+                extra.append(f"scale={smap.width or -1}:{smap.height or -1}")
+            if smap.pix_fmt:
+                extra.append(f"format={smap.pix_fmt}")
+        else:
+            if smap.sample_rate:
+                extra.append(f"aresample={smap.sample_rate}")
+        if extra:
+            desc = desc + "," + ",".join(extra)
+        self.graph = GraphRunner(desc, props)
+
+        out_props = self.graph.output_props
+        enc_cls = find_encoder(smap.codec)
+        enc_opts = self._translate_codec_opts(enc_cls, smap.codec_opts)
+        if self.media == "video":
+            self.encoder = enc_cls(
+                width=out_props.width, height=out_props.height,
+                pix_fmt=out_props.pix_fmt, **enc_opts)
+            tb = out_props.time_base or Rational(1, 25)
+        else:
+            self.encoder = enc_cls(
+                sample_rate=out_props.sample_rate,
+                channels=(out_props.layout.nb_channels
+                          if out_props.layout else 2),
+                **enc_opts)
+            tb = Rational(1, out_props.sample_rate)
+        self.out_stream = out_mux.add_stream(
+            self.encoder.codec_parameters(), tb)
+
+    @staticmethod
+    def _translate_codec_opts(enc_cls, codec_opts: dict) -> dict:
+        """Map CLI-level options onto what the encoder declares
+        (ffmpeg_opt.c's per-codec AVDictionary filtering analog);
+        -q:v's 1..31 qscale maps onto JPEG-style quality when needed."""
+        out = {}
+        for k, v in codec_opts.items():
+            if k == "quality_scale":
+                if enc_cls.OPTIONS.get("qscale"):
+                    out["qscale"] = v
+                elif enc_cls.OPTIONS.get("quality"):
+                    out["quality"] = int(max(2, min(100, round(100 - v * 3.1))))
+            elif enc_cls.OPTIONS.get(k):
+                out[k] = v
+            else:
+                log.warning("encoder %s: ignoring option %s",
+                            enc_cls.INFO.name, k)
+        return out
+
+    # -- data flow ----------------------------------------------------
+    def send_packet(self, pkt, mux) -> None:
+        if self.eof:
+            return
+        if self.copy:
+            mux.write(pkt.replace(stream_index=self.out_stream.index))
+            return
+        for frame in self.decoder.decode(pkt):
+            self._through_graph(frame, mux)
+
+    def _through_graph(self, frame, mux, flush=False) -> None:
+        outs = self.graph.push(frame) if frame is not None else []
+        if flush:
+            outs += self.graph.finish()
+        for f in outs:
+            if self.smap.frames_limit and \
+                    self.frames_done >= self.smap.frames_limit:
+                self.eof = True
+                return
+            self.frames_done += 1
+            for pkt in self.encoder.encode(f):
+                mux.write(pkt.replace(stream_index=self.out_stream.index))
+
+    def finish(self, mux) -> None:
+        if self.copy or self.eof:
+            return
+        for frame in self.decoder.flush():
+            self._through_graph(frame, mux)
+        self._through_graph(None, mux, flush=True)
+        for pkt in self.encoder.flush():
+            mux.write(pkt.replace(stream_index=self.out_stream.index))
+
+
+class Transcoder:
+    """Single input -> single output transcoder (the ffmpeg CLI's core
+    path; multi-input/multi-output composition comes via multiple
+    instances sharing muxers)."""
+
+    def __init__(self, spec: TranscodeSpec):
+        self.spec = spec
+        self.demux = open_input(spec.input_url, spec.input_format,
+                                **spec.input_opts)
+        self.mux = open_output(spec.output_url, spec.output_format)
+        self.chains: dict[int, _StreamChain] = {}
+
+        for st in self.demux.streams:
+            media = st.codecpar.codec_type
+            if media == "video" and not spec.no_video:
+                smap = spec.video or StreamMap(codec="rawvideo")
+                if not smap.codec:
+                    smap.codec = "rawvideo"
+                self.chains[st.index] = _StreamChain(st, smap, self.mux)
+            elif media == "audio" and not spec.no_audio:
+                smap = spec.audio or StreamMap(codec="pcm_s16le")
+                if not smap.codec:
+                    smap.codec = "pcm_s16le"
+                self.chains[st.index] = _StreamChain(st, smap, self.mux)
+        if not self.chains:
+            raise InvalidData("no streams selected for transcoding")
+
+    def run(self) -> dict:
+        spec = self.spec
+        if spec.seek:
+            for st in self.demux.streams:
+                try:
+                    ts = int(spec.seek * st.time_base.den / st.time_base.num)
+                    self.demux.read_seek(st.index, ts)
+                    break
+                except NotImplementedError:
+                    break
+        n_packets = 0
+        for pkt in self.demux.packets():
+            chain = self.chains.get(pkt.stream_index)
+            if chain is None:
+                continue
+            if spec.duration and pkt.pts != NOPTS and \
+                    pkt.time_base.valid and pkt.time_base.num and \
+                    pkt.pts * pkt.time_base.num / pkt.time_base.den \
+                    >= spec.duration + spec.seek:
+                chain.eof = True
+                if all(c.eof for c in self.chains.values()):
+                    break
+                continue
+            chain.send_packet(pkt, self.mux)
+            n_packets += 1
+            if all(c.eof for c in self.chains.values()):
+                break
+        for chain in self.chains.values():
+            chain.eof = False
+            chain.finish(self.mux)
+        self.mux.close()
+        self.demux.close()
+        return {
+            "packets": n_packets,
+            "frames": {i: c.frames_done for i, c in self.chains.items()},
+        }

@@ -1,0 +1,137 @@
+"""CLI + transcode pipeline end-to-end tests (the api-*-test analog,
+SURVEY.md §4 tier 4)."""
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from librempeg_tpu.cli import ffmpeg as ffm
+from librempeg_tpu.cli import ffprobe as ffp
+from librempeg_tpu.codecs.pcm import _encode_array
+from librempeg_tpu.core.packet import Packet
+from librempeg_tpu.core.rational import Rational
+from librempeg_tpu.formats.api import CodecParameters, open_input, open_output
+from librempeg_tpu.utils import testgen
+
+
+def make_wav(path, rate=48000, n=9600):
+    pcm = testgen.s16(testgen.audio_mix(rate, n))
+    mux = open_output(str(path), "wav")
+    mux.add_stream(CodecParameters(
+        codec_type="audio", codec_id="pcm_s16le", sample_rate=rate,
+        nb_channels=2, block_align=4))
+    mux.write(Packet(data=_encode_array("pcm_s16le", pcm), pts=0))
+    mux.close()
+    return pcm
+
+
+def make_y4m(path, w=64, h=48, n=5):
+    mux = open_output(str(path), "yuv4mpegpipe")
+    mux.add_stream(CodecParameters(
+        codec_type="video", codec_id="rawvideo", width=w, height=h,
+        pix_fmt="yuv420p", framerate=Rational(25, 1)),
+        time_base=Rational(1, 25))
+    frames = []
+    for i in range(n):
+        y, u, v = testgen.video_yuv420(w, h, i)
+        data = y.tobytes() + u.tobytes() + v.tobytes()
+        frames.append((y, u, v))
+        mux.write(Packet(data=data, pts=i, dts=i, duration=1))
+    mux.close()
+    return frames
+
+
+class TestFfmpegCli:
+    def test_wav_resample(self, tmp_path):
+        make_wav(tmp_path / "in.wav")
+        rc = ffm.main(["-y", "-i", str(tmp_path / "in.wav"),
+                       "-ar", "44100", str(tmp_path / "out.wav")])
+        assert rc == 0
+        d = open_input(str(tmp_path / "out.wav"))
+        assert d.streams[0].codecpar.sample_rate == 44100
+        total = sum(p.duration for p in d.packets())
+        assert abs(total - 8820) <= 32
+
+    def test_y4m_scale_to_y4m(self, tmp_path):
+        make_y4m(tmp_path / "in.y4m")
+        rc = ffm.main(["-y", "-i", str(tmp_path / "in.y4m"),
+                       "-vf", "scale=32:24",
+                       str(tmp_path / "out.y4m")])
+        assert rc == 0
+        d = open_input(str(tmp_path / "out.y4m"))
+        par = d.streams[0].codecpar
+        assert (par.width, par.height) == (32, 24)
+        assert len(list(d.packets())) == 5
+
+    def test_y4m_to_jpeg_sequence(self, tmp_path):
+        from librempeg_tpu.native import build as native
+
+        if not native.available():
+            pytest.skip("native ext unavailable")
+        make_y4m(tmp_path / "in.y4m", n=3)
+        rc = ffm.main(["-y", "-i", str(tmp_path / "in.y4m"),
+                       "-c:v", "mjpeg",
+                       str(tmp_path / "out%03d.jpg")])
+        assert rc == 0
+        import glob
+
+        files = sorted(glob.glob(str(tmp_path / "out*.jpg")))
+        assert len(files) == 3
+        from librempeg_tpu.codecs.jpeg.decoder import decode_jpeg
+
+        g = decode_jpeg(open(files[0], "rb").read())
+        assert (g.width, g.height) == (64, 48)
+
+    def test_frames_limit(self, tmp_path):
+        make_y4m(tmp_path / "in.y4m", n=5)
+        rc = ffm.main(["-y", "-i", str(tmp_path / "in.y4m"),
+                       "-frames:v", "2", str(tmp_path / "out.y4m")])
+        assert rc == 0
+        d = open_input(str(tmp_path / "out.y4m"))
+        assert len(list(d.packets())) == 2
+
+    def test_framecrc_output(self, tmp_path, capsys):
+        make_y4m(tmp_path / "in.y4m", n=2)
+        out = tmp_path / "out.crc"
+        rc = ffm.main(["-y", "-i", str(tmp_path / "in.y4m"),
+                       "-f", "framecrc", str(out)])
+        assert rc == 0
+        lines = out.read_text().splitlines()
+        data_lines = [l for l in lines if not l.startswith("#")]
+        assert len(data_lines) == 2
+        assert data_lines[0].startswith("0, ")
+
+
+class TestFfprobe:
+    def test_probe_wav_json(self, tmp_path, capsys):
+        make_wav(tmp_path / "in.wav")
+        rc = ffp.main(["-show_format", "-show_streams", "-of", "json",
+                       str(tmp_path / "in.wav")])
+        assert rc == 0
+        import json
+
+        info = json.loads(capsys.readouterr().out)
+        assert info["format"]["format_name"] == "wav"
+        st = info["streams"][0]
+        assert st["codec_name"] == "pcm_s16le"
+        assert st["sample_rate"] == "48000"
+        assert st["duration"].startswith("0.2")
+
+    def test_probe_default_writer(self, tmp_path, capsys):
+        make_y4m(tmp_path / "in.y4m")
+        rc = ffp.main(["-show_streams", str(tmp_path / "in.y4m")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "[STREAM]" in out
+        assert "codec_name=rawvideo" in out
+        assert "width=64" in out
+
+    def test_count_packets(self, tmp_path, capsys):
+        make_y4m(tmp_path / "in.y4m", n=4)
+        rc = ffp.main(["-show_streams", "-count_packets", "-of", "json",
+                       str(tmp_path / "in.y4m")])
+        import json
+
+        info = json.loads(capsys.readouterr().out)
+        assert info["streams"][0]["nb_read_packets"] == "4"
