@@ -25,6 +25,14 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
+    # persistent compile cache: tunneled-TPU compiles are minutes-slow;
+    # the repo ships a warmed cache so reruns start instantly
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from librempeg_tpu.parallel.pipeline import transcode_step
     from librempeg_tpu.utils import testgen
 
@@ -44,7 +52,7 @@ def main() -> None:
     v = jnp.asarray(np.stack(vs), jnp.float32)
     ref = jnp.asarray(rng.integers(0, 256, (batch, dh, dw)), jnp.float32)
 
-    iters = 10
+    iters = 4
 
     @jax.jit
     def chained(y, u, v, ref):

@@ -1,0 +1,509 @@
+"""MPEG-4 part 2 (Simple Profile) video encoder.
+
+Analog of the reference's native MPEG-4 encoder (mpeg4videoenc.c +
+mpegvideo_enc.c motion/quant machinery, SURVEY.md §3.3), restructured
+for TPU:
+
+* Device (one jitted program per frame type): full-search ME fused with
+  MC (ops/motion.full_search_mc_xla), spec DCT via batched 8x8 matmuls,
+  H.263-style quant/dequant, and in-loop reconstruction — everything the
+  reference does in per-macroblock SIMD loops across slice threads.
+* Host: DC/MV prediction (vectorized numpy, no sequential dependency)
+  and the serial VLC bit-packing (the irreducibly serial part the
+  reference also runs per-slice on CPU).
+
+Simple-profile choices: quant_type=0 (H.263 quantizer), I/P GOP
+structure, integer-pel MVs restricted to even values so chroma MVs stay
+integer (no half-pel interpolation in the loop — documented quality
+trade, removed when the half-pel device path lands), ac_pred disabled,
+resync markers disabled.
+
+Output decodes with the reference's mpeg4 decoder (validated in tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from librempeg_tpu.codecs.api import CodecInfo, Encoder, register_encoder
+from librempeg_tpu.codecs.mpeg4 import tables as T
+from librempeg_tpu.codecs.mpeg4.bits import BitWriter
+from librempeg_tpu.core.errors import Unsupported
+from librempeg_tpu.core.frame import VideoFrame
+from librempeg_tpu.core.options import Option, OptionTable
+from librempeg_tpu.core.packet import Packet, PktFlags
+from librempeg_tpu.core.rational import NOPTS, Rational
+from librempeg_tpu.ops import dct8x8, motion
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _spec_dct_scale() -> np.ndarray:
+    """Orthonormal-DCT -> ISO 8x8 DCT coefficient scaling (same mapping
+    the JPEG encoder derives; see jpeg/encoder._verify_scale)."""
+    from librempeg_tpu.codecs.jpeg.encoder import _verify_scale
+
+    return _verify_scale()
+
+
+def _fdct_spec(x: jax.Array) -> jax.Array:
+    """[B, 8, 8] float pixels -> spec DCT coefficients."""
+    return dct8x8.fdct(x) * jnp.asarray(_spec_dct_scale())
+
+
+def _idct_spec(c: jax.Array) -> jax.Array:
+    return dct8x8.idct(c / jnp.asarray(_spec_dct_scale()))
+
+
+def _quant_intra(coeffs, qscale: int, dc_scale: int):
+    """H.263-style intra quant. Returns (dc_level, ac_levels, recon)."""
+    dc = coeffs[..., 0, 0]
+    dc_level = jnp.round(dc / dc_scale).astype(jnp.int32)
+    ac_level = jnp.trunc(coeffs / (2.0 * qscale)).astype(jnp.int32)
+    ac_level = jnp.clip(ac_level, -2047, 2047)
+    ac_level = ac_level.at[..., 0, 0].set(0)
+    # dequant (what the decoder reconstructs)
+    odd = qscale & 1
+    deq = jnp.where(
+        ac_level != 0,
+        jnp.sign(ac_level) * (qscale * (2 * jnp.abs(ac_level) + 1)
+                              - (0 if odd else 1)),
+        0).astype(jnp.float32)
+    deq = deq.at[..., 0, 0].set(dc_level.astype(jnp.float32) * dc_scale)
+    recon = _idct_spec(deq)
+    return dc_level, ac_level, recon
+
+
+def _quant_inter(coeffs, qscale: int):
+    """H.263-style inter quant with dead zone."""
+    mag = jnp.trunc((jnp.abs(coeffs) - qscale / 2.0) / (2.0 * qscale))
+    level = (jnp.sign(coeffs) * jnp.maximum(mag, 0.0)).astype(jnp.int32)
+    level = jnp.clip(level, -2047, 2047)
+    odd = qscale & 1
+    deq = jnp.where(
+        level != 0,
+        jnp.sign(level) * (qscale * (2 * jnp.abs(level) + 1)
+                           - (0 if odd else 1)),
+        0).astype(jnp.float32)
+    recon = _idct_spec(deq)
+    return level, recon
+
+
+@functools.partial(jax.jit, static_argnames=("qscale",))
+def _encode_i_device(y, u, v, qscale: int):
+    """I-VOP device pass over one frame's planes.
+
+    Returns per-plane (dc_levels [bh,bw], ac_zz [nblk,64], recon plane).
+    """
+    out = {}
+    for name, plane, chroma in (("y", y, False), ("u", u, True),
+                                ("v", v, True)):
+        p = plane.astype(jnp.float32)
+        h, w = p.shape
+        blocks = dct8x8.to_blocks(p)
+        coeffs = _fdct_spec(blocks)
+        dcs = T.dc_scaler(qscale, chroma)
+        dc, ac, recon = _quant_intra(coeffs, qscale, dcs)
+        zz = ac.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+        out[name] = (
+            dc.reshape(h // 8, w // 8),
+            zz,
+            jnp.clip(dct8x8.from_blocks(recon, h, w) + 0, 0, 255),
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("qscale", "search_range"))
+def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale: int,
+                     search_range: int = 8):
+    """P-VOP device pass: even-integer-pel ME on luma, chroma MVs = mv/2,
+    residual transform coding, in-loop recon."""
+    yf = y.astype(jnp.float32)[None]
+    ry = ref_y.astype(jnp.float32)[None]
+    # even-pel search: search on the 2x-downsampled candidate lattice by
+    # halving resolution of the SEARCH only (evaluate even shifts)
+    mv2, _, _ = motion.full_search_mc_xla(
+        motion.block_reduce(yf, 2) / 4.0,
+        motion.block_reduce(ry, 2) / 4.0,
+        search_range // 2, block_size=8)
+    mv = mv2 * 2                                     # [1,bh,bw,2] even
+    pred_y = motion.motion_compensate(ry, mv, 16)[0]
+    mv_c = mv // 2
+    pred_u = motion.motion_compensate(
+        ref_u.astype(jnp.float32)[None], mv_c, 8)[0]
+    pred_v = motion.motion_compensate(
+        ref_v.astype(jnp.float32)[None], mv_c, 8)[0]
+
+    out = {"mv": mv[0]}
+    for name, plane, pred in (("y", yf[0], pred_y), ("u", u, pred_u),
+                              ("v", v, pred_v)):
+        p = plane.astype(jnp.float32)
+        h, w = p.shape
+        resid = p - pred
+        coeffs = _fdct_spec(dct8x8.to_blocks(resid))
+        level, rec_res = _quant_inter(coeffs, qscale)
+        zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+        recon = jnp.clip(pred + dct8x8.from_blocks(rec_res, h, w), 0, 255)
+        out[name] = (zz, recon)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host: prediction + VLC packing
+# ---------------------------------------------------------------------------
+
+
+def _dc_predict(dc_levels: np.ndarray, scaler: int,
+                intra_mask: np.ndarray | None = None) -> np.ndarray:
+    """Spec DC prediction (ISO 14496-2 §7.4.3): gradient rule over
+    dequantized DCs; non-intra/outside neighbors read as 1024.
+    Fully vectorized (prediction is causal but reads only stored
+    neighbor values, not running state). Returns diff levels."""
+    deq = dc_levels.astype(np.int64) * scaler
+    if intra_mask is not None:
+        deq = np.where(intra_mask, deq, 1024)
+    pad = np.full((deq.shape[0] + 1, deq.shape[1] + 2), 1024, np.int64)
+    pad[1:, 1:-1] = deq
+    A = pad[1:, :-2]      # left
+    B = pad[:-1, :-2]     # top-left
+    C = pad[:-1, 1:-1]    # top
+    pred_val = np.where(np.abs(A - B) < np.abs(B - C), C, A)
+    pred_level = (pred_val + scaler // 2) // scaler
+    return (dc_levels.astype(np.int64) - pred_level).astype(np.int32)
+
+
+def _put_dc(bw: BitWriter, diff: int, chroma: bool) -> None:
+    size = int(abs(int(diff))).bit_length()
+    code, bits = (T.DC_CHROM if chroma else T.DC_LUM)[size]
+    bw.put(code, bits)
+    if size:
+        v = diff if diff > 0 else diff + (1 << size) - 1
+        bw.put(v, size)
+        if size > 8:
+            bw.put(1, 1)
+
+
+def _put_coeffs(bw: BitWriter, zz: np.ndarray, first: int, intra: bool
+                ) -> None:
+    """Encode one block's zigzag coefficients from index `first`."""
+    idx = T.INTRA_RL_INDEX if intra else T.INTER_RL_INDEX
+    nz = np.nonzero(zz[first:])[0]
+    if len(nz) == 0:
+        return
+    run = 0
+    positions = nz + first
+    for k, pos in enumerate(positions):
+        level = int(zz[pos])
+        run = int(pos - (positions[k - 1] if k else first - 1) - 1)
+        last = 1 if k == len(positions) - 1 else 0
+        key = (last, run, abs(level))
+        ent = idx.get(key)
+        if ent is not None:
+            code, bits = ent
+            bw.put(code, bits)
+            bw.put(1 if level < 0 else 0, 1)
+        else:
+            bw.put(T.ESCAPE_CODE, T.ESCAPE_BITS)
+            bw.put(0b11, 2)                  # escape type 3
+            bw.put(last, 1)
+            bw.put(run, 6)
+            bw.put(1, 1)                     # marker
+            bw.put_signed(level, 12)
+            bw.put(1, 1)                     # marker
+
+
+def _put_mv(bw: BitWriter, d: int) -> None:
+    """One MV component difference, half-pel units, f_code=1."""
+    if d < -32:
+        d += 64
+    elif d > 31:
+        d -= 64
+    code, bits = T.MVTAB[abs(d)]
+    bw.put(code, bits)
+    if d:
+        bw.put(1 if d < 0 else 0, 1)
+
+
+class _Mpeg4Packer:
+    """Assembles headers + macroblock layer."""
+
+    def __init__(self, width, height, fps: Rational, qscale: int):
+        self.w, self.h = width, height
+        self.fps = fps
+        self.qscale = qscale
+        self.tick = 0
+        self.last_sec = 0
+        # time resolution = fps numerator (ticks of fps.den per frame)
+        self.time_res = max(1, fps.num)
+        self.inc_bits = max(1, int(self.time_res - 1).bit_length())
+
+    def sequence_headers(self) -> bytes:
+        bw = BitWriter()
+        bw.put(0x000001B0, 32)     # visual_object_sequence
+        bw.put(0x01, 8)            # profile/level: simple L1
+        bw.put(0x000001B5, 32)     # visual_object
+        bw.put(0, 1)               # is_visual_object_identifier
+        bw.put(1, 4)               # visual_object_type: video
+        bw.put(0, 1)               # video_signal_type
+        bw.align_stuffing()
+        bw.put(0x00000100, 32)     # video_object
+        bw.put(0x00000120, 32)     # video_object_layer
+        bw.put(0, 1)               # random_accessible_vol
+        bw.put(1, 8)               # video_object_type: simple
+        bw.put(0, 1)               # is_object_layer_identifier
+        bw.put(1, 4)               # aspect_ratio_info: square
+        bw.put(0, 1)               # vol_control_parameters
+        bw.put(0, 2)               # shape: rectangular
+        bw.put(1, 1)               # marker
+        bw.put(self.time_res, 16)
+        bw.put(1, 1)               # marker
+        bw.put(0, 1)               # fixed_vop_rate
+        bw.put(1, 1)               # marker
+        bw.put(self.w, 13)
+        bw.put(1, 1)
+        bw.put(self.h, 13)
+        bw.put(1, 1)
+        bw.put(0, 1)               # interlaced
+        bw.put(1, 1)               # obmc_disable
+        bw.put(0, 1)               # sprite_enable
+        bw.put(0, 1)               # not_8_bit
+        bw.put(0, 1)               # quant_type: H.263
+        bw.put(1, 1)               # complexity_estimation_disable
+        bw.put(1, 1)               # resync_marker_disable
+        bw.put(0, 1)               # data_partitioned
+        bw.put(0, 1)               # scalability
+        bw.align_stuffing()
+        return bw.bytes()
+
+    def vop(self, bw: BitWriter, coding_type: int, frame_idx: int) -> None:
+        bw.put(0x000001B6, 32)
+        bw.put(coding_type, 2)     # 0 = I, 1 = P
+        # time: seconds elapsed as modulo_time_base '1's
+        total_ticks = frame_idx * self.fps.den
+        sec = total_ticks // self.time_res
+        for _ in range(sec - self.last_sec):
+            bw.put(1, 1)
+        self.last_sec = sec
+        bw.put(0, 1)
+        bw.put(1, 1)               # marker
+        bw.put(total_ticks % self.time_res, self.inc_bits)
+        bw.put(1, 1)               # marker
+        bw.put(1, 1)               # vop_coded
+        if coding_type == 1:
+            bw.put(0, 1)           # vop_rounding_type
+        bw.put(0, 3)               # intra_dc_vlc_thr: always DC VLC
+        bw.put(self.qscale, 5)
+        if coding_type == 1:
+            bw.put(1, 3)           # vop_fcode_forward
+
+
+@register_encoder
+class Mpeg4Encoder(Encoder):
+    INFO = CodecInfo(name="mpeg4", long_name="MPEG-4 part 2 (Simple Profile)",
+                     codec_type="video")
+    OPTIONS = OptionTable(
+        Option("qscale", int, 4, min=1, max=31),
+        Option("gop_size", int, 12, alias="g", min=1, max=600),
+        Option("search_range", int, 8, min=2, max=16),
+    )
+
+    def __init__(self, width=0, height=0, pix_fmt="yuv420p",
+                 framerate: Rational = Rational(25, 1), **opts):
+        super().__init__(**opts)
+        if width % 16 or height % 16:
+            self._pad_w = (16 - width % 16) % 16
+            self._pad_h = (16 - height % 16) % 16
+        else:
+            self._pad_w = self._pad_h = 0
+        self.width, self.height = width, height
+        self.cw, self.ch = width + self._pad_w, height + self._pad_h
+        self.pix_fmt = pix_fmt
+        self.framerate = framerate
+        self.time_base = Rational(framerate.den, framerate.num)
+        self._packer = None
+        self._frame_idx = 0
+        self._ref = None  # (y, u, v) device recon planes
+        self._next_pts = 0
+
+    def codec_parameters(self):
+        from librempeg_tpu.formats.api import CodecParameters
+
+        return CodecParameters(
+            codec_type="video", codec_id="mpeg4",
+            width=self.width, height=self.height, pix_fmt="yuv420p",
+            framerate=self.framerate)
+
+    # -- encoding -----------------------------------------------------
+    def encode(self, frame: VideoFrame):
+        if frame.format not in ("yuv420p", "yuvj420p"):
+            raise Unsupported(f"mpeg4: input must be yuv420p, got "
+                              f"{frame.format}")
+        q = self.opts["qscale"]
+        if self._packer is None:
+            self._packer = _Mpeg4Packer(self.width, self.height,
+                                        self.framerate, q)
+        y, u, v = (np.asarray(p) for p in frame.planes)
+        if self._pad_w or self._pad_h:
+            y = np.pad(y, ((0, self._pad_h), (0, self._pad_w)), mode="edge")
+            u = np.pad(u, ((0, self._pad_h // 2), (0, self._pad_w // 2)),
+                       mode="edge")
+            v = np.pad(v, ((0, self._pad_h // 2), (0, self._pad_w // 2)),
+                       mode="edge")
+
+        is_i = (self._frame_idx % self.opts["gop_size"] == 0
+                or self._ref is None)
+        bw = BitWriter()
+        if self._frame_idx == 0:
+            data0 = self._packer.sequence_headers()
+        else:
+            data0 = b""
+
+        if is_i:
+            self._encode_i(bw, y, u, v, q)
+        else:
+            self._encode_p(bw, y, u, v, q)
+        bw.align_stuffing()
+        payload = data0 + bw.bytes()
+
+        pts = frame.pts if frame.pts != NOPTS else self._next_pts
+        self._next_pts = pts + 1
+        pkt = Packet(data=payload, pts=pts, dts=pts, duration=1,
+                     flags=PktFlags.KEY if is_i else 0,
+                     time_base=self.time_base)
+        self._frame_idx += 1
+        return [pkt]
+
+    def _encode_i(self, bw: BitWriter, y, u, v, q: int) -> None:
+        dev = _encode_i_device(jnp.asarray(y), jnp.asarray(u),
+                               jnp.asarray(v), q)
+        dc_y, zz_y, rec_y = dev["y"]
+        dc_u, zz_u, rec_u = dev["u"]
+        dc_v, zz_v, rec_v = dev["v"]
+        self._ref = (rec_y, rec_u, rec_v)
+        dc_y = np.asarray(dc_y)
+        zz_y = np.asarray(zz_y)
+        dc_u = np.asarray(dc_u)
+        zz_u = np.asarray(zz_u)
+        dc_v = np.asarray(dc_v)
+        zz_v = np.asarray(zz_v)
+
+        diff_y = _dc_predict(dc_y, T.dc_scaler(q, False))
+        diff_u = _dc_predict(dc_u, T.dc_scaler(q, True))
+        diff_v = _dc_predict(dc_v, T.dc_scaler(q, True))
+
+        self._packer.vop(bw, 0, self._frame_idx)
+        mb_w, mb_h = self.cw // 16, self.ch // 16
+        nbx = mb_w * 2
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                # luma blocks of this MB in raster order
+                lblk = [(2 * my, 2 * mx), (2 * my, 2 * mx + 1),
+                        (2 * my + 1, 2 * mx), (2 * my + 1, 2 * mx + 1)]
+                acs_y = [zz_y[by * nbx + bx] for by, bx in lblk]
+                ac_u = zz_u[my * mb_w + mx]
+                ac_v = zz_v[my * mb_w + mx]
+                cbpy = 0
+                for i, a in enumerate(acs_y):
+                    if np.any(a[1:]):
+                        cbpy |= 8 >> i
+                cbpc = ((2 if np.any(ac_u[1:]) else 0)
+                        | (1 if np.any(ac_v[1:]) else 0))
+                code, bits = T.INTRA_MCBPC[cbpc]
+                bw.put(code, bits)
+                bw.put(0, 1)                       # ac_pred_flag
+                code, bits = T.CBPY[cbpy]
+                bw.put(code, bits)
+                for i, (by, bx) in enumerate(lblk):
+                    _put_dc(bw, int(diff_y[by, bx]), chroma=False)
+                    if cbpy & (8 >> i):
+                        _put_coeffs(bw, acs_y[i], 1, intra=True)
+                _put_dc(bw, int(diff_u[my, mx]), chroma=True)
+                if cbpc & 2:
+                    _put_coeffs(bw, ac_u, 1, intra=True)
+                _put_dc(bw, int(diff_v[my, mx]), chroma=True)
+                if cbpc & 1:
+                    _put_coeffs(bw, ac_v, 1, intra=True)
+
+    def _encode_p(self, bw: BitWriter, y, u, v, q: int) -> None:
+        ry, ru, rv = self._ref
+        dev = _encode_p_device(jnp.asarray(y), jnp.asarray(u),
+                               jnp.asarray(v), ry, ru, rv, q,
+                               self.opts["search_range"])
+        mv = np.asarray(dev["mv"])                 # [bh, bw, 2] (dy, dx)
+        zz_y, rec_y = dev["y"]
+        zz_u, rec_u = dev["u"]
+        zz_v, rec_v = dev["v"]
+        self._ref = (rec_y, rec_u, rec_v)
+        zz_y = np.asarray(zz_y)
+        zz_u = np.asarray(zz_u)
+        zz_v = np.asarray(zz_v)
+
+        self._packer.vop(bw, 1, self._frame_idx)
+        mb_w, mb_h = self.cw // 16, self.ch // 16
+        nbx = mb_w * 2
+        # MV prediction: median of left/top/top-right in half-pel units
+        mvh = mv * 2                               # halfpel
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                lblk = [(2 * my, 2 * mx), (2 * my, 2 * mx + 1),
+                        (2 * my + 1, 2 * mx), (2 * my + 1, 2 * mx + 1)]
+                acs_y = [zz_y[by * nbx + bx] for by, bx in lblk]
+                ac_u = zz_u[my * mb_w + mx]
+                ac_v = zz_v[my * mb_w + mx]
+                cbpy = 0
+                for i, a in enumerate(acs_y):
+                    if np.any(a):
+                        cbpy |= 8 >> i
+                cbpc = ((2 if np.any(ac_u) else 0)
+                        | (1 if np.any(ac_v) else 0))
+                this = mvh[my, mx]
+                if cbpy == 0 and cbpc == 0 and this[0] == 0 and this[1] == 0:
+                    bw.put(1, 1)                   # not_coded (skip)
+                    continue
+                bw.put(0, 1)                       # coded
+                code, bits = T.INTER_MCBPC[0 * 4 + cbpc]  # mb_type inter
+                bw.put(code, bits)
+                code, bits = T.CBPY[15 - cbpy]
+                bw.put(code, bits)
+                # MV pred (x and y component-wise median)
+                px, py = self._mv_pred(mvh, my, mx, mb_w)
+                _put_mv(bw, int(this[1]) - px)     # horizontal first
+                _put_mv(bw, int(this[0]) - py)
+                for i in range(4):
+                    if cbpy & (8 >> i):
+                        _put_coeffs(bw, acs_y[i], 0, intra=False)
+                if cbpc & 2:
+                    _put_coeffs(bw, ac_u, 0, intra=False)
+                if cbpc & 1:
+                    _put_coeffs(bw, ac_v, 0, intra=False)
+
+    @staticmethod
+    def _mv_pred(mvh: np.ndarray, my: int, mx: int, mb_w: int):
+        """Median MV predictor (spec §7.5.5 candidate rules)."""
+
+        def cand(yy, xx):
+            if yy < 0 or xx < 0 or xx >= mb_w:
+                return None
+            return (int(mvh[yy, xx, 1]), int(mvh[yy, xx, 0]))
+
+        A = cand(my, mx - 1)
+        B = cand(my - 1, mx)
+        C = cand(my - 1, mx + 1)
+        if B is None and C is None:
+            # first MB row: predictor is A (or 0)
+            return A if A is not None else (0, 0)
+        A = A or (0, 0)
+        B = B or (0, 0)
+        C = C or (0, 0)
+        px = int(np.median([A[0], B[0], C[0]]))
+        py = int(np.median([A[1], B[1], C[1]]))
+        return px, py
+
+    def flush(self):
+        return []

@@ -28,3 +28,7 @@ try:
     from librempeg_tpu.codecs.h264 import decoder as _h264  # noqa: F401
 except ImportError:
     pass
+try:
+    from librempeg_tpu.codecs.flac import codec as _flac  # noqa: F401
+except ImportError:
+    pass

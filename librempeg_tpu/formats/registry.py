@@ -34,3 +34,7 @@ try:
     from librempeg_tpu.formats import mov  # noqa: F401
 except ImportError:
     pass
+try:
+    from librempeg_tpu.formats import flac  # noqa: F401
+except ImportError:
+    pass
