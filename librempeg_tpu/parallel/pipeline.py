@@ -51,7 +51,7 @@ def encode_intra_like(y: jax.Array, qscale: float) -> dict[str, jax.Array]:
 
 
 def encode_inter_like(cur: jax.Array, ref: jax.Array, qscale: float,
-                      search_range: int = 8) -> dict[str, jax.Array]:
+                      search_range: int = 4) -> dict[str, jax.Array]:
     """P-frame path: fused ME+MC -> residual transform -> recon.
 
     Uses the scan-fused search (no data-dependent gathers — the XLA-on-
