@@ -1,0 +1,96 @@
+"""AAC-LC encoder tests: ADTS validity + quality via the reference
+decoder (fate-aac style SNR gating)."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from librempeg_tpu.codecs.api import find_encoder
+from librempeg_tpu.core.frame import AudioFrame
+from librempeg_tpu.utils import testgen
+
+from conftest import reference_ffmpeg
+
+
+def _ref_has_aac():
+    p = reference_ffmpeg()
+    if p is None:
+        return False
+    out = subprocess.run([p, "-v", "0", "-decoders"], capture_output=True)
+    return b" aac " in out.stdout
+
+
+def snr_db(ref, test):
+    err = ref - test
+    p = (ref ** 2).sum()
+    return 10 * np.log10(p / max((err ** 2).sum(), 1e-30))
+
+
+class TestAacBitstream:
+    def test_adts_sync_and_size(self):
+        enc = find_encoder("aac")(sample_rate=44100, channels=2)
+        pcm = testgen.audio_mix(44100, 4096)
+        pkts = list(enc.packets([AudioFrame(
+            data=pcm, sample_rate=44100, sample_fmt="fltp", pts=0)]))
+        assert len(pkts) >= 4
+        for p in pkts:
+            assert p.data[0] == 0xFF and (p.data[1] & 0xF0) == 0xF0
+            ln = ((p.data[3] & 3) << 11) | (p.data[4] << 3) | (p.data[5] >> 5)
+            assert ln == len(p.data)
+
+
+@pytest.mark.skipif(not _ref_has_aac(), reason="reference lacks aac decoder")
+class TestAacVsReference:
+    def _encode_decode(self, tmp_path, pcm, rate=44100, quality=14.0):
+        enc = find_encoder("aac")(sample_rate=rate, channels=pcm.shape[0],
+                                  aac_quality=quality)
+        pkts = list(enc.packets([AudioFrame(
+            data=pcm, sample_rate=rate, sample_fmt="fltp", pts=0)]))
+        adts = tmp_path / "ours.aac"
+        adts.write_bytes(b"".join(bytes(p.data) for p in pkts))
+        out = subprocess.run(
+            [reference_ffmpeg(), "-v", "error", "-f", "aac", "-i", str(adts),
+             "-f", "s16le", "-"], capture_output=True, check=True)
+        dec = (np.frombuffer(out.stdout, np.int16).astype(np.float32)
+               / 32768.0).reshape(-1, pcm.shape[0]).T
+        return dec
+
+    @staticmethod
+    def _align(pcm, dec, probe=8000):
+        """Estimate codec delay by cross-correlation (it depends on the
+        decoder's priming policy), then return aligned views."""
+        a = pcm[0, :probe]
+        best = (0, -1.0)
+        for d in range(0, 4096):
+            b = dec[0, d:d + probe]
+            if len(b) < probe:
+                break
+            c = float(np.dot(a, b)) / (np.linalg.norm(a)
+                                       * np.linalg.norm(b) + 1e-9)
+            if c > best[1]:
+                best = (d, c)
+        d = best[0]
+        n = min(pcm.shape[1], dec.shape[1] - d) - 2048
+        return pcm[:, 1024:n], dec[:, d + 1024:d + n]
+
+    def test_sine_roundtrip_snr(self, tmp_path):
+        rate = 44100
+        pcm = testgen.sine(1000.0, rate, rate, channels=2)
+        dec = self._encode_decode(tmp_path, pcm)
+        a, b = self._align(pcm, dec)
+        s = snr_db(a, b)
+        assert s > 20, f"AAC sine SNR {s:.1f} dB"
+
+    def test_music_like_snr(self, tmp_path):
+        rate = 48000
+        pcm = testgen.audio_mix(rate, rate)
+        dec = self._encode_decode(tmp_path, pcm, rate=rate, quality=20.0)
+        a, b = self._align(pcm, dec)
+        s = snr_db(a, b)
+        assert s > 15, f"AAC broadband SNR {s:.1f} dB"
+
+    def test_mono(self, tmp_path):
+        pcm = testgen.audio_mix(44100, 22050, channels=1)
+        dec = self._encode_decode(tmp_path, pcm)
+        assert dec.shape[0] == 1
+        assert dec.shape[1] >= 22050
