@@ -1,0 +1,281 @@
+"""H.264/AVC bitstream foundation: NAL units, exp-Golomb, SPS/PPS,
+slice headers, annex-B framing.
+
+Analog of the parsing layers of /root/reference/libavcodec/h264dec.c /
+h2645_parse.c / h264_ps.c (and the cbs_h2645 syntax reader). This is
+the round-1 foundation for the H.264 decoder: the macroblock layer
+(CAVLC/CABAC entropy + prediction/IDCT on device) builds on it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from librempeg_tpu.core.errors import InvalidData, Unsupported
+
+
+class ExpGolombReader:
+    """MSB-first bit reader with ue(v)/se(v) (ITU-T H.264 §9.1)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise InvalidData("exp-golomb overflow")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def more_rbsp(self) -> bool:
+        return self.pos < len(self.data) * 8 - 8
+
+
+def remove_emulation_prevention(data: bytes) -> bytes:
+    """00 00 03 -> 00 00 (rbsp extraction)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and \
+                data[i + 2] == 3:
+            out += data[i:i + 2]
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def split_annexb(data: bytes) -> list[bytes]:
+    """Split an annex-B stream into NAL units (without start codes)."""
+    nals = []
+    i = 0
+    n = len(data)
+    start = None
+    while i + 2 < n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            if start is not None:
+                end = i
+                while end > start and data[end - 1] == 0:
+                    end -= 1
+                nals.append(data[start:end])
+            i += 3
+            start = i
+        else:
+            i += 1
+    if start is not None:
+        nals.append(data[start:])
+    return [x for x in nals if x]
+
+
+@dataclass
+class NalUnit:
+    type: int
+    ref_idc: int
+    rbsp: bytes
+
+    TYPE_NAMES = {1: "slice", 5: "idr_slice", 6: "sei", 7: "sps", 8: "pps",
+                  9: "aud", 10: "end_seq", 11: "end_stream"}
+
+    @staticmethod
+    def parse(nal: bytes) -> "NalUnit":
+        if not nal:
+            raise InvalidData("empty NAL")
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise InvalidData("NAL forbidden_zero_bit set")
+        return NalUnit(type=hdr & 0x1F, ref_idc=(hdr >> 5) & 3,
+                       rbsp=remove_emulation_prevention(nal[1:]))
+
+
+@dataclass
+class SPS:
+    profile_idc: int = 66
+    level_idc: int = 30
+    seq_parameter_set_id: int = 0
+    log2_max_frame_num: int = 4
+    pic_order_cnt_type: int = 0
+    log2_max_poc_lsb: int = 4
+    max_num_ref_frames: int = 1
+    pic_width_in_mbs: int = 0
+    pic_height_in_map_units: int = 0
+    frame_mbs_only: bool = True
+    mb_adaptive_frame_field: bool = False
+    direct_8x8_inference: bool = True
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0)
+    chroma_format_idc: int = 1
+    bit_depth_luma: int = 8
+    bit_depth_chroma: int = 8
+    delta_pic_order_always_zero: bool = False
+
+    @property
+    def width(self) -> int:
+        w = self.pic_width_in_mbs * 16
+        return w - 2 * (self.crop[0] + self.crop[1])
+
+    @property
+    def height(self) -> int:
+        h = self.pic_height_in_map_units * 16 * (1 if self.frame_mbs_only
+                                                 else 2)
+        return h - 2 * (self.crop[2] + self.crop[3]) * \
+            (1 if self.frame_mbs_only else 2)
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    g = ExpGolombReader(rbsp)
+    s = SPS()
+    s.profile_idc = g.u(8)
+    g.u(8)  # constraint flags + reserved
+    s.level_idc = g.u(8)
+    s.seq_parameter_set_id = g.ue()
+    if s.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        s.chroma_format_idc = g.ue()
+        if s.chroma_format_idc == 3:
+            g.u(1)  # separate_colour_plane
+        s.bit_depth_luma = g.ue() + 8
+        s.bit_depth_chroma = g.ue() + 8
+        g.u(1)  # qpprime_y_zero_transform_bypass
+        if g.u(1):  # seq_scaling_matrix_present
+            raise Unsupported("SPS scaling matrices")
+    s.log2_max_frame_num = g.ue() + 4
+    s.pic_order_cnt_type = g.ue()
+    if s.pic_order_cnt_type == 0:
+        s.log2_max_poc_lsb = g.ue() + 4
+    elif s.pic_order_cnt_type == 1:
+        s.delta_pic_order_always_zero = bool(g.u(1))
+        g.se()
+        g.se()
+        for _ in range(g.ue()):
+            g.se()
+    s.max_num_ref_frames = g.ue()
+    g.u(1)  # gaps_in_frame_num_value_allowed
+    s.pic_width_in_mbs = g.ue() + 1
+    s.pic_height_in_map_units = g.ue() + 1
+    s.frame_mbs_only = bool(g.u(1))
+    if not s.frame_mbs_only:
+        s.mb_adaptive_frame_field = bool(g.u(1))
+    s.direct_8x8_inference = bool(g.u(1))
+    if g.u(1):  # frame_cropping
+        s.crop = (g.ue(), g.ue(), g.ue(), g.ue())
+    # vui ignored
+    return s
+
+
+@dataclass
+class PPS:
+    pic_parameter_set_id: int = 0
+    seq_parameter_set_id: int = 0
+    entropy_coding_mode: int = 0       # 0=CAVLC 1=CABAC
+    pic_order_present: bool = False
+    num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 1
+    weighted_pred: bool = False
+    weighted_bipred_idc: int = 0
+    pic_init_qp: int = 26
+    chroma_qp_index_offset: int = 0
+    deblocking_filter_control_present: bool = False
+    constrained_intra_pred: bool = False
+    redundant_pic_cnt_present: bool = False
+
+
+def parse_pps(rbsp: bytes) -> PPS:
+    g = ExpGolombReader(rbsp)
+    p = PPS()
+    p.pic_parameter_set_id = g.ue()
+    p.seq_parameter_set_id = g.ue()
+    p.entropy_coding_mode = g.u(1)
+    p.pic_order_present = bool(g.u(1))
+    num_slice_groups = g.ue() + 1
+    if num_slice_groups > 1:
+        raise Unsupported("FMO slice groups")
+    p.num_ref_idx_l0 = g.ue() + 1
+    p.num_ref_idx_l1 = g.ue() + 1
+    p.weighted_pred = bool(g.u(1))
+    p.weighted_bipred_idc = g.u(2)
+    p.pic_init_qp = g.se() + 26
+    g.se()  # pic_init_qs
+    p.chroma_qp_index_offset = g.se()
+    p.deblocking_filter_control_present = bool(g.u(1))
+    p.constrained_intra_pred = bool(g.u(1))
+    p.redundant_pic_cnt_present = bool(g.u(1))
+    return p
+
+
+SLICE_TYPES = {0: "P", 1: "B", 2: "I", 3: "SP", 4: "SI",
+               5: "P", 6: "B", 7: "I", 8: "SP", 9: "SI"}
+
+
+@dataclass
+class SliceHeader:
+    first_mb: int = 0
+    slice_type: str = "I"
+    pps_id: int = 0
+    frame_num: int = 0
+    idr: bool = False
+    qp: int = 26
+
+
+def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
+                       nal_type: int) -> SliceHeader:
+    g = ExpGolombReader(rbsp)
+    sh = SliceHeader()
+    sh.first_mb = g.ue()
+    sh.slice_type = SLICE_TYPES.get(g.ue(), "?")
+    sh.pps_id = g.ue()
+    sh.frame_num = g.u(sps.log2_max_frame_num)
+    sh.idr = nal_type == 5
+    if sh.idr:
+        g.ue()  # idr_pic_id
+    if sps.pic_order_cnt_type == 0:
+        g.u(sps.log2_max_poc_lsb)
+        if pps.pic_order_present:
+            g.se()
+    # (ref pic list mods, pred weights, dec_ref_pic_marking parsed by the
+    # full decoder; here we stop after slice_qp_delta for I slices)
+    if sh.slice_type == "I":
+        if sh.idr:
+            g.u(1)  # no_output_of_prior_pics
+            g.u(1)  # long_term_reference_flag
+        if pps.entropy_coding_mode:
+            pass  # cabac_init_idc not present for I
+        sh.qp = pps.pic_init_qp + g.se()
+    return sh
+
+
+class H264StreamParser:
+    """Stateful annex-B stream parser: tracks SPS/PPS, reports stream
+    properties (the AVCodecParser analog for h264)."""
+
+    def __init__(self):
+        self.sps: dict[int, SPS] = {}
+        self.pps: dict[int, PPS] = {}
+        self.width = 0
+        self.height = 0
+
+    def feed(self, data: bytes) -> list[NalUnit]:
+        nals = [NalUnit.parse(n) for n in split_annexb(data)]
+        for nal in nals:
+            if nal.type == 7:
+                s = parse_sps(nal.rbsp)
+                self.sps[s.seq_parameter_set_id] = s
+                self.width, self.height = s.width, s.height
+            elif nal.type == 8:
+                p = parse_pps(nal.rbsp)
+                self.pps[p.pic_parameter_set_id] = p
+        return nals
