@@ -1,2 +1,8 @@
 """Filter registry (allfilters.c analog)."""
-from librempeg_tpu.filters import audio, metrics, sources, video  # noqa: F401
+from librempeg_tpu.filters import (  # noqa: F401
+    audio,
+    metrics,
+    sources,
+    video,
+    video2,
+)

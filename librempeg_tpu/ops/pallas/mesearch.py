@@ -4,20 +4,20 @@ The TPU replacement for the reference's SAD inner loops
 (/root/reference/libavcodec/me_cmp.c pix_abs16 family + motion_est.c
 search drivers): one kernel instance DMAs a cur tile and its ref search
 window into VMEM ONCE, then evaluates every candidate displacement from
-on-chip memory — no HBM traffic per candidate, which is what makes
-XLA's shift-per-candidate formulation bandwidth-bound.
+on-chip memory — no HBM traffic per candidate, which is what makes the
+XLA shift-per-candidate formulation bandwidth-bound.
 
-Grid: (N, H/TH, W/TW). Each instance:
-  cur tile   [TH, TW]            VMEM (auto-pipelined BlockSpec)
-  ref window [TH+2R, TW+2R]      VMEM (manual DMA from HBM: windows
-                                 overlap between tiles, which BlockSpec
-                                 index maps cannot express)
-  loop over (2R+1)^2 candidates: SAD per 16x16 block via reshape-sum,
-  running min/argmin             (VPU, full-lane [TH, TW] ops)
-  winner slice per block -> prediction tile (fused MC)
+Implementation notes (hard-won Mosaic constraints):
+* Candidate shifts use STATIC slices from a Python-unrolled loop —
+  `pltpu.roll` with a dynamic shift mis-compiles inside `fori_loop` on
+  current Mosaic, and dynamic VMEM slices must be 8/128-aligned.
+* Per-16x16-block SADs via 0/1 indicator GEMMs with
+  `precision=HIGHEST` — the MXU's default bf16 path cannot represent
+  the partial row sums exactly.
+* MC is fused into the candidate loop: winners overwrite their block's
+  pixels through a mask expanded by the same indicators.
 
-Outputs: best candidate index [N, bh, bw] (int32; dy = idx//(2R+1)-R,
-dx = idx%(2R+1)-R), cost [N, bh, bw] (f32), pred [N, H, W] (f32).
+Grid: (N, H/TH, W/TW); outputs best-candidate index, cost, prediction.
 """
 from __future__ import annotations
 
@@ -42,17 +42,12 @@ def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
     k = pl.program_id(2)
     nb_y, nb_x = th // BS, tw // BS
 
-    # the scratch window is lane-padded to a multiple of 128 (rotates and
-    # DMA slices need aligned shapes); the ref array is over-padded so a
-    # full-width window DMA is always in bounds. Only the first tw+2r
-    # columns hold wanted data, and left-rotates by dx <= 2r never pull
-    # the pad region into [:tw].
     wh, ww = win.shape
     dma = pltpu.make_async_copy(
         ref_hbm.at[i, pl.ds(j * th, wh), pl.ds(k * tw, ww)], win, sem)
     dma.start()
     cur = cur_ref[0]
-    # block-sum indicator matrices (built from iota: no host constants)
+    # 0/1 block-sum indicators (built from iota: no host constants)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (nb_y, th), 0)
     row_j = jax.lax.broadcasted_iota(jnp.int32, (nb_y, th), 1)
     a_row = (row_j // BS == row_i).astype(jnp.float32)       # [nb_y, th]
@@ -62,35 +57,28 @@ def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
     dma.wait()
     wv = win[:, :]
 
-    def cand_body(c, carry):
-        best_cost, best_idx, pred = carry
-        dy = c // (2 * r + 1)
-        dx = c % (2 * r + 1)
-        # unaligned dynamic slices are not lowerable on TPU; rotate the
-        # window (sublane/lane rotates are native ops) and slice statically
-        shifted = pltpu.roll(pltpu.roll(wv, -dy, 0), -dx, 1)[:th, :tw]
+    hp = jax.lax.Precision.HIGHEST
+    best_cost = jnp.full((nb_y, nb_x), jnp.float32(3.4e38), jnp.float32)
+    best_idx = jnp.zeros((nb_y, nb_x), jnp.int32)
+    pred = jnp.zeros((th, tw), jnp.float32)
+    side = 2 * r + 1
+    for c in range(side * side):           # static unroll (Mosaic-safe)
+        dy, dx = c // side, c % side
+        shifted = jax.lax.slice(wv, (dy, dx), (dy + th, dx + tw))
         diff = jnp.abs(cur - shifted)
-        # per-16x16-block SAD via indicator GEMMs (MXU; tile-crossing
-        # reshapes are not lowerable on TPU)
-        sads = jnp.dot(jnp.dot(a_row, diff,
-                               preferred_element_type=jnp.float32),
-                       a_col, preferred_element_type=jnp.float32)
+        sads = jnp.dot(jnp.dot(a_row, diff, preferred_element_type=jnp.float32,
+                               precision=hp),
+                       a_col, preferred_element_type=jnp.float32,
+                       precision=hp)
         take = sads < best_cost
         best_cost = jnp.where(take, sads, best_cost)
         best_idx = jnp.where(take, c, best_idx)
-        # fused MC: winners overwrite their block's pixels (expand the
-        # take mask to pixel resolution with the same indicators)
         take_pix = jnp.dot(jnp.dot(a_row.T, take.astype(jnp.float32),
-                                   preferred_element_type=jnp.float32),
-                           a_col.T, preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=hp),
+                           a_col.T, preferred_element_type=jnp.float32,
+                           precision=hp)
         pred = jnp.where(take_pix > 0.5, shifted, pred)
-        return best_cost, best_idx, pred
-
-    ncand = (2 * r + 1) ** 2
-    init = (jnp.full((nb_y, nb_x), jnp.float32(3.4e38), jnp.float32),
-            jnp.zeros((nb_y, nb_x), jnp.int32),
-            jnp.zeros((th, tw), jnp.float32))
-    best_cost, best_idx, pred = jax.lax.fori_loop(0, ncand, cand_body, init)
 
     idx_ref[0, 0, 0] = best_idx
     cost_ref[0, 0, 0] = best_cost
@@ -99,8 +87,8 @@ def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
 
 @functools.partial(jax.jit, static_argnames=("search_range", "tile_h",
                                              "tile_w"))
-def full_search_mc(cur: jax.Array, ref: jax.Array, search_range: int = 8,
-                   tile_h: int = 128, tile_w: int = 256):
+def full_search_mc(cur: jax.Array, ref: jax.Array, search_range: int = 4,
+                   tile_h: int = 144, tile_w: int = 256):
     """Fused exhaustive search + prediction.
 
     cur/ref: [N, H, W] float32 (H % tile_h == 0, W % tile_w == 0 after
@@ -145,13 +133,14 @@ def full_search_mc(cur: jax.Array, ref: jax.Array, search_range: int = 8,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, h // th, w // tw, nb_y, nb_x), jnp.int32),
-            jax.ShapeDtypeStruct((n, h // th, w // tw, nb_y, nb_x), jnp.float32),
+            jax.ShapeDtypeStruct((n, h // th, w // tw, nb_y, nb_x),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((n, h // th, w // tw, nb_y, nb_x),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((n, h, w), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_round_up(th + 2 * r, 8),
-                        _round_up(tw + 2 * r, 128)), jnp.float32),
+            pltpu.VMEM((wh, ww), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(ref_pad, cur)
