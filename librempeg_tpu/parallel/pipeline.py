@@ -50,15 +50,36 @@ def encode_intra_like(y: jax.Array, qscale: float) -> dict[str, jax.Array]:
     return {"levels": levels, "recon": jnp.clip(recon, 0.0, 255.0)}
 
 
+def _pick_tile(size: int, target: int, align: int) -> int | None:
+    """Largest divisor of `size` that is <= target and align-divisible."""
+    best = None
+    for d in range(align, min(size, target) + 1, align):
+        if size % d == 0:
+            best = d
+    return best
+
+
+def fused_search_mc(cur: jax.Array, ref: jax.Array, search_range: int):
+    """Fused ME+MC: Pallas VMEM-resident kernel when the frame tiles
+    cleanly (the fast path), XLA scan-fused fallback otherwise."""
+    n, h, w = cur.shape
+    th = _pick_tile(h, 160, 16)
+    tw = _pick_tile(w, 512, 128)
+    if th is not None and tw is not None:
+        from librempeg_tpu.ops.pallas.mesearch import full_search_mc
+
+        return full_search_mc(cur, ref, search_range, tile_h=th, tile_w=tw)
+    return motion.full_search_mc_xla(cur, ref, search_range)
+
+
 def encode_inter_like(cur: jax.Array, ref: jax.Array, qscale: float,
                       search_range: int = 4) -> dict[str, jax.Array]:
     """P-frame path: fused ME+MC -> residual transform -> recon.
 
-    Uses the scan-fused search (no data-dependent gathers — the XLA-on-
-    TPU-friendly formulation); MVs are integer-pel in the fast path,
-    matching the reference encoder's cheapest ME setting.
+    MVs are integer-pel in the fast path, matching the reference
+    encoder's cheapest ME setting.
     """
-    mv, _, pred = motion.full_search_mc_xla(cur, ref, search_range)
+    mv, _, pred = fused_search_mc(cur, ref, search_range)
     resid = cur.astype(jnp.float32) - pred
     q = jnp.asarray(_quant_tables(qscale))
     blocks = dct8x8.to_blocks(resid)
