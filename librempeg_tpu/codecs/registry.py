@@ -22,6 +22,7 @@ except ImportError:
     pass
 try:
     from librempeg_tpu.codecs.aac import codec as _aac  # noqa: F401
+    from librempeg_tpu.codecs.aac import decoder as _aacdec  # noqa: F401
 except ImportError:
     pass
 try:

@@ -94,3 +94,39 @@ class TestAacVsReference:
         dec = self._encode_decode(tmp_path, pcm)
         assert dec.shape[0] == 1
         assert dec.shape[1] >= 22050
+
+
+class TestAacOwnDecoder:
+    """Our encoder -> our decoder roundtrip (self-consistency)."""
+
+    def test_roundtrip_snr(self):
+        from librempeg_tpu.codecs.aac.decoder import AacFrameDecoder
+
+        rate = 44100
+        pcm = testgen.audio_mix(rate, rate // 2)
+        enc = find_encoder("aac")(sample_rate=rate, channels=2,
+                                  aac_quality=25.0)
+        pkts = list(enc.packets([AudioFrame(
+            data=pcm, sample_rate=rate, sample_fmt="fltp", pts=0)]))
+        dec = AacFrameDecoder()
+        outs = [dec.decode_adts(bytes(p.data)) for p in pkts]
+        out = np.concatenate(outs, axis=1)
+        # encoder delay: output frame k covers input (k-1)*1024..k*1024
+        a = pcm[:, 1024:out.shape[1] - 1024]
+        b = out[:, 2048:a.shape[1] + 2048]
+        n = min(a.shape[1], b.shape[1])
+        s = snr_db(a[:, :n], b[:, :n])
+        assert s > 15, f"own-decoder SNR {s:.1f} dB"
+
+    def test_mono_roundtrip(self):
+        from librempeg_tpu.codecs.aac.decoder import AacFrameDecoder
+
+        pcm = testgen.sine(500.0, 44100, 8192, channels=1)
+        enc = find_encoder("aac")(sample_rate=44100, channels=1)
+        pkts = list(enc.packets([AudioFrame(
+            data=pcm, sample_rate=44100, sample_fmt="fltp", pts=0)]))
+        dec = AacFrameDecoder()
+        outs = [dec.decode_adts(bytes(p.data)) for p in pkts]
+        out = np.concatenate(outs, axis=1)
+        assert out.shape[0] == 1
+        assert np.max(np.abs(out)) > 0.2  # real signal came through
