@@ -96,3 +96,31 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(2)
+
+
+class TestStagePipeline:
+    def test_ring_pipeline_matches_sequential(self, rng):
+        from librempeg_tpu.parallel.mesh import make_mesh
+        from librempeg_tpu.parallel.stagepipe import ring_pipeline
+
+        mesh = make_mesh(2, axes=("stage", "unused"), shape=(2, 1))
+        f0 = lambda x: x * 2.0 + 1.0          # noqa: E731
+        f1 = lambda x: x - 3.0                # noqa: E731
+        pipe = ring_pipeline([f0, f1], mesh, axis="stage")
+        x = rng.standard_normal((4, 8, 16)).astype(np.float32)
+        with mesh:
+            got = np.asarray(pipe(jnp.asarray(x)))
+        want = f1(f0(x))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_ring_pipeline_4_stages(self, rng):
+        from librempeg_tpu.parallel.mesh import make_mesh
+        from librempeg_tpu.parallel.stagepipe import ring_pipeline
+
+        mesh = make_mesh(4, axes=("stage", "unused"), shape=(4, 1))
+        fns = [lambda x, k=k: x + k for k in range(4)]
+        pipe = ring_pipeline(fns, mesh, axis="stage")
+        x = rng.standard_normal((6, 4, 8)).astype(np.float32)
+        with mesh:
+            got = np.asarray(pipe(jnp.asarray(x)))
+        np.testing.assert_allclose(got, x + 6.0, rtol=1e-6)
