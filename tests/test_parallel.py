@@ -124,3 +124,27 @@ class TestStagePipeline:
         with mesh:
             got = np.asarray(pipe(jnp.asarray(x)))
         np.testing.assert_allclose(got, x + 6.0, rtol=1e-6)
+
+
+class TestSequenceParallelResample:
+    def test_sharded_matches_single(self):
+        from librempeg_tpu.parallel.mesh import make_mesh
+        from librempeg_tpu.parallel.sp_audio import make_sharded_resampler
+        from librempeg_tpu.resample.resampler import Resampler
+        from librempeg_tpu.utils import testgen
+
+        r = Resampler(48000, 44100, channels=2)
+        q = r.q  # 160
+        n_dev = 4
+        total = q * 25 * n_dev  # divisible by q * n_dev
+        x = testgen.audio_mix(48000, total)
+        mesh = make_mesh(4, axes=("data", "spatial"), shape=(1, 4))
+        fn = make_sharded_resampler(r, mesh)
+        with mesh:
+            got = np.asarray(fn(jnp.asarray(x)))
+        want = np.concatenate(
+            [r.process(x), r.flush()], axis=1)[:, :got.shape[1]]
+        # interiors must match exactly (shard edges rely on zero-padded
+        # stream ends in the single-shard reference too)
+        np.testing.assert_allclose(got[:, 64:-64], want[:, 64:-64],
+                                   atol=1e-4)
