@@ -135,3 +135,40 @@ class TestFfprobe:
 
         info = json.loads(capsys.readouterr().out)
         assert info["streams"][0]["nb_read_packets"] == "4"
+
+
+class TestFullTranscode:
+    """End-to-end: our mpeg4 encoder -> AVI -> decode -> scale -> mjpeg."""
+
+    def test_y4m_to_mpeg4_avi(self, tmp_path):
+        make_y4m(tmp_path / "in.y4m", w=64, h=48, n=4)
+        rc = ffm.main(["-y", "-i", str(tmp_path / "in.y4m"),
+                       "-c:v", "mpeg4", "-q:v", "3",
+                       str(tmp_path / "out.avi")])
+        assert rc == 0
+        d = open_input(str(tmp_path / "out.avi"))
+        assert d.streams[0].codecpar.codec_id == "mpeg4"
+
+    def test_mpeg4_avi_decode_scale_jpeg(self, tmp_path):
+        from librempeg_tpu.native import build as native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native unavailable")
+        make_y4m(tmp_path / "in.y4m", w=64, h=48, n=3)
+        assert ffm.main(["-y", "-i", str(tmp_path / "in.y4m"),
+                         "-c:v", "mpeg4", "-q:v", "2", "-g", "2",
+                         str(tmp_path / "mid.avi")]) == 0
+        assert ffm.main(["-y", "-i", str(tmp_path / "mid.avi"),
+                         "-vf", "scale=32:24,format=yuvj420p",
+                         "-c:v", "mjpeg",
+                         str(tmp_path / "o%02d.jpg")]) == 0
+        import glob
+
+        files = sorted(glob.glob(str(tmp_path / "o*.jpg")))
+        assert len(files) == 3
+        from librempeg_tpu.codecs.jpeg.decoder import decode_jpeg
+
+        g = decode_jpeg(open(files[0], "rb").read())
+        assert (g.width, g.height) == (32, 24)
