@@ -38,3 +38,7 @@ try:
     from librempeg_tpu.formats import flac  # noqa: F401
 except ImportError:
     pass
+try:
+    from librempeg_tpu.formats import mpegts  # noqa: F401
+except ImportError:
+    pass
