@@ -5,4 +5,5 @@ from librempeg_tpu.filters import (  # noqa: F401
     sources,
     video,
     video2,
+    loudness,
 )

@@ -446,3 +446,24 @@ int png_filter(const uint8_t* img, int h, int stride, int bpp, uint8_t* out)
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Biquad IIR (direct form II transposed) — serial host DSP for loudness
+// metering (the role of the reference's ebur128 filter chain)
+// ---------------------------------------------------------------------------
+
+extern "C" int biquad(const double* b, const double* a,
+                      const float* x, float* y, long n)
+{
+    double z1 = 0.0, z2 = 0.0;
+    const double b0 = b[0], b1 = b[1], b2 = b[2];
+    const double a1 = a[0], a2 = a[1];
+    for (long i = 0; i < n; i++) {
+        double in = x[i];
+        double out = b0 * in + z1;
+        z1 = b1 * in - a1 * out + z2;
+        z2 = b2 * in - a2 * out;
+        y[i] = (float)out;
+    }
+    return 0;
+}

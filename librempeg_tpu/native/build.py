@@ -71,6 +71,10 @@ def get() -> ctypes.CDLL | None:
         lib.png_filter.restype = ctypes.c_int
         lib.png_filter.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int, u8p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.biquad.restype = ctypes.c_int
+        lib.biquad.argtypes = [f64p, f64p, f32p, f32p, ctypes.c_long]
         _lib = lib
         return _lib
 
@@ -193,3 +197,28 @@ def png_filter(img: np.ndarray, h: int, stride: int, bpp: int) -> bytes:
     out = np.zeros(h * (stride + 1), np.uint8)
     lib.png_filter(_u8(img), h, stride, bpp, _u8(out))
     return out.tobytes()
+
+
+def biquad(b, a, x: np.ndarray) -> np.ndarray:
+    """Direct-form-II-transposed biquad over float32 samples."""
+    lib = get()
+    if lib is None:
+        # pure-python fallback
+        z1 = z2 = 0.0
+        y = np.zeros_like(x)
+        for i in range(len(x)):
+            out = b[0] * x[i] + z1
+            z1 = b[1] * x[i] - a[0] * out + z2
+            z2 = b[2] * x[i] - a[1] * out
+            y[i] = out
+        return y
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.zeros_like(x)
+    bb = np.asarray(b, np.float64)
+    aa = np.asarray(a, np.float64)
+    lib.biquad(bb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+               aa.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+               x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+               y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+               len(x))
+    return y
