@@ -35,8 +35,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
-            r: int, th: int, tw: int):
+def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, best_cost_s,
+            best_idx_s, sem, *, r: int, th: int, tw: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -58,9 +58,12 @@ def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
     wv = win[:, :]
 
     hp = jax.lax.Precision.HIGHEST
-    best_cost = jnp.full((nb_y, nb_x), jnp.float32(3.4e38), jnp.float32)
-    best_idx = jnp.zeros((nb_y, nb_x), jnp.int32)
-    pred = jnp.zeros((th, tw), jnp.float32)
+    # accumulators live in scratch REFS (in-place updates), keeping the
+    # statically-unrolled loop's VMEM live-set constant
+    best_cost_s[:, :] = jnp.full((nb_y, nb_x), jnp.float32(3.4e38),
+                                 jnp.float32)
+    best_idx_s[:, :] = jnp.zeros((nb_y, nb_x), jnp.int32)
+    pred_ref[0] = jnp.zeros((th, tw), jnp.float32)
     side = 2 * r + 1
     for c in range(side * side):           # static unroll (Mosaic-safe)
         dy, dx = c // side, c % side
@@ -70,19 +73,18 @@ def _kernel(ref_hbm, cur_ref, idx_ref, cost_ref, pred_ref, win, sem, *,
                                precision=hp),
                        a_col, preferred_element_type=jnp.float32,
                        precision=hp)
-        take = sads < best_cost
-        best_cost = jnp.where(take, sads, best_cost)
-        best_idx = jnp.where(take, c, best_idx)
+        take = sads < best_cost_s[:, :]
+        best_cost_s[:, :] = jnp.where(take, sads, best_cost_s[:, :])
+        best_idx_s[:, :] = jnp.where(take, c, best_idx_s[:, :])
         take_pix = jnp.dot(jnp.dot(a_row.T, take.astype(jnp.float32),
                                    preferred_element_type=jnp.float32,
                                    precision=hp),
                            a_col.T, preferred_element_type=jnp.float32,
                            precision=hp)
-        pred = jnp.where(take_pix > 0.5, shifted, pred)
+        pred_ref[0] = jnp.where(take_pix > 0.5, shifted, pred_ref[0])
 
-    idx_ref[0, 0, 0] = best_idx
-    cost_ref[0, 0, 0] = best_cost
-    pred_ref[0] = pred
+    idx_ref[0, 0, 0] = best_idx_s[:, :]
+    cost_ref[0, 0, 0] = best_cost_s[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("search_range", "tile_h",
@@ -141,8 +143,12 @@ def full_search_mc(cur: jax.Array, ref: jax.Array, search_range: int = 4,
         ],
         scratch_shapes=[
             pltpu.VMEM((wh, ww), jnp.float32),
+            pltpu.VMEM((nb_y, nb_x), jnp.float32),
+            pltpu.VMEM((nb_y, nb_x), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(ref_pad, cur)
     # [N, ty, tx, nb_y, nb_x] -> [N, bh, bw]
     idx = idx.transpose(0, 1, 3, 2, 4).reshape(n, h // BS, w // BS)

@@ -149,25 +149,24 @@ class Scaler:
         )
 
         if _is_yuv(sd) and _is_yuv(dd) and same_colorimetry \
-                and sd.nb_planes >= 3 and dd.nb_planes >= 3:
-            # direct planar path: resize each plane in its own domain
-            out = []
-            for i in range(min(3, dd.nb_planes)):
-                src_i = min(i, sd.nb_planes - 1)
-                ph_s, pw_s = sd.plane_shape(src_i, s.src_h, s.src_w)
-                ph_d, pw_d = dd.plane_shape(i, s.dst_h, s.dst_w)
-                x = _load_scaled(planes[src_i], sd)
-                x = resize_plane(x, ph_d, pw_d, s.kernel)
-                out.append(_round_store(_store_domain(x, dd), dd))
+                and sd.nb_planes >= 2 and dd.nb_planes >= 2:
+            # direct planar path: resize y/u/v in their own domains
+            # (handles planar AND semi-planar nv12/nv21 layouts)
+            comps = self._extract_yuv(planes, sd)
+            resized = []
+            for i, x in enumerate(comps):
+                ph_d, pw_d = self._comp_shape(dd, i, s.dst_h, s.dst_w)
+                resized.append(resize_plane(x, ph_d, pw_d, s.kernel))
+            alpha = None
             if dd.has_alpha:
                 ph_d, pw_d = dd.plane_shape(3, s.dst_h, s.dst_w)
                 if sd.has_alpha and sd.nb_planes > 3:
                     a = _load_scaled(planes[3], sd)
-                    a = resize_plane(a, ph_d, pw_d, s.kernel)
+                    alpha = resize_plane(a, ph_d, pw_d, s.kernel)
                 else:
-                    a = jnp.full(out[0].shape[:-2] + (ph_d, pw_d), 255.0)
-                out.append(_round_store(_store_domain(a, dd), dd))
-            return tuple(out)
+                    alpha = jnp.full(resized[0].shape[:-2] + (ph_d, pw_d),
+                                     255.0)
+            return self._emit_yuv(resized, alpha, dd)
 
         # general path through RGB 4:4:4
         rgb = self._to_rgb444(planes)
@@ -189,6 +188,35 @@ class Scaler:
             outs.append(_round_store(
                 jnp.full(y.shape[:-2] + (ph_d, pw_d), 255.0), dd))
         return tuple(outs)
+
+    def _extract_yuv(self, planes, d: pf.PixFmtDesc):
+        """Y/U/V float components at their stored resolutions, from
+        planar or semi-planar (nv12/nv21) layouts."""
+        y = _load_scaled(planes[0], d)
+        if d.nb_planes >= 3:
+            return [y, _load_scaled(planes[1], d), _load_scaled(planes[2], d)]
+        comps = d.planes[1].components     # ("u","v") or ("v","u")
+        c = _load_scaled(planes[1], d)
+        u = c[..., comps.index("u")]
+        v = c[..., comps.index("v")]
+        return [y, u, v]
+
+    @staticmethod
+    def _comp_shape(d: pf.PixFmtDesc, comp: int, h: int, w: int):
+        plane_i = comp if d.nb_planes >= 3 else min(comp, 1)
+        return d.plane_shape(plane_i, h, w)
+
+    def _emit_yuv(self, comps, alpha, d: pf.PixFmtDesc):
+        stored = [_round_store(_store_domain(x, d), d) for x in comps]
+        if d.nb_planes >= 3:
+            out = stored[:3]
+            if alpha is not None:
+                out.append(_round_store(_store_domain(alpha, d), d))
+            return tuple(out)
+        order = d.planes[1].components
+        uv = jnp.stack([stored[1] if c == "u" else stored[2]
+                        for c in order], axis=-1)
+        return (stored[0], uv)
 
     def _pack_rgb(self, rgb: jax.Array, d: pf.PixFmtDesc) -> jax.Array:
         comps = d.planes[0].components

@@ -130,3 +130,44 @@ class TestVsReference:
         (rgb,) = s.scale_planes((y, u, v))
         p = psnr(np.asarray(rgb), ref_rgb)
         assert p > 28, f"PSNR vs reference csc: {p:.1f} dB"
+
+
+class TestSemiPlanar:
+    def test_yuv420p_to_nv12_roundtrip(self):
+        y, u, v = testgen.video_yuv420(64, 48, 2)
+        to_nv = Scaler("yuv420p", 64, 48, "nv12", 64, 48)
+        yp, uv = to_nv.scale_planes((y, u, v))
+        assert np.asarray(uv).shape == (24, 32, 2)
+        np.testing.assert_array_equal(np.asarray(uv)[..., 0], u)
+        np.testing.assert_array_equal(np.asarray(uv)[..., 1], v)
+        back = Scaler("nv12", 64, 48, "yuv420p", 64, 48)
+        y2, u2, v2 = back.scale_planes((np.asarray(yp), np.asarray(uv)))
+        np.testing.assert_array_equal(np.asarray(y2), y)
+        np.testing.assert_array_equal(np.asarray(u2), u)
+        np.testing.assert_array_equal(np.asarray(v2), v)
+
+    def test_nv12_scale(self):
+        y, u, v = testgen.video_yuv420(64, 48, 1)
+        uv = np.stack([u, v], axis=-1)
+        s = Scaler("nv12", 64, 48, "nv12", 32, 24)
+        yp, uvp = s.scale_planes((y, uv))
+        assert np.asarray(yp).shape == (24, 32)
+        assert np.asarray(uvp).shape == (12, 16, 2)
+
+    def test_nv21_order(self):
+        y, u, v = testgen.video_yuv420(16, 16, 0)
+        s = Scaler("yuv420p", 16, 16, "nv21", 16, 16)
+        yp, vu = s.scale_planes((y, u, v))
+        np.testing.assert_array_equal(np.asarray(vu)[..., 0], v)
+        np.testing.assert_array_equal(np.asarray(vu)[..., 1], u)
+
+    def test_10bit_yuv(self):
+        y = (np.random.default_rng(0).integers(0, 1024, (16, 16))
+             .astype(np.uint16))
+        u = np.full((8, 8), 512, np.uint16)
+        v = np.full((8, 8), 512, np.uint16)
+        s = Scaler("yuv420p10le", 16, 16, "yuv420p", 16, 16)
+        y8, u8, v8 = s.scale_planes((y, u, v))
+        np.testing.assert_allclose(np.asarray(y8).astype(int),
+                                   (y.astype(float) * 255 / 1023).round(),
+                                   atol=1)
