@@ -53,6 +53,11 @@ def _blocks_to_plane(coeffs_zz: jax.Array, qtab: jax.Array, h8: int, w8: int
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "dc", "ac")
 
+    def __init__(self):
+        self.cid = 0
+        self.h = self.v = 1
+        self.tq = self.dc = self.ac = 0
+
 
 @register_decoder
 class JpegDecoder(Decoder):

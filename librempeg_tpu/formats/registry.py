@@ -42,3 +42,7 @@ try:
     from librempeg_tpu.formats import mpegts  # noqa: F401
 except ImportError:
     pass
+try:
+    from librempeg_tpu.formats import srt  # noqa: F401
+except ImportError:
+    pass
