@@ -76,6 +76,52 @@ def _encode_band_cb11(bw: BitWriterMSB, q: np.ndarray) -> None:
             _escape_value(bw, abs(b))
 
 
+def pick_codebook(maxabs: int) -> int:
+    """Smallest codebook covering the band's max magnitude
+    (aaccoder's find-min-book role)."""
+    if maxabs == 0:
+        return 0
+    if maxabs <= 1:
+        return 2
+    if maxabs <= 2:
+        return 4
+    if maxabs <= 4:
+        return 6
+    if maxabs <= 7:
+        return 8
+    if maxabs <= 12:
+        return 10
+    return 11
+
+
+def _encode_band(bw: BitWriterMSB, q: np.ndarray, cb: int) -> None:
+    """Huffman-encode one band's quantized values with codebook cb."""
+    if cb == 11:
+        _encode_band_cb11(bw, q)
+        return
+    codes = T.SPECTRAL_CODES[cb - 1]
+    bits = T.SPECTRAL_BITS[cb - 1]
+    signed = cb in (1, 2, 5, 6)
+    dim = 4 if cb <= 4 else 2
+    lav = {1: 1, 2: 1, 3: 2, 4: 2, 5: 4, 6: 4, 7: 7, 8: 7,
+           9: 12, 10: 12}[cb]
+    mod = 2 * lav + 1 if signed else lav + 1
+    off = lav if signed else 0
+    pad = (-len(q)) % dim
+    if pad:
+        q = np.concatenate([q, np.zeros(pad, q.dtype)])
+    for i in range(0, len(q), dim):
+        vals = [int(v) for v in q[i:i + dim]]
+        idx = 0
+        for v in vals:
+            idx = idx * mod + ((v + off) if signed else abs(v))
+        bw.write(codes[idx], bits[idx])
+        if not signed:
+            for v in vals:
+                if v:
+                    bw.write(1 if v < 0 else 0, 1)
+
+
 class _ChannelCoder:
     """Per-channel spectral coding state for one frame."""
 
@@ -111,7 +157,7 @@ class _ChannelCoder:
                 self.quant.append(q)
                 continue
             self.sfs[b] = sf
-            self.cbs[b] = 11
+            self.cbs[b] = pick_codebook(int(np.max(np.abs(q))))
             self.quant.append(q)
         # clamp scalefactor deltas to +-60 (scf codebook range) and
         # re-quantize any band whose sf we had to move
@@ -130,6 +176,8 @@ class _ChannelCoder:
                         self.cbs[b] = 0
                         self.sfs[b] = SF_OFFSET
                         continue
+                    self.cbs[b] = pick_codebook(
+                        int(np.max(np.abs(self.quant[b]))))
             prev = int(self.sfs[b])
         self.global_gain = int(next(
             (self.sfs[b] for b in range(nbands) if self.cbs[b]), SF_OFFSET))
@@ -164,8 +212,8 @@ class _ChannelCoder:
         bw.write(0, 1)
         # spectral_data
         for b in range(nbands):
-            if self.cbs[b] == 11:
-                _encode_band_cb11(bw, self.quant[b])
+            if self.cbs[b]:
+                _encode_band(bw, self.quant[b], int(self.cbs[b]))
 
 
 @register_encoder
