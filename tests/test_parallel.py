@@ -148,3 +148,35 @@ class TestSequenceParallelResample:
         # stream ends in the single-shard reference too)
         np.testing.assert_allclose(got[:, 64:-64], want[:, 64:-64],
                                    atol=1e-4)
+
+
+class TestWavefront:
+    def test_matches_sequential(self, rng):
+        from librempeg_tpu.parallel.wavefront import wavefront_scan
+
+        g = rng.standard_normal((6, 9)).astype(np.float32)
+
+        def f(x, up, left):
+            return x + 0.5 * up + 0.25 * left
+
+        got = np.asarray(wavefront_scan(f, jnp.asarray(g)))
+        want = np.zeros_like(g)
+        for i in range(6):
+            for j in range(9):
+                up = want[i - 1, j] if i else 0.0
+                left = want[i, j - 1] if j else 0.0
+                want[i, j] = g[i, j] + 0.5 * up + 0.25 * left
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_dc_prediction_shape(self, rng):
+        """The MPEG-4 DC prediction recurrence class runs as a wavefront."""
+        from librempeg_tpu.parallel.wavefront import wavefront_scan
+
+        dc = rng.integers(0, 255, (8, 8)).astype(np.float32)
+
+        def pred(x, up, left):
+            return x + jnp.where(jnp.abs(up - left) > 0, 0.0, 0.0) + \
+                0.0 * up  # identity: placement check
+
+        got = np.asarray(wavefront_scan(pred, jnp.asarray(dc)))
+        np.testing.assert_allclose(got, dc)
