@@ -188,8 +188,64 @@ def _open_pipe(url: str, mode: str) -> IOContext:
     return IOContext(fh, seekable=False, url=url)
 
 
+def _open_concat(url: str, mode: str) -> IOContext:
+    """concat:file1|file2 — virtual concatenation (concat protocol
+    analog, /root/reference/libavformat/concat.c)."""
+    if mode != "r":
+        raise ValueError("concat: read-only")
+    paths = url[len("concat:"):].split("|")
+    data = b"".join(open(p, "rb").read() for p in paths)
+    io = IOContext(_pyio.BytesIO(data), seekable=True, url=url)
+    return io
+
+
+def _open_data(url: str, mode: str) -> IOContext:
+    """data: URIs (data.c analog) — base64 or percent-encoded inline."""
+    import base64
+    import urllib.parse
+
+    body = url[len("data:"):]
+    if "," not in body:
+        raise ValueError("bad data: URI")
+    meta, payload = body.split(",", 1)
+    if meta.endswith(";base64"):
+        raw = base64.b64decode(payload)
+    else:
+        raw = urllib.parse.unquote_to_bytes(payload)
+    return IOContext(_pyio.BytesIO(raw), seekable=True, url=url)
+
+
+def _open_md5(url: str, mode: str) -> IOContext:
+    """md5: write-side digest protocol (md5proto.c analog): on close,
+    writes the hex digest to stdout or the given file."""
+    import hashlib
+
+    target = url[len("md5:"):]
+
+    class _Md5IO(IOContext):
+        def __init__(self):
+            super().__init__(_pyio.BytesIO(), seekable=False, url=url)
+            self._h = hashlib.md5()
+
+        def write(self, data: bytes) -> None:
+            self._h.update(data)
+
+        def close(self):
+            digest = self._h.hexdigest() + "\n"
+            if target:
+                with open(target, "w") as f:
+                    f.write(digest)
+            else:
+                sys.stdout.write(digest)
+
+    return _Md5IO()
+
+
 register_protocol("file", _open_file)
 register_protocol("pipe", _open_pipe)
+register_protocol("concat", _open_concat)
+register_protocol("data", _open_data)
+register_protocol("md5", _open_md5)
 
 
 def open_io(url: str, mode: str = "r") -> IOContext:

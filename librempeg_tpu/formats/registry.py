@@ -46,3 +46,7 @@ try:
     from librempeg_tpu.formats import srt  # noqa: F401
 except ImportError:
     pass
+try:
+    from librempeg_tpu.formats import gif  # noqa: F401
+except ImportError:
+    pass

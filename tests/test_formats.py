@@ -160,3 +160,29 @@ class TestRawVideo:
         pkts = list(d.packets())
         assert len(pkts) == 4
         assert [p.pts for p in pkts] == [0, 1, 2, 3]
+
+
+class TestProtocols:
+    def test_concat(self, tmp_path):
+        from librempeg_tpu.formats.io import open_io
+
+        (tmp_path / "a.bin").write_bytes(b"hello ")
+        (tmp_path / "b.bin").write_bytes(b"world")
+        io = open_io(f"concat:{tmp_path}/a.bin|{tmp_path}/b.bin")
+        assert io.read(64) == b"hello world"
+
+    def test_data_uri(self):
+        from librempeg_tpu.formats.io import open_io
+
+        io = open_io("data:text/plain;base64,aGVsbG8=")
+        assert io.read(16) == b"hello"
+
+    def test_md5_protocol(self, tmp_path):
+        from librempeg_tpu.formats.io import open_io
+        import hashlib
+
+        out = tmp_path / "digest.txt"
+        io = open_io(f"md5:{out}", "w")
+        io.write(b"abc")
+        io.close()
+        assert out.read_text().strip() == hashlib.md5(b"abc").hexdigest()
