@@ -6,4 +6,5 @@ from librempeg_tpu.filters import (  # noqa: F401
     video,
     video2,
     loudness,
+    misc,
 )

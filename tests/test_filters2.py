@@ -80,3 +80,69 @@ class TestConcealment:
         out = np.asarray(conceal_blocks(jnp.asarray(y), jnp.asarray(mask)))
         assert np.all(np.isfinite(out))
         np.testing.assert_array_equal(out[0, :, :32], y[0, :, :32])
+
+
+class TestMiscFilters:
+    def test_split(self):
+        from librempeg_tpu.filters.graph import BufferSink, BufferSource, FilterGraph
+        from tests.test_filters import vframe, vprops
+
+        g = FilterGraph()
+        src = g.add_instance(BufferSource(vprops()))
+        sp = g.add("split", "2")
+        s1, s2 = BufferSink("video"), BufferSink("video")
+        n1, n2 = g.add_instance(s1), g.add_instance(s2)
+        g.link(src, 0, sp, 0)
+        g.link(sp, 0, n1, 0)
+        g.link(sp, 1, n2, 0)
+        g.configure()
+        src.out_links[0].queue.append(vframe(0))
+        g.run()
+        assert len(s1.frames) == 1 and len(s2.frames) == 1
+
+    def test_pan_matrix(self):
+        from librempeg_tpu.core.frame import AudioFrame
+        from librempeg_tpu.filters import GraphRunner
+        from tests.test_filters import aprops
+
+        g = GraphRunner("pan=mono|c0=0.5*c0+0.5*c1", aprops(fmt="fltp"))
+        x = np.stack([np.ones(100, np.float32) * 0.4,
+                      np.ones(100, np.float32) * 0.2])
+        out = g.push(AudioFrame(data=x, sample_rate=48000,
+                                sample_fmt="fltp", pts=0))
+        y = np.asarray(out[0].data)
+        assert y.shape[0] == 1
+        np.testing.assert_allclose(y[0], 0.3, atol=1e-6)
+
+    def test_apad(self):
+        from librempeg_tpu.core.frame import AudioFrame
+        from librempeg_tpu.filters import GraphRunner
+        from tests.test_filters import aprops
+
+        g = GraphRunner("apad=whole_len=1000", aprops(fmt="fltp"))
+        x = np.zeros((2, 600), np.float32)
+        outs = g.push(AudioFrame(data=x, sample_rate=48000,
+                                 sample_fmt="fltp", pts=0))
+        outs += g.finish()
+        assert sum(o.nb_samples for o in outs) == 1000
+
+    def test_channelsplit(self):
+        from librempeg_tpu.core.frame import AudioFrame
+        from librempeg_tpu.filters.graph import BufferSink, BufferSource, FilterGraph
+        from tests.test_filters import aprops
+
+        g = FilterGraph()
+        src = g.add_instance(BufferSource(aprops(fmt="fltp")))
+        cs = g.add("channelsplit")
+        s1, s2 = BufferSink("audio"), BufferSink("audio")
+        g.link(src, 0, cs, 0)
+        g.link(cs, 0, g.add_instance(s1), 0)
+        g.link(cs, 1, g.add_instance(s2), 0)
+        g.configure()
+        x = np.stack([np.full(10, 0.1, np.float32),
+                      np.full(10, 0.9, np.float32)])
+        src.out_links[0].queue.append(AudioFrame(
+            data=x, sample_rate=48000, sample_fmt="fltp", pts=0))
+        g.run()
+        assert float(np.asarray(s1.frames[0].data).mean()) == pytest.approx(0.1)
+        assert float(np.asarray(s2.frames[0].data).mean()) == pytest.approx(0.9)
