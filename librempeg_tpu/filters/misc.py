@@ -129,7 +129,8 @@ class PanFilter(Filter):
 
     def __init__(self, args: str = "", **kwargs):
         # pan's argument is a raw spec ("mono|c0=..."), not key=value
-        Filter.__init__(self, "", args=args or "stereo", **kwargs)
+        Filter.__init__(self, "", **kwargs)
+        self.opts["args"] = args or "stereo"
 
     def configure(self, in_props):
         self.in_props = in_props
