@@ -26,7 +26,7 @@ try:
 except ImportError:
     pass
 try:
-    from librempeg_tpu.codecs.h264 import decoder as _h264  # noqa: F401
+    from librempeg_tpu.codecs.h264 import codec as _h264  # noqa: F401
 except ImportError:
     pass
 try:
