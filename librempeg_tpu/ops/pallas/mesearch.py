@@ -122,7 +122,7 @@ def full_search_mc(cur: jax.Array, ref: jax.Array, search_range: int = 4,
         grid=grid,
         interpret=jax.default_backend() == "cpu",  # tests run on CPU
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ref stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # ref stays in HBM
             pl.BlockSpec((1, th, tw), lambda i, j, k: (i, j, k),
                          memory_space=pltpu.VMEM),
         ],
