@@ -14,8 +14,10 @@ from librempeg_tpu.formats.api import (
     PROBE_SCORE_MAX,
     CodecParameters,
     Demuxer,
+    Muxer,
     Stream,
     register_demuxer,
+    register_muxer,
 )
 
 # EBML element IDs (core subset)
@@ -260,3 +262,162 @@ class MatroskaDemuxer(Demuxer):
                       stream_index=sidx,
                       flags=PktFlags.KEY if key else 0,
                       time_base=st.time_base)
+
+
+# ---------------------------------------------------------------------------
+# Muxer
+# ---------------------------------------------------------------------------
+
+def _enc_id(eid: int) -> bytes:
+    """EBML IDs are stored verbatim (marker included)."""
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _enc_size(n: int) -> bytes:
+    """EBML size vint: shortest length whose all-ones value isn't n."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise InvalidData("mkv: size too large")
+
+
+def _enc_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _el(eid: int, payload: bytes) -> bytes:
+    return _enc_id(eid) + _enc_size(len(payload)) + payload
+
+
+def _el_uint(eid: int, v: int) -> bytes:
+    return _el(eid, _enc_uint(v))
+
+
+def _el_float(eid: int, v: float) -> bytes:
+    return _el(eid, struct.pack(">d", v))
+
+
+_DOCTYPE = 0x4282
+_DOCTYPE_VERSION = 0x4287
+_DOCTYPE_READ_VERSION = 0x4285
+_EBML_VERSION = 0x4286
+_EBML_READ_VERSION = 0x42F7
+_EBML_MAX_ID_LENGTH = 0x42F2
+_EBML_MAX_SIZE_LENGTH = 0x42F3
+_MUXING_APP = 0x4D80
+_WRITING_APP = 0x5741
+_DURATION = 0x4489
+_TRACK_UID = 0x73C5
+_FLAG_LACING = 0x9C
+
+_CODEC_IDS_MUX = {v: k for k, v in _CODEC_IDS.items()}
+_CODEC_IDS_MUX["mpeg4"] = "V_MPEG4/ISO/SP"
+
+
+@register_muxer
+class MatroskaMuxer(Muxer):
+    """Matroska muxer (libavformat/matroskaenc.c analog).
+
+    EBML header is written eagerly; Segment children (Info, Tracks,
+    Clusters of SimpleBlocks) are buffered so the Segment and total
+    Duration can be emitted with exact sizes in the trailer."""
+
+    NAME = "matroska"
+    LONG_NAME = "Matroska / WebM"
+    EXTENSIONS = ("mkv", "mka", "webm")
+
+    def write_header(self):
+        super().write_header()
+        self.io.write(_el(_EBML_HEADER, b"".join([
+            _el_uint(_EBML_VERSION, 1),
+            _el_uint(_EBML_READ_VERSION, 1),
+            _el_uint(_EBML_MAX_ID_LENGTH, 4),
+            _el_uint(_EBML_MAX_SIZE_LENGTH, 8),
+            _el(_DOCTYPE, b"matroska"),
+            _el_uint(_DOCTYPE_VERSION, 2),
+            _el_uint(_DOCTYPE_READ_VERSION, 2),
+        ])))
+        self._timescale = 1_000_000          # 1 ms ticks
+        self._clusters: list[bytes] = []
+        self._cluster = bytearray()
+        self._cluster_ts = 0
+        self._max_ts = 0
+
+    def _track_entry(self, st) -> bytes:
+        par = st.codecpar
+        mkv_id = _CODEC_IDS_MUX.get(par.codec_id)
+        if mkv_id is None:
+            raise Unsupported(f"mkv: codec {par.codec_id}")
+        out = [
+            _el_uint(_TRACK_NUMBER, st.index + 1),
+            _el_uint(_TRACK_UID, st.index + 1),
+            _el_uint(_TRACK_TYPE, 1 if par.codec_type == "video" else 2),
+            _el_uint(_FLAG_LACING, 0),
+            _el(_CODEC_ID, mkv_id.encode("ascii")),
+        ]
+        if par.extradata:
+            out.append(_el(_CODEC_PRIVATE, bytes(par.extradata)))
+        if par.codec_type == "video":
+            if par.framerate.num > 0:
+                out.append(_el_uint(
+                    _DEFAULT_DURATION,
+                    (1_000_000_000 * par.framerate.den)
+                    // par.framerate.num))
+            out.append(_el(_VIDEO,
+                           _el_uint(_PIXEL_WIDTH, par.width)
+                           + _el_uint(_PIXEL_HEIGHT, par.height)))
+        else:
+            audio = (_el_float(_SAMPLING_FREQ, float(par.sample_rate))
+                     + _el_uint(_CHANNELS, par.nb_channels))
+            if par.codec_id.startswith("pcm_s16"):
+                audio += _el_uint(_BIT_DEPTH, 16)
+            elif par.codec_id.startswith("pcm_f32"):
+                audio += _el_uint(_BIT_DEPTH, 32)
+            out.append(_el(_AUDIO, audio))
+        return _el(_TRACK_ENTRY, b"".join(out))
+
+    def _flush_cluster(self):
+        if self._cluster:
+            self._clusters.append(_el(
+                _CLUSTER,
+                _el_uint(_CLUSTER_TS, self._cluster_ts)
+                + bytes(self._cluster)))
+            self._cluster = bytearray()
+
+    def write_packet(self, pkt: Packet):
+        st = self.streams[pkt.stream_index]
+        tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
+            else st.time_base
+        pts = pkt.pts if pkt.pts != NOPTS else (pkt.dts or 0)
+        ts = (pts * tb.num * 1000) // tb.den        # ms ticks
+        key = bool(pkt.flags & PktFlags.KEY)
+        rel = ts - self._cluster_ts
+        new_cluster = (
+            not self._cluster
+            or rel > 32000 or rel < -32768
+            or (key and st.codecpar.codec_type == "video"))
+        if new_cluster:
+            self._flush_cluster()
+            self._cluster_ts = max(ts, 0)
+            rel = ts - self._cluster_ts
+        data = bytes(pkt.data)
+        block = (_enc_size(st.index + 1) + struct.pack(">h", rel)
+                 + bytes([0x80 if key else 0]) + data)
+        self._cluster += _el(_SIMPLE_BLOCK, block)
+        dur = pkt.duration if pkt.duration and pkt.duration != NOPTS else 0
+        self._max_ts = max(self._max_ts,
+                           ts + (dur * tb.num * 1000) // tb.den)
+
+    def write_trailer(self):
+        self._drain(final=True)
+        self._flush_cluster()
+        info = _el(_INFO, b"".join([
+            _el_uint(_TIMESTAMP_SCALE, self._timescale),
+            _el(_MUXING_APP, b"librempeg_tpu"),
+            _el(_WRITING_APP, b"librempeg_tpu"),
+            _el_float(_DURATION, float(self._max_ts)),
+        ]))
+        tracks = _el(_TRACKS,
+                     b"".join(self._track_entry(st) for st in self.streams))
+        self.io.write(_el(_SEGMENT,
+                          info + tracks + b"".join(self._clusters)))
