@@ -1,0 +1,204 @@
+"""Raw video elementary-stream containers: h264 (annex-B), m4v, mjpeg.
+
+Analog of /root/reference/libavformat/rawenc.c (one-call passthrough
+muxers) and rawdec.c/m4vdec.c/mjpegdec.c's startcode-splitting demuxers.
+Demuxers split the byte stream into access units on codec startcodes;
+leading configuration headers (SPS/PPS, VOL) become extradata AND stay
+inline in the first packet (like the reference's raw demuxers, which
+leave streams untouched and let the decoder parse in-band config).
+"""
+from __future__ import annotations
+
+from librempeg_tpu.core.errors import EndOfStream, InvalidData
+from librempeg_tpu.core.packet import Packet, PktFlags
+from librempeg_tpu.core.rational import Rational
+from librempeg_tpu.formats.api import (
+    CodecParameters,
+    Demuxer,
+    Muxer,
+    Stream,
+    register_demuxer,
+    register_muxer,
+)
+
+
+class _RawESMuxer(Muxer):
+    """Concatenate packet payloads (rawenc.c ff_raw_write_packet)."""
+
+    INTERLEAVE = False
+    CODEC_ID = ""
+
+    def write_header(self):
+        super().write_header()
+        self._first = True
+
+    def write_packet(self, pkt: Packet):
+        if self._first:
+            self._first = False
+            extra = bytes(self.streams[pkt.stream_index].codecpar.extradata)
+            # prepend out-of-band config unless already inline
+            if extra and not bytes(pkt.data).startswith(extra):
+                self.io.write(extra)
+        self.io.write(pkt.data)
+
+
+@register_muxer
+class H264Muxer(_RawESMuxer):
+    NAME = "h264"
+    LONG_NAME = "raw H.264 video (annex B)"
+    EXTENSIONS = ("h264", "264", "avc")
+
+
+@register_muxer
+class M4VMuxer(_RawESMuxer):
+    NAME = "m4v"
+    LONG_NAME = "raw MPEG-4 video"
+    EXTENSIONS = ("m4v",)
+
+
+@register_muxer
+class MJpegESMuxer(_RawESMuxer):
+    NAME = "mjpeg"
+    LONG_NAME = "raw MJPEG video"
+    EXTENSIONS = ("mjpeg", "mjpg")
+
+
+class _RawESDemuxer(Demuxer):
+    """Whole-stream read + startcode split into one packet per frame."""
+
+    CODEC_ID = ""
+
+    def __init__(self, framerate: Rational = Rational(25, 1)):
+        super().__init__()
+        self._rate = framerate
+
+    def read_header(self, io):
+        data = io.read(1 << 30)
+        if not data:
+            raise InvalidData(f"{self.NAME}: empty input")
+        extradata, frames = self._split(data)
+        if not frames:
+            raise InvalidData(f"{self.NAME}: no frames found")
+        self._frames = frames
+        par = CodecParameters(codec_type="video", codec_id=self.CODEC_ID,
+                              framerate=self._rate, extradata=extradata)
+        self.streams = [Stream(index=0, codecpar=par,
+                               time_base=Rational(self._rate.den,
+                                                  self._rate.num))]
+        self._idx = 0
+
+    def _split(self, data: bytes) -> tuple[bytes, list[bytes]]:
+        raise NotImplementedError
+
+    def read_packet(self) -> Packet:
+        if self._idx >= len(self._frames):
+            raise EndOfStream
+        i = self._idx
+        self._idx += 1
+        return Packet(data=self._frames[i], pts=i, dts=i, duration=1,
+                      flags=PktFlags.KEY,
+                      time_base=self.streams[0].time_base)
+
+
+@register_demuxer
+class H264Demuxer(_RawESDemuxer):
+    NAME = "h264"
+    LONG_NAME = "raw H.264 video (annex B)"
+    EXTENSIONS = ("h264", "264", "avc")
+    CODEC_ID = "h264"
+
+    @classmethod
+    def probe(cls, buf: bytes, filename: str = "") -> int:
+        # annex-B startcode followed by an SPS/AUD/slice NAL
+        for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+            if buf.startswith(sc) and len(buf) > len(sc):
+                if buf[len(sc)] & 0x1F in (1, 5, 6, 7, 9):
+                    return 51
+        return 0
+
+    def _split(self, data: bytes) -> tuple[bytes, list[bytes]]:
+        from librempeg_tpu.codecs.h264.parse import split_annexb
+
+        # group NALs into access units: an AU ends after a slice (1/5)
+        frames: list[bytes] = []
+        extradata = bytearray()
+        cur = bytearray()
+        seen_slice = False
+        for nal in split_annexb(data):
+            ntype = nal[0] & 0x1F
+            if ntype in (7, 8) and not frames and not seen_slice:
+                extradata += b"\x00\x00\x00\x01" + nal
+            if ntype in (1, 5):
+                cur += b"\x00\x00\x00\x01" + nal
+                frames.append(bytes(cur))
+                cur = bytearray()
+                seen_slice = True
+            else:
+                cur += b"\x00\x00\x00\x01" + nal
+        return bytes(extradata), frames
+
+
+@register_demuxer
+class M4VDemuxer(_RawESDemuxer):
+    NAME = "m4v"
+    LONG_NAME = "raw MPEG-4 video"
+    EXTENSIONS = ("m4v",)
+    CODEC_ID = "mpeg4"
+
+    @classmethod
+    def probe(cls, buf: bytes, filename: str = "") -> int:
+        # VOS (B0) / VO (B5) / VOL (20..2F) startcodes
+        if buf[:3] == b"\x00\x00\x01" and len(buf) > 3 and \
+                (buf[3] in (0xB0, 0xB5) or 0x20 <= buf[3] <= 0x2F):
+            return 51
+        return 0
+
+    def _split(self, data: bytes) -> tuple[bytes, list[bytes]]:
+        # split before each VOP startcode 00 00 01 B6; everything before
+        # the first VOP is configuration (VOS/VO/VOL) -> extradata
+        marks = []
+        pos = 0
+        while True:
+            pos = data.find(b"\x00\x00\x01\xb6", pos)
+            if pos < 0:
+                break
+            marks.append(pos)
+            pos += 4
+        if not marks:
+            return b"", []
+        extradata = data[:marks[0]]
+        frames = []
+        for i, m in enumerate(marks):
+            end = marks[i + 1] if i + 1 < len(marks) else len(data)
+            head = extradata if i == 0 else b""
+            frames.append(head + data[m:end])
+        return extradata, frames
+
+
+@register_demuxer
+class MJpegESDemuxer(_RawESDemuxer):
+    NAME = "mjpeg"
+    LONG_NAME = "raw MJPEG video"
+    EXTENSIONS = ("mjpeg", "mjpg")
+    CODEC_ID = "mjpeg"
+
+    @classmethod
+    def probe(cls, buf: bytes, filename: str = "") -> int:
+        if buf.startswith(b"\xff\xd8\xff") and filename.endswith(
+                ("mjpeg", "mjpg")):
+            return 51
+        return 0
+
+    def _split(self, data: bytes) -> tuple[bytes, list[bytes]]:
+        frames = []
+        pos = 0
+        while True:
+            soi = data.find(b"\xff\xd8", pos)
+            if soi < 0:
+                break
+            eoi = data.find(b"\xff\xd9", soi + 2)
+            if eoi < 0:
+                break
+            frames.append(data[soi:eoi + 2])
+            pos = eoi + 2
+        return b"", frames
