@@ -1,0 +1,410 @@
+"""Second batch of utility filters: fade/afade, aecho, reverse/areverse,
+hstack/vstack, select/aselect, setsar, asetrate, extractplanes,
+shuffleplanes.
+
+Analogs of the reference's vf_fade.c, af_afade.c, af_aecho.c,
+f_reverse.c, vf_stack.c, f_select.c, vf_aspect.c (setsar),
+af_asetrate.c, vf_extractplanes.c, vf_shuffleplanes.c.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from librempeg_tpu.core.errors import InvalidData
+from librempeg_tpu.core.eval_expr import eval_expr
+from librempeg_tpu.core.options import Option, OptionTable
+from librempeg_tpu.core.rational import NOPTS, Rational
+from librempeg_tpu.codecs.pcm import from_float, to_float
+from librempeg_tpu.filters.filter import Filter, PadDesc, register_filter
+
+
+def _frame_time(frame) -> float:
+    if frame.pts == NOPTS:
+        return 0.0
+    tb = frame.time_base
+    return frame.pts * tb.num / tb.den if tb.valid and tb.den else 0.0
+
+
+@register_filter
+class FadeFilter(Filter):
+    NAME = "fade"
+    DESCRIPTION = "Fade the video in or out (vf_fade.c analog)."
+    OPT_ORDER = ("type", "start_frame", "nb_frames")
+    OPTIONS = OptionTable(
+        Option("type", str, "in", alias="t", choices=("in", "out")),
+        Option("start_frame", int, 0, alias="s", min=0, max=1 << 30),
+        Option("nb_frames", int, 25, alias="n", min=1, max=1 << 30),
+        Option("start_time", float, -1.0, alias="st", min=-1.0, max=1e9),
+        Option("duration", float, 0.0, alias="d", min=0.0, max=1e9),
+    )
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._n = 0
+        return self.out_props
+
+    def _factor(self, frame) -> float:
+        if self.opts["start_time"] >= 0.0 or self.opts["duration"] > 0.0:
+            st = max(self.opts["start_time"], 0.0)
+            d = self.opts["duration"] or 1.0
+            p = (_frame_time(frame) - st) / d
+        else:
+            p = (self._n - self.opts["start_frame"]) / self.opts["nb_frames"]
+        p = min(max(p, 0.0), 1.0)
+        return p if self.opts["type"] == "in" else 1.0 - p
+
+    def filter_frame(self, frame, pad=0):
+        f = self._factor(frame)
+        self._n += 1
+        if f >= 1.0:
+            return [(0, frame)]
+        planes = []
+        for i, p in enumerate(frame.planes):
+            x = jnp.asarray(p).astype(jnp.float32)
+            if i == 0 or frame.desc.nb_planes == 1:
+                y = x * f
+            else:                          # chroma fades toward neutral
+                y = (x - 128.0) * f + 128.0
+            planes.append(jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8))
+        return [(0, frame.replace(planes=tuple(planes)))]
+
+
+@register_filter
+class AFadeFilter(Filter):
+    NAME = "afade"
+    DESCRIPTION = "Fade the audio in or out (af_afade.c, linear curve)."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+    OPT_ORDER = ("type", "start_sample", "nb_samples")
+    OPTIONS = OptionTable(
+        Option("type", str, "in", alias="t", choices=("in", "out")),
+        Option("start_sample", int, 0, alias="ss", min=0, max=1 << 62),
+        Option("nb_samples", int, 44100, alias="ns", min=1, max=1 << 62),
+        Option("start_time", float, -1.0, alias="st", min=-1.0, max=1e9),
+        Option("duration", float, 0.0, alias="d", min=0.0, max=1e9),
+    )
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._pos = 0
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        sr = frame.sample_rate
+        if self.opts["start_time"] >= 0.0 or self.opts["duration"] > 0.0:
+            s0 = int(max(self.opts["start_time"], 0.0) * sr)
+            ns = int((self.opts["duration"] or 1.0) * sr)
+        else:
+            s0 = self.opts["start_sample"]
+            ns = self.opts["nb_samples"]
+        x = to_float(np.asarray(frame.data), frame.sample_fmt)
+        n = x.shape[1]
+        idx = np.arange(self._pos, self._pos + n, dtype=np.float64)
+        self._pos += n
+        g = np.clip((idx - s0) / ns, 0.0, 1.0)
+        if self.opts["type"] == "out":
+            g = 1.0 - g
+        y = from_float(x * g[None, :].astype(np.float32), frame.sample_fmt)
+        return [(0, frame.replace(data=y))]
+
+
+@register_filter
+class AEchoFilter(Filter):
+    NAME = "aecho"
+    DESCRIPTION = "Add echoing (af_aecho.c analog: delayed taps)."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+    OPT_ORDER = ("in_gain", "out_gain", "delays", "decays")
+    OPTIONS = OptionTable(
+        Option("in_gain", float, 0.6, min=0.0, max=1.0),
+        Option("out_gain", float, 0.3, min=0.0, max=1.0),
+        Option("delays", str, "1000"),
+        Option("decays", str, "0.5"),
+    )
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._delays = [float(d) for d in
+                        str(self.opts["delays"]).split("|")]
+        self._decays = [float(d) for d in
+                        str(self.opts["decays"]).split("|")]
+        if len(self._delays) != len(self._decays):
+            raise InvalidData("aecho: delays/decays length mismatch")
+        self._hist = None
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        sr = frame.sample_rate
+        taps = [max(1, int(round(d * sr / 1000.0))) for d in self._delays]
+        maxd = max(taps)
+        x = to_float(np.asarray(frame.data), frame.sample_fmt)
+        c, n = x.shape
+        if self._hist is None:
+            self._hist = np.zeros((c, maxd), np.float32)
+        buf = np.concatenate([self._hist, x], axis=1)
+        y = x * self.opts["in_gain"]
+        for d, g in zip(taps, self._decays):
+            y = y + g * buf[:, maxd - d:maxd - d + n]
+        y *= self.opts["out_gain"] / max(self.opts["in_gain"], 1e-9)
+        self._hist = buf[:, -maxd:]
+        return [(0, frame.replace(
+            data=from_float(np.clip(y, -1.0, 1.0), frame.sample_fmt)))]
+
+
+class _ReverseBase(Filter):
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._frames = []
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        self._frames.append(frame)
+        return []
+
+    def flush(self):
+        out = []
+        pts_list = [f.pts for f in self._frames]
+        for f, pts in zip(reversed(self._frames), pts_list):
+            out.append((0, self._flip(f).replace(pts=pts)))
+        self._frames = []
+        return out
+
+    def _flip(self, frame):
+        return frame
+
+
+@register_filter
+class ReverseFilter(_ReverseBase):
+    NAME = "reverse"
+    DESCRIPTION = "Reverse the video (buffers all frames)."
+
+
+@register_filter
+class AReverseFilter(_ReverseBase):
+    NAME = "areverse"
+    DESCRIPTION = "Reverse the audio (buffers all frames)."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+
+    def _flip(self, frame):
+        return frame.replace(data=np.ascontiguousarray(
+            np.asarray(frame.data)[:, ::-1]))
+
+
+class _StackBase(Filter):
+    OPT_ORDER = ("inputs",)
+    OPTIONS = OptionTable(Option("inputs", int, 2, min=2, max=16))
+    AXIS = 1  # 0 = vertical (rows), 1 = horizontal (cols)
+
+    def __init__(self, args: str = "", **kwargs):
+        super().__init__(args, **kwargs)
+        n = self.opts["inputs"]
+        self.INPUTS = tuple(PadDesc(f"in{i}", "video") for i in range(n))
+        self.OUTPUTS = (PadDesc("default", "video"),)
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        p0 = in_props[0]
+        for p in in_props[1:]:
+            if p.pix_fmt != p0.pix_fmt:
+                raise InvalidData(f"{self.NAME}: pixel formats must match")
+            if self.AXIS == 1 and p.height != p0.height:
+                raise InvalidData("hstack: heights must match")
+            if self.AXIS == 0 and p.width != p0.width:
+                raise InvalidData("vstack: widths must match")
+        out = p0.copy()
+        if self.AXIS == 1:
+            out.width = sum(p.width for p in in_props)
+        else:
+            out.height = sum(p.height for p in in_props)
+        self.out_props = [out]
+        self._pending = [[] for _ in in_props]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        self._pending[pad].append(frame)
+        if not all(self._pending):
+            return []
+        frames = [q.pop(0) for q in self._pending]
+        planes = []
+        for i in range(len(frames[0].planes)):
+            planes.append(jnp.concatenate(
+                [jnp.asarray(f.planes[i]) for f in frames], axis=self.AXIS))
+        f0 = frames[0]
+        return [(0, f0.replace(
+            planes=tuple(planes),
+            width=self.out_props[0].width,
+            height=self.out_props[0].height))]
+
+
+@register_filter
+class HStackFilter(_StackBase):
+    NAME = "hstack"
+    DESCRIPTION = "Stack video inputs horizontally."
+    AXIS = 1
+
+
+@register_filter
+class VStackFilter(_StackBase):
+    NAME = "vstack"
+    DESCRIPTION = "Stack video inputs vertically."
+    AXIS = 0
+
+
+class _SelectBase(Filter):
+    OPT_ORDER = ("expr",)
+    OPTIONS = OptionTable(Option("expr", str, "1", alias="e"))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._n = 0
+        self._prev_pts = float("nan")
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        t = _frame_time(frame)
+        v = {"n": float(self._n), "t": t,
+             "pts": float(frame.pts) if frame.pts != NOPTS else float("nan"),
+             "prev_pts": self._prev_pts,
+             "key": 1.0 if getattr(frame, "key_frame", True) else 0.0}
+        self._n += 1
+        self._prev_pts = v["pts"]
+        keep = eval_expr(str(self.opts["expr"]), v)
+        return [(0, frame)] if keep else []
+
+
+@register_filter
+class SelectFilter(_SelectBase):
+    NAME = "select"
+    DESCRIPTION = "Select video frames to pass in output (f_select.c)."
+
+
+@register_filter
+class ASelectFilter(_SelectBase):
+    NAME = "aselect"
+    DESCRIPTION = "Select audio frames to pass in output."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+
+
+@register_filter
+class SetSarFilter(Filter):
+    NAME = "setsar"
+    DESCRIPTION = "Set the sample aspect ratio (vf_aspect.c analog)."
+    OPT_ORDER = ("sar",)
+    OPTIONS = OptionTable(Option("sar", str, "1", alias="ratio"))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        out = in_props[0].copy()
+        s = str(self.opts["sar"]).replace(":", "/")
+        if "/" in s:
+            num, den = s.split("/")
+            self._sar = Rational(int(float(num)), int(float(den)))
+        else:
+            from fractions import Fraction
+
+            fr = Fraction(float(s)).limit_denominator(1 << 16)
+            self._sar = Rational(fr.numerator, fr.denominator)
+        out.sample_aspect_ratio = self._sar
+        self.out_props = [out]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        return [(0, frame.replace(sample_aspect_ratio=self._sar))]
+
+
+@register_filter
+class ASetRateFilter(Filter):
+    NAME = "asetrate"
+    DESCRIPTION = "Change the sample rate tag without resampling."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+    OPT_ORDER = ("sample_rate",)
+    OPTIONS = OptionTable(
+        Option("sample_rate", int, 44100, alias="r", min=1, max=2 ** 31))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        out = in_props[0].copy()
+        out.sample_rate = self.opts["sample_rate"]
+        self.out_props = [out]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        return [(0, frame.replace(sample_rate=self.opts["sample_rate"]))]
+
+
+@register_filter
+class ExtractPlanesFilter(Filter):
+    NAME = "extractplanes"
+    DESCRIPTION = "Extract planes as grayscale streams."
+    OPT_ORDER = ("planes",)
+    OPTIONS = OptionTable(Option("planes", str, "y"))
+
+    _NAMES = {"y": 0, "u": 1, "v": 2, "r": 0, "g": 1, "b": 2, "a": 3}
+
+    def __init__(self, args: str = "", **kwargs):
+        super().__init__(args, **kwargs)
+        self._sel = [self._NAMES[p]
+                     for p in str(self.opts["planes"]).split("+")]
+        self.OUTPUTS = tuple(PadDesc(f"out{i}", "video")
+                             for i in range(len(self._sel)))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = []
+        from librempeg_tpu.core import pixfmt as pf
+
+        desc = pf.get(in_props[0].pix_fmt)
+        for idx in self._sel:
+            if idx >= desc.nb_planes:
+                raise InvalidData("extractplanes: no such plane")
+            out = in_props[0].copy()
+            out.pix_fmt = "gray"
+            out.width = in_props[0].width >> desc.planes[idx].log2_chroma_w
+            out.height = in_props[0].height >> desc.planes[idx].log2_chroma_h
+            self.out_props.append(out)
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        out = []
+        for i, idx in enumerate(self._sel):
+            p = frame.planes[idx]
+            out.append((i, frame.replace(
+                planes=(p,), format="gray",
+                width=p.shape[1], height=p.shape[0])))
+        return out
+
+
+@register_filter
+class ShufflePlanesFilter(Filter):
+    NAME = "shuffleplanes"
+    DESCRIPTION = "Reorder/duplicate video planes."
+    OPT_ORDER = ("map0", "map1", "map2", "map3")
+    OPTIONS = OptionTable(
+        Option("map0", int, 0, min=0, max=3),
+        Option("map1", int, 1, min=0, max=3),
+        Option("map2", int, 2, min=0, max=3),
+        Option("map3", int, 3, min=0, max=3),
+    )
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        n = len(frame.planes)
+        m = [self.opts[f"map{i}"] for i in range(n)]
+        if any(i >= n for i in m):
+            raise InvalidData("shuffleplanes: map index out of range")
+        return [(0, frame.replace(
+            planes=tuple(frame.planes[i] for i in m)))]

@@ -7,4 +7,6 @@ from librempeg_tpu.filters import (  # noqa: F401
     video2,
     loudness,
     misc,
+    misc2,
+    biquads,
 )

@@ -1,0 +1,206 @@
+"""Third-wave filters: biquad family, fades, echo, reverse, stack,
+select, metadata setters, plane tools."""
+import numpy as np
+import pytest
+
+from librempeg_tpu.core.frame import AudioFrame
+from librempeg_tpu.core.rational import Rational
+from librempeg_tpu.filters import GraphRunner
+from tests.test_filters import aprops, vframe, vprops
+
+
+def sine_frame(freq, n=4800, rate=48000, pts=0):
+    t = (np.arange(n) + pts) / rate
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    data = np.stack([x, x]).astype(np.float32)
+    return AudioFrame(data=data, sample_rate=rate, sample_fmt="fltp",
+                      pts=pts, time_base=Rational(1, rate))
+
+
+def rms(frame):
+    return float(np.sqrt(np.mean(np.asarray(frame.data, float) ** 2)))
+
+
+def run_audio(desc, frames, fmt="fltp"):
+    g = GraphRunner(desc, aprops(fmt=fmt))
+    out = []
+    for f in frames:
+        out += g.push(f)
+    out += g.finish()
+    return out
+
+
+class TestBiquads:
+    def test_lowpass_attenuates_high(self):
+        low = run_audio("lowpass=f=500",
+                        [sine_frame(100, pts=i * 4800) for i in range(4)])
+        high = run_audio("lowpass=f=500",
+                         [sine_frame(8000, pts=i * 4800) for i in range(4)])
+        assert rms(low[-1]) > 0.3          # passband nearly untouched
+        assert rms(high[-1]) < 0.05        # ~ -24 dB/oct above cutoff
+
+    def test_highpass_attenuates_low(self):
+        low = run_audio("highpass=f=2000",
+                        [sine_frame(100, pts=i * 4800) for i in range(4)])
+        high = run_audio("highpass=f=2000",
+                         [sine_frame(8000, pts=i * 4800) for i in range(4)])
+        assert rms(low[-1]) < 0.05
+        assert rms(high[-1]) > 0.3
+
+    def test_bandreject_notches(self):
+        at = run_audio("bandreject=f=1000:w=1",
+                       [sine_frame(1000, pts=i * 4800) for i in range(6)])
+        off = run_audio("bandreject=f=1000:w=1",
+                        [sine_frame(100, pts=i * 4800) for i in range(6)])
+        assert rms(at[-1]) < 0.1
+        assert rms(off[-1]) > 0.3
+
+    def test_equalizer_boosts_center(self):
+        boosted = run_audio("equalizer=f=1000:g=12:w=1",
+                            [sine_frame(1000, pts=i * 4800)
+                             for i in range(6)])
+        assert rms(boosted[-1]) > 0.45 / 0.354 * 0.354 * 1.5  # > +3 dB
+
+    def test_biquad_identity_exact(self):
+        f = sine_frame(440)
+        out = run_audio("biquad=b0=1:b1=0:b2=0:a0=1:a1=0:a2=0", [f])
+        np.testing.assert_allclose(np.asarray(out[0].data),
+                                   np.asarray(f.data), atol=1e-6)
+
+    def test_state_carries_across_frames(self):
+        # filtering two chunks must equal filtering their concatenation
+        one = sine_frame(700, n=9600)
+        chunks = [sine_frame(700, n=4800),
+                  sine_frame(700, n=4800, pts=4800)]
+        whole = run_audio("lowpass=f=900", [one])
+        split = run_audio("lowpass=f=900", chunks)
+        got = np.concatenate([np.asarray(f.data) for f in split], axis=1)
+        np.testing.assert_allclose(got, np.asarray(whole[0].data),
+                                   atol=1e-5)
+
+    def test_allpass_preserves_magnitude(self):
+        out = run_audio("allpass=f=1000",
+                        [sine_frame(1000, pts=i * 4800) for i in range(4)])
+        assert abs(rms(out[-1]) - 0.5 / np.sqrt(2)) < 0.02
+
+
+class TestFades:
+    def test_fade_in_first_frame_black(self):
+        g = GraphRunner("fade=in:0:10", vprops())
+        out = g.push(vframe(0).replace(pts=0))
+        y = np.asarray(out[0].planes[0])
+        assert np.all(y == 0)
+
+    def test_fade_out_end_black(self):
+        g = GraphRunner("fade=out:0:5", vprops())
+        outs = []
+        for i in range(8):
+            outs += g.push(vframe(1).replace(pts=i))
+        assert np.all(np.asarray(outs[-1].planes[0]) == 0)
+        assert np.all(np.abs(np.asarray(outs[-1].planes[1]).astype(int)
+                             - 128) <= 1)
+
+    def test_afade_in_ramp(self):
+        f = sine_frame(440, n=4800)
+        out = run_audio("afade=t=in:ss=0:ns=4800", [f])
+        y = np.asarray(out[0].data)
+        a = float(np.max(np.abs(y[:, :480])))
+        b = float(np.max(np.abs(y[:, -480:])))
+        assert a < 0.1 and b > 0.4
+
+
+class TestEchoReverse:
+    def test_aecho_adds_delayed_copy(self):
+        # impulse -> dry + echo at +100ms
+        imp = np.zeros((2, 9600), np.float32)
+        imp[:, 0] = 0.8
+        f = AudioFrame(data=imp, sample_rate=48000, sample_fmt="fltp",
+                       pts=0, time_base=Rational(1, 48000))
+        out = run_audio("aecho=0.6:0.3:100:0.5", [f])
+        y = np.asarray(out[0].data)[0]
+        assert abs(y[0] - 0.8 * 0.6 * 0.5) < 1e-3       # dry * in * out/in
+        assert abs(y[4800] - 0.8 * 0.5 * 0.5) < 1e-3    # echo tap
+        assert np.max(np.abs(y[1:4800])) < 1e-6
+
+    def test_reverse_video(self):
+        g = GraphRunner("reverse", vprops())
+        frames = [vframe(i).replace(pts=i) for i in range(4)]
+        outs = []
+        for f in frames:
+            outs += g.push(f)
+        outs += g.finish()
+        assert len(outs) == 4
+        np.testing.assert_array_equal(np.asarray(outs[0].planes[0]),
+                                      frames[3].planes[0])
+        assert [f.pts for f in outs] == [0, 1, 2, 3]  # pts stay monotonic
+
+    def test_areverse_samples(self):
+        f = sine_frame(440, n=1000)
+        out = run_audio("areverse", [f])
+        np.testing.assert_allclose(np.asarray(out[0].data),
+                                   np.asarray(f.data)[:, ::-1], atol=1e-7)
+
+
+class TestStacks:
+    def test_hstack(self):
+        g = GraphRunner("hstack", [vprops(), vprops()])
+        a, b = vframe(0), vframe(1)
+        outs = g.push(a, 0)
+        assert outs == []
+        outs = g.push(b, 1)
+        assert len(outs) == 1
+        y = np.asarray(outs[0].planes[0])
+        assert y.shape == (48, 128)
+        np.testing.assert_array_equal(y[:, :64], a.planes[0])
+        np.testing.assert_array_equal(y[:, 64:], b.planes[0])
+        assert outs[0].width == 128
+
+    def test_vstack(self):
+        g = GraphRunner("vstack", [vprops(), vprops()])
+        g.push(vframe(0), 0)
+        outs = g.push(vframe(0), 1)
+        assert np.asarray(outs[0].planes[0]).shape == (96, 64)
+        assert outs[0].height == 96
+
+
+class TestSelectMeta:
+    def test_select_every_other(self):
+        g = GraphRunner("select=mod(n\\,2)", vprops())
+        outs = []
+        for i in range(6):
+            outs += g.push(vframe(i).replace(pts=i))
+        assert [f.pts for f in outs] == [1, 3, 5]
+
+    def test_setsar(self):
+        g = GraphRunner("setsar=4/3", vprops())
+        out = g.push(vframe(0))[0]
+        assert out.sample_aspect_ratio == Rational(4, 3)
+        assert g.output_props.sample_aspect_ratio == Rational(4, 3)
+
+    def test_asetrate(self):
+        f = sine_frame(440, n=1000)
+        g = GraphRunner("asetrate=24000", aprops(fmt="fltp"))
+        out = g.push(f)[0]
+        assert out.sample_rate == 24000
+        np.testing.assert_array_equal(np.asarray(out.data),
+                                      np.asarray(f.data))
+
+
+class TestPlaneTools:
+    def test_extractplanes_single(self):
+        g = GraphRunner("extractplanes=u", vprops())
+        f = vframe(2)
+        out = g.push(f)[0]
+        assert out.format == "gray"
+        assert (out.width, out.height) == (32, 24)
+        np.testing.assert_array_equal(np.asarray(out.planes[0]),
+                                      f.planes[1])
+
+    def test_shuffleplanes_swap_chroma(self):
+        g = GraphRunner("shuffleplanes=0:2:1", vprops())
+        f = vframe(2)
+        out = g.push(f)[0]
+        np.testing.assert_array_equal(np.asarray(out.planes[1]),
+                                      f.planes[2])
+        np.testing.assert_array_equal(np.asarray(out.planes[2]),
+                                      f.planes[1])
