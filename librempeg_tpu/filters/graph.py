@@ -169,6 +169,15 @@ class FilterGraph:
             self.configure()
         self.run()
         for node in self._topo():
+            # multi-input nodes only fire in run() when EVERY pad has a
+            # frame; at EOF the stragglers must still be delivered
+            # (ff_framesync's eof drain) or tail frames vanish.
+            for pad, ln in enumerate(node.in_links):
+                if ln is None:
+                    continue
+                while ln.queue:
+                    self._deliver(node, node.filter.filter_frame(
+                        ln.queue.popleft(), pad))
             self._deliver(node, node.filter.flush())
             self.run()
 

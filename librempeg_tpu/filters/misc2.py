@@ -408,3 +408,81 @@ class ShufflePlanesFilter(Filter):
             raise InvalidData("shuffleplanes: map index out of range")
         return [(0, frame.replace(
             planes=tuple(frame.planes[i] for i in m)))]
+
+
+@register_filter
+class ConcatFilter(Filter):
+    """Concatenate segments (f_concat.c analog).
+
+    Inputs are ordered per segment: segment 0's v video pads then its a
+    audio pads, then segment 1's, etc. Frames are buffered per pad and
+    emitted at EOF with pts rebased by the cumulative duration of the
+    preceding segments (computed as the max stream end-time per
+    segment, like the reference's delta tracking).
+    """
+
+    NAME = "concat"
+    DESCRIPTION = "Concatenate audio and video segments."
+    OPT_ORDER = ("n", "v", "a")
+    OPTIONS = OptionTable(
+        Option("n", int, 2, min=1, max=32),
+        Option("v", int, 1, min=0, max=16),
+        Option("a", int, 0, min=0, max=16),
+    )
+
+    def __init__(self, args: str = "", **kwargs):
+        super().__init__(args, **kwargs)
+        n, v, a = self.opts["n"], self.opts["v"], self.opts["a"]
+        if v + a == 0:
+            raise InvalidData("concat: v+a must be > 0")
+        pads = []
+        for s in range(n):
+            pads += [PadDesc(f"in{s}:v{i}", "video") for i in range(v)]
+            pads += [PadDesc(f"in{s}:a{i}", "audio") for i in range(a)]
+        self.INPUTS = tuple(pads)
+        self.OUTPUTS = tuple(
+            [PadDesc(f"v{i}", "video") for i in range(v)]
+            + [PadDesc(f"a{i}", "audio") for i in range(a)])
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        nper = self.opts["v"] + self.opts["a"]
+        self.out_props = [in_props[i].copy() for i in range(nper)]
+        self._q = [[] for _ in self.INPUTS]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        self._q[pad].append(frame)
+        return []
+
+    def _end_time(self, frames) -> float:
+        end = 0.0
+        for f in frames:
+            t = _frame_time(f)
+            if hasattr(f, "nb_samples"):
+                t += f.nb_samples / f.sample_rate
+            elif f.duration and f.time_base.valid and f.time_base.den:
+                t += f.duration * f.time_base.num / f.time_base.den
+            elif getattr(self.in_props[0], "frame_rate", None):
+                fr = self.in_props[0].frame_rate
+                if fr and fr.num:
+                    t += fr.den / fr.num
+            end = max(end, t)
+        return end
+
+    def flush(self):
+        n, nper = self.opts["n"], self.opts["v"] + self.opts["a"]
+        out = []
+        offset = 0.0
+        for s in range(n):
+            seg = self._q[s * nper:(s + 1) * nper]
+            for stream, frames in enumerate(seg):
+                for f in frames:
+                    tb = f.time_base
+                    shift = int(round(offset * tb.den / tb.num)) \
+                        if tb.valid and tb.num else 0
+                    pts = f.pts + shift if f.pts != NOPTS else NOPTS
+                    out.append((stream, f.replace(pts=pts)))
+            offset += self._end_time([f for fr in seg for f in fr])
+        self._q = [[] for _ in self.INPUTS]
+        return out

@@ -204,3 +204,28 @@ class TestPlaneTools:
                                       f.planes[2])
         np.testing.assert_array_equal(np.asarray(out.planes[2]),
                                       f.planes[1])
+
+
+class TestConcat:
+    def test_concat_video(self):
+        g = GraphRunner("concat=n=2:v=1:a=0", [vprops(), vprops()])
+        for i in range(3):
+            g.push(vframe(i).replace(pts=i), 0)
+        for i in range(2):
+            g.push(vframe(i + 3).replace(pts=i), 1)
+        outs = g.finish()
+        assert [f.pts for f in outs] == [0, 1, 2, 3, 4]
+        np.testing.assert_array_equal(np.asarray(outs[3].planes[0]),
+                                      vframe(3).planes[0])
+
+    def test_concat_audio(self):
+        g = GraphRunner("concat=n=2:v=0:a=1",
+                        [aprops(fmt="fltp"), aprops(fmt="fltp")])
+        a = sine_frame(440, n=4800, pts=0)
+        b = sine_frame(880, n=2400, pts=0)
+        g.push(a, 0)
+        g.push(b, 1)
+        outs = g.finish()
+        assert len(outs) == 2
+        assert outs[0].pts == 0
+        assert outs[1].pts == 4800     # rebased past segment 0
