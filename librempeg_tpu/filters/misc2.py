@@ -486,3 +486,140 @@ class ConcatFilter(Filter):
             offset += self._end_time([f for fr in seg for f in fr])
         self._q = [[] for _ in self.INPUTS]
         return out
+
+
+class _AudioPassAnalyze(Filter):
+    """Base for pass-through audio analyzers that report in `stats` and
+    log at EOF (af_volumedetect.c / af_astats.c shape)."""
+
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self.stats: dict = {}
+        self._reset()
+        return self.out_props
+
+    def _reset(self):
+        pass
+
+
+@register_filter
+class VolumeDetectFilter(_AudioPassAnalyze):
+    NAME = "volumedetect"
+    DESCRIPTION = "Detect audio volume (af_volumedetect.c analog)."
+
+    def _reset(self):
+        self._sumsq = 0.0
+        self._n = 0
+        self._peak = 0.0
+
+    def filter_frame(self, frame, pad=0):
+        x = to_float(np.asarray(frame.data), frame.sample_fmt)
+        self._sumsq += float(np.sum(x.astype(np.float64) ** 2))
+        self._n += x.size
+        self._peak = max(self._peak, float(np.max(np.abs(x))))
+        return [(0, frame)]
+
+    def flush(self):
+        if self._n:
+            mean = self._sumsq / self._n
+            self.stats = {
+                "n_samples": self._n,
+                "mean_volume": 10.0 * np.log10(max(mean, 1e-20)),
+                "max_volume": 20.0 * np.log10(max(self._peak, 1e-10)),
+            }
+            from librempeg_tpu.core.log import log, INFO
+
+            log("volumedetect", INFO,
+                "n_samples: %d mean_volume: %.1f dB max_volume: %.1f dB",
+                self._n, self.stats["mean_volume"],
+                self.stats["max_volume"])
+        return []
+
+
+@register_filter
+class AStatsFilter(_AudioPassAnalyze):
+    NAME = "astats"
+    DESCRIPTION = "Per-channel time-domain statistics (af_astats.c)."
+
+    def _reset(self):
+        self._chunks = []
+
+    def filter_frame(self, frame, pad=0):
+        self._chunks.append(
+            to_float(np.asarray(frame.data), frame.sample_fmt))
+        return [(0, frame)]
+
+    def flush(self):
+        if self._chunks:
+            x = np.concatenate(self._chunks, axis=1).astype(np.float64)
+            d = np.diff(x, axis=1)
+            per = []
+            for c in range(x.shape[0]):
+                xc = x[c]
+                rms = float(np.sqrt(np.mean(xc ** 2)))
+                per.append({
+                    "dc_offset": float(np.mean(xc)),
+                    "min_level": float(np.min(xc)),
+                    "max_level": float(np.max(xc)),
+                    "peak_level_db": 20 * np.log10(
+                        max(float(np.max(np.abs(xc))), 1e-10)),
+                    "rms_level_db": 20 * np.log10(max(rms, 1e-10)),
+                    "crest_factor": float(np.max(np.abs(xc)) / max(rms,
+                                                                   1e-10)),
+                    "zero_crossings": int(np.sum(np.diff(np.signbit(xc)))),
+                    "mean_delta": float(np.mean(np.abs(d[c])))
+                    if d.size else 0.0,
+                    "n_samples": int(xc.size),
+                })
+            self.stats = {"channels": per}
+        return []
+
+
+@register_filter
+class AMergeFilter(Filter):
+    """Merge N audio inputs into one multi-channel stream
+    (af_amerge.c analog); `join` is registered as an alias class."""
+
+    NAME = "amerge"
+    DESCRIPTION = "Merge audio streams into one multi-channel stream."
+    OPT_ORDER = ("inputs",)
+    OPTIONS = OptionTable(Option("inputs", int, 2, min=1, max=16))
+
+    def __init__(self, args: str = "", **kwargs):
+        super().__init__(args, **kwargs)
+        n = self.opts["inputs"]
+        self.INPUTS = tuple(PadDesc(f"in{i}", "audio") for i in range(n))
+        self.OUTPUTS = (PadDesc("default", "audio"),)
+
+    def configure(self, in_props):
+        from librempeg_tpu.core.samplefmt import ChannelLayout
+
+        self.in_props = in_props
+        out = in_props[0].copy()
+        nch = sum(p.layout.nb_channels if p.layout else 1 for p in in_props)
+        out.layout = ChannelLayout.default(nch)
+        self.out_props = [out]
+        self._pending = [[] for _ in in_props]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        self._pending[pad].append(frame)
+        if not all(self._pending):
+            return []
+        frames = [q.pop(0) for q in self._pending]
+        n = min(np.asarray(f.data).shape[1] for f in frames)
+        data = np.concatenate([np.asarray(f.data)[:, :n] for f in frames],
+                              axis=0)
+        f0 = frames[0]
+        return [(0, f0.replace(data=data,
+                               layout=self.out_props[0].layout))]
+
+
+@register_filter
+class JoinFilter(AMergeFilter):
+    NAME = "join"
+    DESCRIPTION = "Join audio streams into one multi-channel stream."

@@ -229,3 +229,35 @@ class TestConcat:
         assert len(outs) == 2
         assert outs[0].pts == 0
         assert outs[1].pts == 4800     # rebased past segment 0
+
+
+class TestAnalyzersMerge:
+    def test_volumedetect_sine(self):
+        g = GraphRunner("volumedetect", aprops(fmt="fltp"))
+        g.push(sine_frame(440, n=48000))
+        g.finish()
+        st = g.entry_nodes[0].filter.stats
+        assert abs(st["max_volume"] - (-6.02)) < 0.05   # 0.5 amp
+        assert abs(st["mean_volume"] - (-9.03)) < 0.05  # sine RMS
+        assert st["n_samples"] == 96000
+
+    def test_astats_sine(self):
+        g = GraphRunner("astats", aprops(fmt="fltp"))
+        g.push(sine_frame(440, n=48000))
+        g.finish()
+        st = g.entry_nodes[0].filter.stats["channels"][0]
+        assert abs(st["crest_factor"] - np.sqrt(2)) < 0.01
+        assert abs(st["dc_offset"]) < 1e-3
+        assert st["zero_crossings"] > 800        # ~2*440 per second
+
+    def test_amerge_stacks_channels(self):
+        g = GraphRunner("amerge", [aprops(fmt="fltp"), aprops(fmt="fltp")])
+        a = sine_frame(440, n=1000)
+        b = sine_frame(880, n=1000)
+        g.push(a, 0)
+        out = g.push(b, 1)
+        y = np.asarray(out[0].data)
+        assert y.shape == (4, 1000)
+        np.testing.assert_array_equal(y[:2], np.asarray(a.data))
+        np.testing.assert_array_equal(y[2:], np.asarray(b.data))
+        assert out[0].layout.nb_channels == 4
