@@ -76,12 +76,15 @@ class _RawESDemuxer(Demuxer):
         data = io.read(1 << 30)
         if not data:
             raise InvalidData(f"{self.NAME}: empty input")
+        self._dims = (0, 0)
         extradata, frames = self._split(data)
         if not frames:
             raise InvalidData(f"{self.NAME}: no frames found")
         self._frames = frames
         par = CodecParameters(codec_type="video", codec_id=self.CODEC_ID,
-                              framerate=self._rate, extradata=extradata)
+                              framerate=self._rate, extradata=extradata,
+                              width=self._dims[0], height=self._dims[1],
+                              pix_fmt="yuv420p" if self._dims[0] else "")
         self.streams = [Stream(index=0, codecpar=par,
                                time_base=Rational(self._rate.den,
                                                   self._rate.num))]
@@ -117,17 +120,28 @@ class H264Demuxer(_RawESDemuxer):
         return 0
 
     def _split(self, data: bytes) -> tuple[bytes, list[bytes]]:
-        from librempeg_tpu.codecs.h264.parse import split_annexb
+        from librempeg_tpu.codecs.h264.parse import (
+            NalUnit,
+            parse_sps,
+            split_annexb,
+        )
 
         # group NALs into access units: an AU ends after a slice (1/5)
         frames: list[bytes] = []
         extradata = bytearray()
         cur = bytearray()
         seen_slice = False
+        self._dims = (0, 0)
         for nal in split_annexb(data):
             ntype = nal[0] & 0x1F
             if ntype in (7, 8) and not frames and not seen_slice:
                 extradata += b"\x00\x00\x00\x01" + nal
+                if ntype == 7 and self._dims == (0, 0):
+                    try:
+                        sps = parse_sps(NalUnit.parse(nal).rbsp)
+                        self._dims = (sps.width, sps.height)
+                    except Exception:
+                        pass
             if ntype in (1, 5):
                 cur += b"\x00\x00\x00\x01" + nal
                 frames.append(bytes(cur))
