@@ -249,13 +249,18 @@ def open_input(url: str, format: str | None = None, **demux_opts) -> Demuxer:
     (e.g. rawvideo's pix_fmt/width/height — the AVDictionary options of
     the reference)."""
     _ensure_registered()
-    io = open_io(url, "r")
     if format is not None:
         try:
             cls = _DEMUXERS[format]
         except KeyError:
             raise NotFound(f"unknown input format {format!r}") from None
+        if getattr(cls, "URL_IS_GRAPH", False):
+            # virtual device (lavfi): the "url" IS the input description
+            io = MemoryIO(url.encode())
+        else:
+            io = open_io(url, "r")
     else:
+        io = open_io(url, "r")
         buf = io.peek(4096)
         cls, score = probe_format(buf, url)
         if cls is None:
