@@ -623,3 +623,188 @@ class AMergeFilter(Filter):
 class JoinFilter(AMergeFilter):
     NAME = "join"
     DESCRIPTION = "Join audio streams into one multi-channel stream."
+
+
+@register_filter
+class LoopFilter(Filter):
+    """Loop video frames (vf_loop.c analog): buffer `size` frames
+    starting at frame `start`, replay them `loop` extra times (-1 not
+    supported in the pull-less graph; bounded loops only)."""
+
+    NAME = "loop"
+    DESCRIPTION = "Loop video frames."
+    OPT_ORDER = ("loop", "size", "start")
+    OPTIONS = OptionTable(
+        Option("loop", int, 0, min=0, max=1024),
+        Option("size", int, 0, min=0, max=32767),
+        Option("start", int, 0, min=0, max=1 << 30),
+    )
+    _MEDIA = "video"
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._n = 0
+        self._buf = []
+        self._frames = []
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        st, sz = self.opts["start"], self.opts["size"]
+        if sz and st <= self._n < st + sz:
+            self._buf.append(frame)
+        self._n += 1
+        self._frames.append(frame)
+        return []
+
+    def flush(self):
+        # emit: frames up to end of loop section, the repeats, the rest
+        st, sz = self.opts["start"], self.opts["size"]
+        out = list(self._frames[:st + sz])
+        for _ in range(self.opts["loop"]):
+            out.extend(self._buf)
+        out.extend(self._frames[st + sz:])
+        # renumber pts monotonically in the input's cadence
+        if out:
+            tb = out[0].time_base
+            step = out[0].duration or 1
+            res = [(0, f.replace(pts=i * step)) for i, f in enumerate(out)]
+        else:
+            res = []
+        self._frames, self._buf = [], []
+        return res
+
+
+@register_filter
+class ALoopFilter(LoopFilter):
+    NAME = "aloop"
+    DESCRIPTION = "Loop audio frames."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+
+    def flush(self):
+        st, sz = self.opts["start"], self.opts["size"]
+        # start/size are in SAMPLES for aloop; selected at frame
+        # granularity: a frame loops if it overlaps [start, start+size)
+        loops = []
+        acc = 0
+        for f in self._frames:
+            n = np.asarray(f.data).shape[1]
+            if sz and acc + n > st and acc < st + sz:
+                loops.append(f)
+            acc += n
+        out = list(self._frames)
+        for _ in range(self.opts["loop"]):
+            out.extend(loops)
+        pts = 0
+        res = []
+        for f in out:
+            res.append((0, f.replace(pts=pts)))
+            pts += np.asarray(f.data).shape[1]
+        self._frames, self._buf = [], []
+        return res
+
+
+@register_filter
+class TPadFilter(Filter):
+    """Pad video in time with cloned or black frames (vf_tpad.c)."""
+
+    NAME = "tpad"
+    DESCRIPTION = "Temporarily pad video frames."
+    OPT_ORDER = ("start", "stop")
+    OPTIONS = OptionTable(
+        Option("start", int, 0, min=0, max=1 << 20),
+        Option("stop", int, 0, min=0, max=1 << 20),
+        Option("start_mode", str, "add", choices=("add", "clone")),
+        Option("stop_mode", str, "add", choices=("add", "clone")),
+    )
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._first = None
+        self._last = None
+        self._count = 0
+        return self.out_props
+
+    def _blank(self, like):
+        planes = []
+        for i, p in enumerate(like.planes):
+            fill = 0 if i == 0 or like.desc.nb_planes == 1 else 128
+            planes.append(np.full(np.asarray(p).shape, fill, np.uint8))
+        return like.replace(planes=tuple(planes))
+
+    def filter_frame(self, frame, pad=0):
+        out = []
+        if self._first is None:
+            self._first = frame
+            src = frame if self.opts["start_mode"] == "clone" \
+                else self._blank(frame)
+            for _ in range(self.opts["start"]):
+                out.append((0, src.replace(pts=self._count)))
+                self._count += 1
+        self._last = frame
+        out.append((0, frame.replace(pts=self._count)))
+        self._count += 1
+        return out
+
+    def flush(self):
+        if self._last is None:
+            return []
+        src = self._last if self.opts["stop_mode"] == "clone" \
+            else self._blank(self._last)
+        out = []
+        for _ in range(self.opts["stop"]):
+            out.append((0, src.replace(pts=self._count)))
+            self._count += 1
+        return out
+
+
+class _SetTbBase(Filter):
+    OPT_ORDER = ("expr",)
+    OPTIONS = OptionTable(Option("expr", str, "intb", alias="tb"))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        out = in_props[0].copy()
+        e = str(self.opts["expr"])
+        intb = in_props[0].time_base or Rational(1, 25)
+        if e in ("intb", "AVTB"):
+            tb = Rational(1, 1000000) if e == "AVTB" else intb
+        elif "/" in e:
+            n, d = e.split("/")
+            tb = Rational(int(n), int(d))
+        else:
+            from fractions import Fraction
+
+            fr = Fraction(float(eval_expr(e))).limit_denominator(1 << 20)
+            tb = Rational(fr.numerator, fr.denominator)
+        self._tb = tb
+        self._intb = intb
+        out.time_base = tb
+        self.out_props = [out]
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        if frame.pts != NOPTS and frame.time_base.valid \
+                and frame.time_base.num:
+            ftb = frame.time_base
+            pts = (frame.pts * ftb.num * self._tb.den) \
+                // (ftb.den * self._tb.num)
+        else:
+            pts = frame.pts
+        return [(0, frame.replace(pts=pts, time_base=self._tb))]
+
+
+@register_filter
+class SetTbFilter(_SetTbBase):
+    NAME = "settb"
+    DESCRIPTION = "Set timebase of the video output (f_settb.c analog)."
+
+
+@register_filter
+class ASetTbFilter(_SetTbBase):
+    NAME = "asettb"
+    DESCRIPTION = "Set timebase of the audio output."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)

@@ -261,3 +261,49 @@ class TestAnalyzersMerge:
         np.testing.assert_array_equal(y[:2], np.asarray(a.data))
         np.testing.assert_array_equal(y[2:], np.asarray(b.data))
         assert out[0].layout.nb_channels == 4
+
+
+class TestTimeTools:
+    def test_loop_video(self):
+        g = GraphRunner("loop=loop=2:size=2:start=1", vprops())
+        frames = [vframe(i).replace(pts=i, duration=1) for i in range(4)]
+        outs = []
+        for f in frames:
+            outs += g.push(f)
+        outs += g.finish()
+        # 0 1 2 | 1 2 | 1 2 | 3
+        assert len(outs) == 8
+        order = [int(np.asarray(f.planes[0])[0, 0]) for f in outs]
+        want = [int(np.asarray(frames[i].planes[0])[0, 0])
+                for i in (0, 1, 2, 1, 2, 1, 2, 3)]
+        assert order == want
+        assert [f.pts for f in outs] == list(range(8))
+
+    def test_aloop(self):
+        g = GraphRunner("aloop=loop=1:size=1000:start=0", aprops(fmt="fltp"))
+        f = sine_frame(440, n=1000)
+        outs = g.push(f)
+        outs += g.finish()
+        assert len(outs) == 2
+        np.testing.assert_array_equal(np.asarray(outs[1].data),
+                                      np.asarray(f.data))
+        assert outs[1].pts == 1000
+
+    def test_tpad_clone_stop(self):
+        g = GraphRunner("tpad=start=2:stop=1:start_mode=add:stop_mode=clone",
+                        vprops())
+        outs = []
+        for i in range(2):
+            outs += g.push(vframe(i).replace(pts=i))
+        outs += g.finish()
+        assert len(outs) == 5          # 2 black + 2 real + 1 cloned
+        assert np.all(np.asarray(outs[0].planes[0]) == 0)
+        np.testing.assert_array_equal(np.asarray(outs[-1].planes[0]),
+                                      vframe(1).planes[0])
+        assert [f.pts for f in outs] == list(range(5))
+
+    def test_settb_rescales_pts(self):
+        g = GraphRunner("settb=1/1000", vprops())
+        out = g.push(vframe(0).replace(pts=5))[0]  # 5/25 s = 200 ms
+        assert out.time_base == Rational(1, 1000)
+        assert out.pts == 200
