@@ -808,3 +808,81 @@ class ASetTbFilter(_SetTbBase):
     DESCRIPTION = "Set timebase of the audio output."
     INPUTS = (PadDesc("default", "audio"),)
     OUTPUTS = (PadDesc("default", "audio"),)
+
+
+@register_filter
+class ShowInfoFilter(Filter):
+    """Log per-frame info + plane checksums (vf_showinfo.c analog;
+    checksums use av_adler32 init 0, matching the reference's output)."""
+
+    NAME = "showinfo"
+    DESCRIPTION = "Show textual information for each video frame."
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._n = 0
+        self.records = []
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        import zlib
+
+        sums = []
+        total = 0
+        for p in frame.planes:
+            b = np.ascontiguousarray(np.asarray(p)).tobytes()
+            sums.append(zlib.adler32(b, 0) & 0xFFFFFFFF)
+            total = zlib.adler32(b, total) & 0xFFFFFFFF
+        rec = {"n": self._n, "pts": frame.pts,
+               "t": _frame_time(frame), "fmt": frame.format,
+               "size": (frame.width, frame.height),
+               "checksum": total, "plane_checksum": sums}
+        self.records.append(rec)
+        from librempeg_tpu.core.log import log, INFO
+
+        log("showinfo", INFO,
+            "n:%4d pts:%7s pts_time:%-7.5g fmt:%s size:%dx%d "
+            "checksum:%08X plane_checksum:[%s]",
+            rec["n"], frame.pts, rec["t"], frame.format,
+            frame.width, frame.height, total,
+            " ".join(f"{s:08X}" for s in sums))
+        self._n += 1
+        return [(0, frame)]
+
+
+@register_filter
+class AShowInfoFilter(Filter):
+    """Log per-frame audio info + checksum (af_ashowinfo.c analog)."""
+
+    NAME = "ashowinfo"
+    DESCRIPTION = "Show textual information for each audio frame."
+    INPUTS = (PadDesc("default", "audio"),)
+    OUTPUTS = (PadDesc("default", "audio"),)
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._n = 0
+        self.records = []
+        return self.out_props
+
+    def filter_frame(self, frame, pad=0):
+        import zlib
+
+        x = np.asarray(frame.data)
+        b = np.ascontiguousarray(x).tobytes()
+        csum = zlib.adler32(b, 0) & 0xFFFFFFFF
+        rec = {"n": self._n, "pts": frame.pts, "t": _frame_time(frame),
+               "rate": frame.sample_rate, "nb_samples": x.shape[1],
+               "channels": x.shape[0], "checksum": csum}
+        self.records.append(rec)
+        from librempeg_tpu.core.log import log, INFO
+
+        log("ashowinfo", INFO,
+            "n:%d pts:%s pts_time:%-7.5g rate:%d nb_samples:%d "
+            "channels:%d checksum:%08X",
+            rec["n"], frame.pts, rec["t"], frame.sample_rate,
+            x.shape[1], x.shape[0], csum)
+        self._n += 1
+        return [(0, frame)]

@@ -307,3 +307,23 @@ class TestTimeTools:
         out = g.push(vframe(0).replace(pts=5))[0]  # 5/25 s = 200 ms
         assert out.time_base == Rational(1, 1000)
         assert out.pts == 200
+
+
+class TestShowInfo:
+    def test_showinfo_checksums(self):
+        import zlib
+        g = GraphRunner("showinfo", vprops())
+        f = vframe(1).replace(pts=3)
+        out = g.push(f)
+        assert len(out) == 1
+        rec = g.entry_nodes[0].filter.records[0]
+        assert rec["pts"] == 3 and rec["size"] == (64, 48)
+        want = zlib.adler32(np.ascontiguousarray(f.planes[0]).tobytes(), 0)
+        assert rec["plane_checksum"][0] == want & 0xFFFFFFFF
+
+    def test_ashowinfo(self):
+        g = GraphRunner("ashowinfo", aprops(fmt="fltp"))
+        f = sine_frame(440, n=1000)
+        g.push(f)
+        rec = g.entry_nodes[0].filter.records[0]
+        assert rec["nb_samples"] == 1000 and rec["channels"] == 2
