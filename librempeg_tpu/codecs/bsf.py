@@ -137,3 +137,42 @@ class DumpExtradataBsf(BitstreamFilter):
         if extra and pkt.is_key and not bytes(pkt.data).startswith(extra):
             return [pkt.replace(data=extra + bytes(pkt.data))]
         return [pkt]
+
+
+@register_bsf
+class H264Mp4ToAnnexbBsf(BitstreamFilter):
+    """Convert length-prefixed H.264 (ISO-BMFF) packets to annex-B and
+    prepend SPS/PPS from avcC extradata before keyframes.
+
+    Analog of /root/reference/libavcodec/bsf/h264_mp4toannexb.c."""
+
+    NAME = "h264_mp4toannexb"
+
+    def __init__(self, params=None, **opts):
+        super().__init__(params, **opts)
+        from librempeg_tpu.codecs.h264.avcc import (
+            avcc_to_annexb,
+            nal_length_size,
+        )
+
+        self._ps = b""
+        self._nal_size = 4
+        extra = bytes(getattr(params, "extradata", b"") or b"")
+        if extra[:1] == b"\x01":
+            self._ps = avcc_to_annexb(extra)
+            self._nal_size = nal_length_size(extra)
+        elif extra:
+            self._ps = extra
+        self._sent_ps = False
+
+    def filter(self, pkt: Packet) -> list[Packet]:
+        from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+        from librempeg_tpu.codecs.h264.parse import split_annexb
+
+        data = lp_to_annexb(bytes(pkt.data), self._nal_size)
+        if self._ps and not self._sent_ps and (pkt.flags & PktFlags.KEY):
+            has_sps = any((nal[0] & 0x1F) == 7 for nal in split_annexb(data))
+            if not has_sps:
+                data = self._ps + data
+            self._sent_ps = True
+        return [pkt.replace(data=data)]

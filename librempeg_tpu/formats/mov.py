@@ -73,11 +73,16 @@ class MovMuxer(Muxer):
             [] for _ in self.streams]   # (offset, size, duration, key)
 
     def write_packet(self, pkt: Packet):
+        data = pkt.data
+        if self.streams[pkt.stream_index].codecpar.codec_id == "h264":
+            from librempeg_tpu.codecs.h264.avcc import annexb_to_lp
+
+            data = annexb_to_lp(bytes(data))    # ISO samples: 4B lengths
         off = self.io.tell()
-        self.io.write(pkt.data)
+        self.io.write(data)
         dur = pkt.duration or 1
         self._samples[pkt.stream_index].append(
-            (off, len(pkt.data), dur, bool(pkt.flags & PktFlags.KEY)))
+            (off, len(data), dur, bool(pkt.flags & PktFlags.KEY)))
 
     def write_trailer(self):
         io = self.io
@@ -185,7 +190,9 @@ class MovMuxer(Muxer):
             if par.codec_id == "mpeg4":
                 extra = _esds(_OBJECT_TYPE["mpeg4"], par.extradata, False)
             elif par.codec_id == "h264" and par.extradata:
-                extra = _box(b"avcC", par.extradata)
+                from librempeg_tpu.codecs.h264.avcc import build_avcc
+
+                extra = _box(b"avcC", build_avcc(bytes(par.extradata)))
             entry = _box(fourcc, struct.pack(">IHH", 0, 0, 1)
                          + b"\x00" * 16
                          + struct.pack(">HH", par.width, par.height)
@@ -313,8 +320,28 @@ class MovDemuxer(Demuxer):
             if codec is None:
                 return None
             w, h = struct.unpack(">HH", entry[8 + 24:8 + 28])
-            return CodecParameters(codec_type="video", codec_id=codec,
-                                   width=w, height=h, pix_fmt="yuv420p")
+            extra = b""
+            nal_size = 4
+            pos = 86                  # 8B box header + 78B fixed entry
+            while pos + 8 <= len(entry):
+                sz = struct.unpack(">I", entry[pos:pos + 4])[0]
+                if sz < 8 or pos + sz > len(entry):
+                    break
+                if entry[pos + 4:pos + 8] == b"avcC":
+                    from librempeg_tpu.codecs.h264.avcc import (
+                        avcc_to_annexb,
+                        nal_length_size,
+                    )
+
+                    avcc = entry[pos + 8:pos + sz]
+                    extra = avcc_to_annexb(avcc)
+                    nal_size = nal_length_size(avcc)
+                pos += sz
+            par = CodecParameters(codec_type="video", codec_id=codec,
+                                  width=w, height=h, pix_fmt="yuv420p",
+                                  extradata=extra)
+            par.extra["nal_length_size"] = nal_size
+            return par
         if htype == b"soun":
             if fourcc == b"mp4a":
                 channels, bits = struct.unpack(">HH", entry[8 + 8:8 + 12])
@@ -389,6 +416,11 @@ class MovDemuxer(Demuxer):
         off, size, dur = st.extra_samples[cur]
         self.io.seek(off)
         data = self.io.read_exact(size)
+        if st.codecpar.codec_id == "h264":
+            from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+
+            data = lp_to_annexb(
+                data, st.codecpar.extra.get("nal_length_size", 4))
         pts = sum(d for _, _, d in st.extra_samples[:cur])
         self._cursor[st.index] += 1
         return Packet(data=data, pts=pts, dts=pts, duration=dur,

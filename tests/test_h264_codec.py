@@ -84,3 +84,74 @@ class TestH264VsReference:
             ours += dec.decode(p)
         for o, r in zip(ours, refs):
             np.testing.assert_array_equal(np.asarray(o.planes[0]), r)
+
+
+class TestH264Mp4:
+    """Conformant h264-in-mp4: proper avcC record + length-prefixed
+    samples (libavformat/avc.c + bsf/h264_mp4toannexb.c analogs)."""
+
+    def _make_mp4(self, tmp_path):
+        from librempeg_tpu.cli.ffmpeg import main as ffmain
+
+        out = tmp_path / "a.mp4"
+        rc = ffmain(["-v", "error", "-f", "lavfi",
+                     "-i", "testsrc2=size=64x48:duration=0.3",
+                     "-c:v", "h264", "-y", str(out)])
+        assert rc == 0
+        return out
+
+    def test_avcc_record_and_lengths(self, tmp_path):
+        out = self._make_mp4(tmp_path)
+        raw = out.read_bytes()
+        i = raw.find(b"avcC")
+        assert i > 0 and raw[i + 4] == 1          # configurationVersion
+        assert raw[i + 8] & 3 == 3                # 4-byte NAL lengths
+
+    def test_own_roundtrip(self, tmp_path):
+        from librempeg_tpu.codecs.api import find_decoder
+        from librempeg_tpu.formats.api import open_input
+
+        out = self._make_mp4(tmp_path)
+        d = open_input(str(out))
+        par = d.streams[0].codecpar
+        assert bytes(par.extradata)[:4] == b"\x00\x00\x00\x01"
+        dec = find_decoder("h264")(par)
+        frames = []
+        for p in d.packets():
+            frames += dec.decode(p)
+        assert len(frames) == 8
+
+    def test_bsf_mp4toannexb(self):
+        from librempeg_tpu.codecs.bsf import find_bsf
+        from librempeg_tpu.codecs.h264.avcc import (
+            annexb_to_lp,
+            avcc_to_annexb,
+            build_avcc,
+        )
+        from librempeg_tpu.codecs.h264.intra import build_pps, build_sps
+        from librempeg_tpu.core.packet import Packet, PktFlags
+        from librempeg_tpu.formats.api import CodecParameters
+
+        extra = build_sps(4, 3) + build_pps()
+        avcc = build_avcc(extra)
+        assert avcc[0] == 1
+        assert avcc_to_annexb(avcc) == extra
+        payload = b"\x00\x00\x00\x01\x65" + bytes(range(20))
+        lp = annexb_to_lp(payload)
+        par = CodecParameters(codec_type="video", codec_id="h264",
+                              extradata=avcc)
+        bsf = find_bsf("h264_mp4toannexb")(par)
+        got = bsf.filter(Packet(data=lp, flags=PktFlags.KEY))[0]
+        assert bytes(got.data) == extra + payload
+
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
+    def test_reference_decodes_conformant_mp4(self, tmp_path):
+        import subprocess
+
+        out = self._make_mp4(tmp_path)
+        r = subprocess.run([reference_ffmpeg(), "-v", "error", "-i",
+                            str(out), "-f", "framecrc", "-"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0 and r.stderr == ""
+        body = [ln for ln in r.stdout.splitlines() if not ln.startswith("#")]
+        assert len(body) == 8
