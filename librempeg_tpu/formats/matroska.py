@@ -174,10 +174,21 @@ class MatroskaDemuxer(Demuxer):
             if cid is None:
                 continue
             if ttype == 1:
+                extradata = bytes(private)
+                nal_size = 4
+                if cid == "h264" and extradata[:1] == b"\x01":
+                    from librempeg_tpu.codecs.h264.avcc import (
+                        avcc_to_annexb,
+                        nal_length_size,
+                    )
+
+                    nal_size = nal_length_size(extradata)
+                    extradata = avcc_to_annexb(extradata)
                 par = CodecParameters(codec_type="video", codec_id=cid,
                                       width=w, height=h,
                                       pix_fmt="yuv420p",
-                                      extradata=bytes(private))
+                                      extradata=extradata)
+                par.extra["nal_length_size"] = nal_size
             elif ttype == 2:
                 par = CodecParameters(codec_type="audio", codec_id=cid,
                                       sample_rate=rate or 48000,
@@ -258,6 +269,11 @@ class MatroskaDemuxer(Demuxer):
         if sidx is None:
             return self.read_packet()
         st = self.streams[sidx]
+        if st.codecpar.codec_id == "h264":
+            from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+
+            payload = lp_to_annexb(
+                payload, st.codecpar.extra.get("nal_length_size", 4))
         return Packet(data=payload, pts=ts, dts=ts, duration=0,
                       stream_index=sidx,
                       flags=PktFlags.KEY if key else 0,
@@ -356,7 +372,12 @@ class MatroskaMuxer(Muxer):
             _el(_CODEC_ID, mkv_id.encode("ascii")),
         ]
         if par.extradata:
-            out.append(_el(_CODEC_PRIVATE, bytes(par.extradata)))
+            private = bytes(par.extradata)
+            if par.codec_id == "h264":      # mkv carries avcC, not annex-B
+                from librempeg_tpu.codecs.h264.avcc import build_avcc
+
+                private = build_avcc(private)
+            out.append(_el(_CODEC_PRIVATE, private))
         if par.codec_type == "video":
             if par.framerate.num > 0:
                 out.append(_el_uint(
@@ -401,6 +422,10 @@ class MatroskaMuxer(Muxer):
             self._cluster_ts = max(ts, 0)
             rel = ts - self._cluster_ts
         data = bytes(pkt.data)
+        if st.codecpar.codec_id == "h264":
+            from librempeg_tpu.codecs.h264.avcc import annexb_to_lp
+
+            data = annexb_to_lp(data)
         block = (_enc_size(st.index + 1) + struct.pack(">h", rel)
                  + bytes([0x80 if key else 0]) + data)
         self._cluster += _el(_SIMPLE_BLOCK, block)

@@ -136,3 +136,34 @@ class TestMatroskaMux:
                       "-map", "0:a", "-f", "s16le", "-"],
                      capture_output=True)
         assert out.stdout == pcm
+
+
+class TestMatroskaH264:
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
+    def test_h264_track_conformant(self, tmp_path):
+        """V_MPEG4/ISO/AVC track carries avcC CodecPrivate with
+        length-prefixed blocks; both the reference and our own
+        demux+decode read it back."""
+        import subprocess
+        from librempeg_tpu.cli.ffmpeg import main as ffmain
+        from librempeg_tpu.codecs.api import find_decoder
+
+        out = tmp_path / "h.mkv"
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "testsrc2=size=64x48:duration=0.3",
+                       "-c:v", "h264", "-y", str(out)]) == 0
+        raw = out.read_bytes()
+        i = raw.find(b"V_MPEG4/ISO/AVC")
+        assert i > 0
+        r = subprocess.run([reference_ffmpeg(), "-v", "error", "-i",
+                            str(out), "-f", "framecrc", "-"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0 and r.stderr == ""
+        assert len([ln for ln in r.stdout.splitlines()
+                    if not ln.startswith("#")]) == 8
+        d = open_input(str(out))
+        dec = find_decoder("h264")(d.streams[0].codecpar)
+        frames = []
+        for p in d.packets():
+            frames += dec.decode(p)
+        assert len(frames) == 8
