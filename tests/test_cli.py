@@ -172,3 +172,26 @@ class TestFullTranscode:
 
         g = decode_jpeg(open(files[0], "rb").read())
         assert (g.width, g.height) == (32, 24)
+
+
+class TestStreamCopy:
+    def test_copy_remux_chain(self, tmp_path):
+        """-c copy across mp4 -> mkv -> mp4 keeps payloads byte-exact."""
+        src = tmp_path / "src.mp4"
+        assert ffm.main(["-v", "error", "-f", "lavfi",
+                         "-i", "testsrc2=size=64x48:duration=0.3",
+                         "-c:v", "mpeg4", "-q:v", "4", "-y",
+                         str(src)]) == 0
+        mkv = tmp_path / "c.mkv"
+        mp4 = tmp_path / "c2.mp4"
+        assert ffm.main(["-v", "error", "-i", str(src), "-c", "copy",
+                         "-y", str(mkv)]) == 0
+        assert ffm.main(["-v", "error", "-i", str(mkv), "-c", "copy",
+                         "-y", str(mp4)]) == 0
+
+        def payloads(p):
+            d = open_input(str(p))
+            return [bytes(pk.data) for pk in d.packets()]
+
+        a, b, c = payloads(src), payloads(mkv), payloads(mp4)
+        assert a == b == c and len(a) == 8
