@@ -146,6 +146,12 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             spec_kw["no_video"] = True
         elif a == "-g":
             video.codec_opts["gop_size"] = int(val())
+        elif a == "-metadata":
+            kv = val()
+            if "=" not in kv:
+                raise CliError("-metadata needs key=value")
+            k, v = kv.split("=", 1)
+            spec_kw.setdefault("metadata", {})[k] = v
         elif a.startswith("-"):
             raise CliError(f"unknown option {a}")
         else:

@@ -132,6 +132,9 @@ class MatroskaDemuxer(Demuxer):
                 for eid2, s2, e2 in _iter_elements(data, s, e):
                     if eid2 == _TIMESTAMP_SCALE:
                         self.timescale = _uint(data[s2:e2])
+                    elif eid2 == _TITLE:
+                        self.metadata["title"] = data[s2:e2].decode(
+                            "utf-8", "replace")
             elif eid == _TRACKS:
                 self._parse_tracks(data, s, e)
             elif eid == _CLUSTER:
@@ -320,6 +323,7 @@ _EBML_VERSION = 0x4286
 _EBML_READ_VERSION = 0x42F7
 _EBML_MAX_ID_LENGTH = 0x42F2
 _EBML_MAX_SIZE_LENGTH = 0x42F3
+_TITLE = 0x7BA9
 _MUXING_APP = 0x4D80
 _WRITING_APP = 0x5741
 _DURATION = 0x4489
@@ -436,8 +440,11 @@ class MatroskaMuxer(Muxer):
     def write_trailer(self):
         self._drain(final=True)
         self._flush_cluster()
+        title = [_el(_TITLE, self.metadata["title"].encode())] \
+            if self.metadata.get("title") else []
         info = _el(_INFO, b"".join([
             _el_uint(_TIMESTAMP_SCALE, self._timescale),
+            *title,
             _el(_MUXING_APP, b"librempeg_tpu"),
             _el(_WRITING_APP, b"librempeg_tpu"),
             _el_float(_DURATION, float(self._max_ts)),

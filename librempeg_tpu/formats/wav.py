@@ -98,6 +98,19 @@ class WavDemuxer(Demuxer):
                 par.block_align = balign or channels * (bits // 8)
                 par.extra["bits_per_sample"] = bits
                 fmt_seen = True
+            elif tag == b"LIST" and size >= 4:
+                body = io.read_exact(size + (size & 1))[:size]
+                if body[:4] == b"INFO":
+                    pos = 4
+                    while pos + 8 <= len(body):
+                        k = body[pos:pos + 4]
+                        ln = struct.unpack("<I", body[pos + 4:pos + 8])[0]
+                        v = body[pos + 8:pos + 8 + ln].split(b"\x00")[0]
+                        key = _INFO_TO_KEY.get(k)
+                        if key:
+                            self.metadata[key] = v.decode("utf-8",
+                                                          "replace")
+                        pos += 8 + ln + (ln & 1)
             elif tag == b"data":
                 self._data_start = io.tell()
                 self._data_size = size if size != 0xFFFFFFFF else -1
@@ -152,6 +165,13 @@ class WavDemuxer(Demuxer):
         self._pos = byte
 
 
+#: RIFF LIST/INFO tag <-> metadata key (libavformat/riff.c ff_riff_info_conv)
+_INFO_TO_KEY = {b"INAM": "title", b"IART": "artist", b"ICMT": "comment",
+                b"ICRD": "date", b"IGNR": "genre", b"ISFT": "encoder",
+                b"IPRD": "album", b"ITRK": "track"}
+_KEY_TO_INFO = {v: k for k, v in _INFO_TO_KEY.items()}
+
+
 @register_muxer
 class WavMuxer(Muxer):
     NAME = "wav"
@@ -193,6 +213,18 @@ class WavMuxer(Muxer):
 
     def write_trailer(self) -> None:
         io = self.io
+        if self.metadata:
+            body = b"INFO"
+            for key, val in self.metadata.items():
+                tag = _KEY_TO_INFO.get(key.lower())
+                if tag is None:
+                    continue
+                v = val.encode() + b"\x00"
+                if len(v) & 1:
+                    v += b"\x00"
+                body += tag + struct.pack("<I", len(v)) + v
+            if body != b"INFO":
+                io.write(b"LIST" + struct.pack("<I", len(body)) + body)
         if io.seekable:
             end = io.tell()
             io.seek(self._riff_size_pos)

@@ -66,6 +66,7 @@ class TranscodeSpec:
     no_audio: bool = False
     duration: float = 0.0            # -t
     seek: float = 0.0                # -ss
+    metadata: dict = field(default_factory=dict)   # -metadata key=value
 
 
 class _StreamChain:
@@ -201,6 +202,7 @@ class Transcoder:
         self.demux = open_input(spec.input_url, spec.input_format,
                                 **spec.input_opts)
         self.mux = open_output(spec.output_url, spec.output_format)
+        self.mux.metadata.update(spec.metadata)
         self.chains: dict[int, _StreamChain] = {}
 
         for st in self.demux.streams:

@@ -186,3 +186,53 @@ class TestProtocols:
         io.write(b"abc")
         io.close()
         assert out.read_text().strip() == hashlib.md5(b"abc").hexdigest()
+
+
+class TestMetadata:
+    """-metadata plumbing: wav LIST/INFO + matroska Title, read back by
+    both our demuxers and the reference's ffprobe."""
+
+    def _wav(self, tmp_path):
+        from librempeg_tpu.cli.ffmpeg import main as ffmain
+
+        out = tmp_path / "m.wav"
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "sine=frequency=440:duration=0.1",
+                       "-metadata", "title=Hello World",
+                       "-metadata", "artist=TPU", "-y", str(out)]) == 0
+        return out
+
+    def test_wav_info_roundtrip(self, tmp_path):
+        out = self._wav(tmp_path)
+        d = open_input(str(out))
+        assert d.metadata == {"title": "Hello World", "artist": "TPU"}
+        # the file still decodes fully
+        n = sum(len(p.data) for p in d.packets())
+        assert n == int(0.1 * 44100) * 2   # mono s16
+
+    def test_mkv_title_roundtrip(self, tmp_path):
+        from librempeg_tpu.cli.ffmpeg import main as ffmain
+
+        out = tmp_path / "m.mkv"
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "testsrc2=size=64x48:duration=0.2",
+                       "-c:v", "mpeg4", "-q:v", "4",
+                       "-metadata", "title=MkvTitle", "-y", str(out)]) == 0
+        d = open_input(str(out))
+        assert d.metadata["title"] == "MkvTitle"
+
+    def test_reference_reads_wav_tags(self, tmp_path):
+        import subprocess
+        from conftest import reference_ffmpeg
+
+        if reference_ffmpeg() is None:
+            import pytest
+
+            pytest.skip("no reference")
+        out = self._wav(tmp_path)
+        probe = str(reference_ffmpeg()).replace("ffmpeg", "ffprobe")
+        r = subprocess.run([probe, "-v", "error", "-show_entries",
+                            "format_tags", "-of", "default", str(out)],
+                           capture_output=True, text=True)
+        assert "TAG:title=Hello World" in r.stdout
+        assert "TAG:artist=TPU" in r.stdout
