@@ -106,7 +106,8 @@ class MovMuxer(Muxer):
                           0x40000000)
             + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
             + struct.pack(">I", len(self.streams) + 1))
-        moov = _box(b"moov", mvhd + traks)
+        udta = self._udta()
+        moov = _box(b"moov", mvhd + traks + udta)
         io.write(moov)
         if io.seekable:
             end = io.tell()
@@ -180,6 +181,28 @@ class MovMuxer(Muxer):
                           0x40000000)
             + struct.pack(">II", w, h))
         return _box(b"trak", tkhd + mdia)
+
+    _ILST_TAGS = {"title": b"\xa9nam", "artist": b"\xa9ART",
+                  "album": b"\xa9alb", "comment": b"\xa9cmt",
+                  "date": b"\xa9day", "genre": b"\xa9gen",
+                  "encoder": b"\xa9too"}
+
+    def _udta(self) -> bytes:
+        """iTunes-style metadata: udta/meta/(hdlr mdir)/ilst
+        (libavformat/movenc.c mov_write_ilst_tag analog)."""
+        items = b""
+        for key, val in self.metadata.items():
+            tag = self._ILST_TAGS.get(key.lower())
+            if tag is None:
+                continue
+            data = _full(b"data", 0, 1, b"\x00" * 4 + val.encode())
+            items += _box(tag, data)
+        if not items:
+            return b""
+        hdlr = _full(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"mdir" + b"appl" + b"\x00" * 9)
+        meta = _full(b"meta", 0, 0, hdlr + _box(b"ilst", items))
+        return _box(b"udta", meta)
 
     def _stsd(self, par: CodecParameters) -> bytes:
         if par.codec_type == "video":
@@ -283,9 +306,25 @@ class MovDemuxer(Demuxer):
             cur = found
         return cur
 
+    _ILST_KEYS = {b"\xa9nam": "title", b"\xa9ART": "artist",
+                  b"\xa9alb": "album", b"\xa9cmt": "comment",
+                  b"\xa9day": "date", b"\xa9gen": "genre",
+                  b"\xa9too": "encoder"}
+
     def _parse_moov(self, moov: bytes):
         idx = 0
         for tag, body in self._boxes(moov):
+            if tag == b"udta":
+                meta = self._find(body, b"meta")
+                if meta is not None:
+                    ilst = self._find(meta[4:], b"ilst")  # skip fullbox hdr
+                    if ilst is not None:
+                        for itag, item in self._boxes(ilst):
+                            key = self._ILST_KEYS.get(itag)
+                            dat = self._find(item, b"data")
+                            if key and dat is not None and len(dat) > 8:
+                                self.metadata[key] = dat[8:].decode(
+                                    "utf-8", "replace")
             if tag != b"trak":
                 continue
             mdia = self._find(body, b"mdia")

@@ -236,3 +236,15 @@ class TestMetadata:
                            capture_output=True, text=True)
         assert "TAG:title=Hello World" in r.stdout
         assert "TAG:artist=TPU" in r.stdout
+
+    def test_mp4_ilst_roundtrip(self, tmp_path):
+        from librempeg_tpu.cli.ffmpeg import main as ffmain
+
+        out = tmp_path / "m.mp4"
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "testsrc2=size=64x48:duration=0.2",
+                       "-c:v", "mpeg4", "-q:v", "4",
+                       "-metadata", "title=Mp4Title",
+                       "-metadata", "artist=TPU", "-y", str(out)]) == 0
+        d = open_input(str(out))
+        assert d.metadata == {"title": "Mp4Title", "artist": "TPU"}
