@@ -187,3 +187,44 @@ class TestFrames:
         q = p.rescale_ts(Rational(1, 90000))
         assert q.pts == 90090  # 30 * 1001/30000 s = 1.001 s at 90 kHz
         assert q.duration == 3003
+
+
+class TestSideData:
+    def test_typed_roundtrip(self):
+        import numpy as np
+        from librempeg_tpu.core.frame import VideoFrame
+        from librempeg_tpu.core.sidedata import (
+            DisplayMatrix,
+            ReplayGain,
+            Timecode,
+            get_side_data,
+            set_side_data,
+            side_data_types,
+        )
+
+        f = VideoFrame(planes=(np.zeros((8, 8), np.uint8),),
+                       format="gray", width=8, height=8)
+        set_side_data(f, DisplayMatrix(rotation_degrees=90.0))
+        set_side_data(f, ReplayGain(track_gain_db=-3.5))
+        assert get_side_data(f, DisplayMatrix).rotation_degrees == 90.0
+        assert get_side_data(f, ReplayGain).track_gain_db == -3.5
+        assert get_side_data(f, Timecode) is None
+        assert len(side_data_types()) >= 8
+        # survives frame.replace (dict identity is fine for metadata)
+        g = f.replace(pts=5)
+        assert get_side_data(g, DisplayMatrix).rotation_degrees == 90.0
+
+    def test_timecode_format(self):
+        from librempeg_tpu.core.sidedata import Timecode
+
+        tc = Timecode(hours=1, minutes=2, seconds=3, frames=4)
+        assert str(tc) == "01:02:03:04"
+        assert str(Timecode(frames=2, drop=True)).endswith(";02")
+
+    def test_wrong_type_rejected(self):
+        import pytest
+        from librempeg_tpu.core.packet import Packet
+        from librempeg_tpu.core.sidedata import set_side_data
+
+        with pytest.raises(TypeError):
+            set_side_data(Packet(data=b""), object())
