@@ -241,11 +241,92 @@ def _open_md5(url: str, mode: str) -> IOContext:
     return _Md5IO()
 
 
+def _open_tcp(url: str, mode: str) -> IOContext:
+    """tcp://host:port[?listen=1] (tcp.c analog). With listen=1 the
+    opener binds and accepts one peer; otherwise it connects. The
+    socket is wrapped unbuffered and unseekable, like the reference's
+    streamed-protocol contract."""
+    import socket
+    import urllib.parse as up
+
+    u = up.urlparse(url)
+    host, port = u.hostname or "127.0.0.1", u.port
+    if port is None:
+        raise ValueError("tcp: missing port")
+    q = dict(up.parse_qsl(u.query))
+    if q.get("listen"):
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(1)
+        srv.settimeout(float(q.get("timeout", 30)))
+        conn, _ = srv.accept()
+        srv.close()
+    else:
+        conn = socket.create_connection(
+            (host, port), timeout=float(q.get("timeout", 30)))
+    if mode == "r":
+        # buffered reader: loops short socket reads until n bytes or EOF
+        fh = conn.makefile("rb")
+    else:
+        fh = conn.makefile("wb", buffering=0)
+    io = IOContext(fh, seekable=False, url=url)
+    io._sock = conn                         # keep a ref for close()
+    return io
+
+
+def _open_udp(url: str, mode: str) -> IOContext:
+    """udp://host:port (udp.c analog, datagram-as-stream)."""
+    import socket
+    import urllib.parse as up
+
+    u = up.urlparse(url)
+    host, port = u.hostname or "127.0.0.1", u.port
+    if port is None:
+        raise ValueError("udp: missing port")
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    class _UdpIO(IOContext):
+        def __init__(self):
+            self.url = url
+            self.seekable = False
+            self._peek = b""
+            self.eof = False
+            if mode == "r":
+                sock.bind((host, port))
+                sock.settimeout(30)
+
+        def read(self, n):
+            if self._peek:
+                out, self._peek = self._peek[:n], self._peek[n:]
+                return out
+            try:
+                data, _ = sock.recvfrom(65536)
+            except OSError:
+                self.eof = True
+                return b""
+            if not data:
+                self.eof = True
+            return data[:n] if n < len(data) else data
+
+        def write(self, data):
+            mv = memoryview(bytes(data))
+            for i in range(0, len(mv), 1316):   # TS-friendly datagrams
+                sock.sendto(bytes(mv[i:i + 1316]), (host, port))
+
+        def close(self):
+            sock.close()
+
+    return _UdpIO()
+
+
 register_protocol("file", _open_file)
 register_protocol("pipe", _open_pipe)
 register_protocol("concat", _open_concat)
 register_protocol("data", _open_data)
 register_protocol("md5", _open_md5)
+register_protocol("tcp", _open_tcp)
+register_protocol("udp", _open_udp)
 
 
 def open_io(url: str, mode: str = "r") -> IOContext:
