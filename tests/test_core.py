@@ -228,3 +228,37 @@ class TestSideData:
 
         with pytest.raises(TypeError):
             set_side_data(Packet(data=b""), object())
+
+
+class TestHashFacade:
+    def test_known_vectors(self):
+        from librempeg_tpu.core.hash import (
+            Hasher,
+            adler32,
+            crc16_flac,
+            crc32,
+            crc32_mpeg2,
+            crc8_flac,
+        )
+
+        # av_adler32 starts at 0, standard adler at 1: values differ
+        import zlib
+
+        assert adler32(b"hello") != zlib.adler32(b"hello")
+        assert adler32(b"") == 0
+        assert crc32(b"123456789") == 0xCBF43926        # IEEE check value
+        assert crc32_mpeg2(b"123456789") == 0x0376E6E7  # CRC-32/MPEG-2
+        assert crc8_flac(b"123456789") == 0xF4          # CRC-8 check
+        assert crc16_flac(b"123456789") == 0xFEE8       # CRC-16/BUYPASS
+        h = Hasher("md5").update(b"abc")
+        assert h.hexdigest() == "900150983cd24fb0d6963f7d28e17f72"
+        assert Hasher("sha256").update(b"abc").hexdigest().startswith(
+            "ba7816bf")
+
+    def test_incremental_matches_oneshot(self):
+        from librempeg_tpu.core.hash import Hasher
+
+        for name in Hasher.NAMES:
+            a = Hasher(name).update(b"foo").update(b"bar").hexdigest()
+            b = Hasher(name).update(b"foobar").hexdigest()
+            assert a == b, name
