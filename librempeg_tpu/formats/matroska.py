@@ -7,7 +7,12 @@ from __future__ import annotations
 
 import struct
 
-from librempeg_tpu.core.errors import EndOfStream, InvalidData, Unsupported
+from librempeg_tpu.core.errors import (
+    EndOfStream,
+    InvalidData,
+    NotFound,
+    Unsupported,
+)
 from librempeg_tpu.core.packet import Packet, PktFlags
 from librempeg_tpu.core.rational import NOPTS, Rational
 from librempeg_tpu.formats.api import (
@@ -262,6 +267,25 @@ class MatroskaDemuxer(Demuxer):
         ts = cluster_ts + rel_ts
         for i, f in enumerate(frames):
             self._blocks.append((ts + i, track, 1 if key else 0, f))
+
+    def read_seek(self, stream_index: int, ts: int) -> None:
+        """Seek to the latest keyframe of `stream_index` at or before
+        `ts` (ticks); binary search over the block index, then walk
+        back to a keyframe (avformat_seek_file backward semantics)."""
+        import bisect
+
+        track = None
+        for tnum, sidx in self._track_map.items():
+            if sidx == stream_index:
+                track = tnum
+        if track is None:
+            raise NotFound("mkv: no such stream")
+        times = [b[0] for b in self._blocks]
+        i = bisect.bisect_right(times, ts) - 1
+        while i > 0 and not (self._blocks[i][1] == track
+                             and self._blocks[i][2]):
+            i -= 1
+        self._cursor = max(i, 0)
 
     def read_packet(self) -> Packet:
         if self._cursor >= len(self._blocks):

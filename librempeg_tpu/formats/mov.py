@@ -348,6 +348,13 @@ class MovDemuxer(Demuxer):
                         time_base=Rational(1, timescale))
             st.extra_samples = self._sample_table(stbl)
             st.duration = sum(d for _, _, d in st.extra_samples)
+            stss = self._find(stbl, b"stss")
+            if stss is not None:
+                n = struct.unpack(">I", stss[4:8])[0]
+                st.extra_sync = set(
+                    struct.unpack(f">{n}I", stss[8:8 + 4 * n]))
+            else:
+                st.extra_sync = None        # absent stss = all sync
             self.streams.append(st)
             idx += 1
 
@@ -436,6 +443,30 @@ class MovDemuxer(Demuxer):
                 off += sizes[si]
                 si += 1
         return out
+
+    def read_seek(self, stream_index: int, ts: int) -> None:
+        """Position `stream_index` at the latest sync sample with
+        pts <= ts; other streams snap near the same time."""
+        st = self.streams[stream_index]
+
+        def seek_one(stream, target):
+            acc = 0
+            idx = 0
+            sync = getattr(stream, "extra_sync", None)
+            for i, (_, _, dur) in enumerate(stream.extra_samples):
+                if acc > target:
+                    break
+                if sync is None or (i + 1) in sync:
+                    idx = i
+                acc += dur
+            self._cursor[stream.index] = idx
+
+        seek_one(st, ts)
+        t_sec = ts * st.time_base.num / st.time_base.den
+        for other in self.streams:
+            if other.index != stream_index:
+                seek_one(other, int(t_sec * other.time_base.den
+                                    / other.time_base.num))
 
     def read_packet(self) -> Packet:
         # pick stream with smallest next dts

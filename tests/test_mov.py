@@ -89,3 +89,29 @@ class TestMp4:
         assert (st.codecpar.width, st.codecpar.height) == (64, 48)
         pkts = list(d.packets())
         assert len(pkts) == 4
+
+
+class TestMovSeek:
+    def test_seek_snaps_to_keyframe(self, tmp_path):
+        import jax  # noqa: F401  (conftest pins cpu)
+        from librempeg_tpu.cli.ffmpeg import main as ffmain
+        from librempeg_tpu.formats.api import open_input
+
+        out = tmp_path / "s.mp4"
+        # gop 4 -> keyframes at 0, 4, 8
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "testsrc2=size=64x48:duration=0.4",
+                       "-c:v", "mpeg4", "-q:v", "4", "-g", "4",
+                       "-y", str(out)]) == 0
+        d = open_input(str(out))
+        st = d.streams[0]
+        # seek to the 6th frame's time -> must land on keyframe 4
+        d.read_seek(0, 6 * st.extra_samples[0][2])
+        from librempeg_tpu.core.packet import PktFlags
+
+        p = d.read_packet()
+        assert bool(p.flags & PktFlags.KEY)
+        assert p.pts == 4 * st.extra_samples[0][2]
+        # seek back to zero
+        d.read_seek(0, 0)
+        assert d.read_packet().pts == 0
