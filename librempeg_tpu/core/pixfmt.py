@@ -124,11 +124,27 @@ YUV422P10 = _reg(_planar_yuv("yuv422p10le", 1, 0, depth=10))
 YUV444P10 = _reg(_planar_yuv("yuv444p10le", 0, 0, depth=10))
 YUV420P12 = _reg(_planar_yuv("yuv420p12le", 1, 1, depth=12))
 YUV444P16 = _reg(_planar_yuv("yuv444p16le", 0, 0, depth=16))
+YUV420P9 = _reg(_planar_yuv("yuv420p9le", 1, 1, depth=9))
+YUV422P9 = _reg(_planar_yuv("yuv422p9le", 1, 0, depth=9))
+YUV444P9 = _reg(_planar_yuv("yuv444p9le", 0, 0, depth=9))
+YUV422P12 = _reg(_planar_yuv("yuv422p12le", 1, 0, depth=12))
+YUV444P12 = _reg(_planar_yuv("yuv444p12le", 0, 0, depth=12))
+YUV420P14 = _reg(_planar_yuv("yuv420p14le", 1, 1, depth=14))
+YUV420P16 = _reg(_planar_yuv("yuv420p16le", 1, 1, depth=16))
+YUV422P16 = _reg(_planar_yuv("yuv422p16le", 1, 0, depth=16))
+YUV440P10 = _reg(_planar_yuv("yuv440p10le", 0, 1, depth=10))
+YUV440P12 = _reg(_planar_yuv("yuv440p12le", 0, 1, depth=12))
+YUVA422P = _reg(_planar_yuv("yuva422p", 1, 0, alpha=True))
+YUVA444P10 = _reg(_planar_yuv("yuva444p10le", 0, 0, depth=10, alpha=True))
 
 NV12 = _reg(PixFmtDesc("nv12", 8, (PlaneDesc(("y",)), PlaneDesc(("u", "v"), 1, 1))))
 NV21 = _reg(PixFmtDesc("nv21", 8, (PlaneDesc(("y",)), PlaneDesc(("v", "u"), 1, 1))))
 
 GRAY8 = _reg(PixFmtDesc("gray", 8, (PlaneDesc(("y",)),)))
+GRAY9 = _reg(PixFmtDesc("gray9le", 9, (PlaneDesc(("y",)),)))
+GRAY10 = _reg(PixFmtDesc("gray10le", 10, (PlaneDesc(("y",)),)))
+GRAY12 = _reg(PixFmtDesc("gray12le", 12, (PlaneDesc(("y",)),)))
+GRAY14 = _reg(PixFmtDesc("gray14le", 14, (PlaneDesc(("y",)),)))
 GRAY16 = _reg(PixFmtDesc("gray16le", 16, (PlaneDesc(("y",)),)))
 GRAYF32 = _reg(PixFmtDesc("grayf32le", 32, (PlaneDesc(("y",)),), is_float=True))
 
@@ -142,6 +158,16 @@ BGRA = _reg(PixFmtDesc("bgra", 8, (PlaneDesc(("b", "g", "r", "a")),), is_rgb=Tru
                        has_alpha=True, default_range=ColorRange.JPEG))
 ARGB = _reg(PixFmtDesc("argb", 8, (PlaneDesc(("a", "r", "g", "b")),), is_rgb=True,
                        has_alpha=True, default_range=ColorRange.JPEG))
+GBRP10 = _reg(PixFmtDesc("gbrp10le", 10,
+                         (PlaneDesc(("g",)), PlaneDesc(("b",)),
+                          PlaneDesc(("r",))), is_rgb=True))
+GBRP12 = _reg(PixFmtDesc("gbrp12le", 12,
+                         (PlaneDesc(("g",)), PlaneDesc(("b",)),
+                          PlaneDesc(("r",))), is_rgb=True))
+GBRAP = _reg(PixFmtDesc("gbrap", 8,
+                        (PlaneDesc(("g",)), PlaneDesc(("b",)),
+                         PlaneDesc(("r",)), PlaneDesc(("a",))),
+                        is_rgb=True, has_alpha=True))
 GBRP = _reg(PixFmtDesc("gbrp", 8, (PlaneDesc(("g",)), PlaneDesc(("b",)), PlaneDesc(("r",))),
                        is_rgb=True, default_range=ColorRange.JPEG))
 GBRP16 = _reg(PixFmtDesc("gbrp16le", 16,

@@ -171,3 +171,57 @@ class TestSemiPlanar:
         np.testing.assert_allclose(np.asarray(y8).astype(int),
                                    (y.astype(float) * 255 / 1023).round(),
                                    atol=1)
+
+
+class TestFormatSweep:
+    """Descriptor-driven coverage: every registered planar format must
+    convert to and from yuv444p/rgb through the generic plan — adding a
+    format row must not require scaler code."""
+
+    def test_all_registered_formats_convert(self):
+        import numpy as np
+        from librempeg_tpu.core import pixfmt as pf
+
+        rng = np.random.RandomState(0)
+        skipped = []
+        for fmt, d in sorted(pf.FORMATS.items()):
+            if d.is_float:
+                mid = "grayf32le" if d.nb_planes == 1 else "rgbaf32le"
+            else:
+                mid = "yuv444p" if not d.is_rgb else "rgb24"
+            try:
+                fwd = Scaler(fmt, 32, 24, mid, 32, 24)
+                rev = Scaler(mid, 32, 24, fmt, 32, 24)
+            except Exception as e:   # noqa: BLE001
+                skipped.append((fmt, str(e)[:60]))
+                continue
+            planes = []
+            mx = (1 << min(d.bit_depth, 16)) - 1
+            for p in d.planes:
+                h, w = 24 >> p.log2_chroma_h, 32 >> p.log2_chroma_w
+                shape = (h, w, len(p.components)) \
+                    if len(p.components) > 1 and d.is_rgb else \
+                    ((h, w) if len(p.components) == 1 else (h, w))
+                if d.is_float:
+                    arr = rng.rand(h, w).astype(np.float32) \
+                        if len(p.components) == 1 else \
+                        rng.rand(h, w, len(p.components)).astype(np.float32)
+                elif len(p.components) > 1:
+                    dt = np.uint8 if d.bit_depth <= 8 else np.uint16
+                    arr = rng.randint(0, mx + 1,
+                                      (h, w * len(p.components))
+                                      if not d.is_rgb else
+                                      (h, w, len(p.components))).astype(dt)
+                else:
+                    dt = np.uint8 if d.bit_depth <= 8 else np.uint16
+                    arr = rng.randint(0, mx + 1, (h, w)).astype(dt)
+                planes.append(arr)
+            try:
+                out = fwd.scale_planes(tuple(planes))
+                rev.scale_planes(tuple(np.asarray(o) for o in out))
+            except Exception as e:   # noqa: BLE001
+                skipped.append((fmt, str(e)[:60]))
+        # packed/interleaved host formats may need bespoke loaders; the
+        # planar table must be fully covered
+        assert not [s for s in skipped
+                    if "p" in s[0] or s[0].startswith("gray")], skipped
