@@ -19,6 +19,10 @@ try:
 except ImportError:
     pass
 try:
+    from librempeg_tpu.formats import hls  # noqa: F401
+except ImportError:
+    pass
+try:
     from librempeg_tpu.formats import yuv4mpeg  # noqa: F401
 except ImportError:
     pass

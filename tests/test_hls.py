@@ -1,0 +1,61 @@
+"""HLS segment muxer (hlsenc.c VOD-subset analog)."""
+import glob
+import os
+import subprocess
+
+import pytest
+
+from librempeg_tpu.cli.ffmpeg import main as ffmain
+from librempeg_tpu.formats.api import open_input
+
+from conftest import reference_ffmpeg
+
+
+def make_hls(tmp_path, seconds=6):
+    out = tmp_path / "out.m3u8"
+    assert ffmain(["-v", "error", "-f", "lavfi",
+                   "-i", f"testsrc2=size=64x48:duration={seconds}",
+                   "-c:v", "mpeg4", "-q:v", "4", "-g", "25",
+                   "-y", str(out)]) == 0
+    return out
+
+
+class TestHls:
+    def test_playlist_and_segments(self, tmp_path):
+        out = make_hls(tmp_path)
+        pl = out.read_text()
+        assert pl.startswith("#EXTM3U")
+        assert "#EXT-X-ENDLIST" in pl
+        segs = sorted(tmp_path.glob("out*.ts"))
+        assert len(segs) == 3                       # 6 s / 2 s target
+        names = [ln for ln in pl.splitlines() if ln.endswith(".ts")]
+        assert names == [s.name for s in segs]
+        # EXTINF durations ~2 s
+        infs = [float(ln.split(":")[1].rstrip(","))
+                for ln in pl.splitlines() if ln.startswith("#EXTINF")]
+        assert all(1.5 <= d <= 2.5 for d in infs)
+
+    def test_segments_independently_demuxable(self, tmp_path):
+        out = make_hls(tmp_path)
+        total = 0
+        for seg in sorted(tmp_path.glob("out*.ts")):
+            d = open_input(str(seg))
+            pkts = list(d.packets())
+            assert d.streams[0].codecpar.codec_id == "mpeg4"
+            total += len(pkts)
+        assert total == 150
+
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
+    def test_reference_decodes_every_segment(self, tmp_path):
+        """Each segment must decode standalone (codec config repeated
+        in-band at segment starts)."""
+        out = make_hls(tmp_path)
+        total = 0
+        for seg in sorted(tmp_path.glob("out*.ts")):
+            r = subprocess.run([reference_ffmpeg(), "-v", "error", "-i",
+                                str(seg), "-f", "framecrc", "-"],
+                               capture_output=True, text=True)
+            assert r.returncode == 0 and r.stderr == "", seg
+            total += len([ln for ln in r.stdout.splitlines()
+                          if not ln.startswith("#")])
+        assert total == 150
