@@ -164,8 +164,6 @@ class H264Decoder(Decoder):
         pred_mode = t % 4
         cbp_chroma = (t // 4) % 3
         cbp_luma = 15 if t >= 12 else 0
-        if pred_mode != 2:
-            raise Unsupported("h264: only DC intra16 prediction (round-1)")
         chroma_mode = _read_ue_br(br)
         if chroma_mode != 0:
             raise Unsupported("h264: only DC chroma prediction (round-1)")
@@ -216,7 +214,7 @@ class H264Decoder(Decoder):
                     ctx.set(gy, gx, 0)
 
         # reconstruction (same math as the encoder = bit-exact with ref)
-        pred = I._dc_pred16(ry, my, mx)
+        pred = I._pred16(ry, my, mx, pred_mode)
         fdc = I._H4 @ dc_lev @ I._H4
         dcd = I.dequant_luma_dc(fdc, qp)
         out = np.zeros((16, 16), np.int64)

@@ -242,6 +242,49 @@ def _dc_pred16(recon, my, mx):
     return 128
 
 
+def _pred16(recon, my, mx, mode):
+    """Full-MB Intra_16x16 prediction (§8.3.3): 0=V, 1=H, 2=DC, 3=Plane.
+    Returns a [16,16] int64 array; caller checks availability."""
+    top = recon[my * 16 - 1, mx * 16:mx * 16 + 16].astype(np.int64) \
+        if my > 0 else None
+    left = recon[my * 16:my * 16 + 16, mx * 16 - 1].astype(np.int64) \
+        if mx > 0 else None
+    if mode == 0:                                       # vertical
+        return np.broadcast_to(top, (16, 16)).copy()
+    if mode == 1:                                       # horizontal
+        return np.broadcast_to(left[:, None], (16, 16)).copy()
+    if mode == 2:                                       # DC
+        return np.full((16, 16), _dc_pred16(recon, my, mx), np.int64)
+    # plane: needs top, left AND top-left
+    tl = int(recon[my * 16 - 1, mx * 16 - 1])
+    i = np.arange(1, 9, dtype=np.int64)
+    hsum = int(np.sum(i * (top[7 + i]
+                           - np.where(7 - i >= 0, top[np.maximum(7 - i, 0)],
+                                      tl))))
+    vsum = int(np.sum(i * (left[7 + i]
+                           - np.where(7 - i >= 0, left[np.maximum(7 - i, 0)],
+                                      tl))))
+    a = 16 * (int(left[15]) + int(top[15]))
+    b = (5 * hsum + 32) >> 6
+    c = (5 * vsum + 32) >> 6
+    x = np.arange(16, dtype=np.int64)
+    y = np.arange(16, dtype=np.int64)
+    out = (a + b * (x[None, :] - 7) + c * (y[:, None] - 7) + 16) >> 5
+    return np.clip(out, 0, 255)
+
+
+def _modes16_available(my, mx):
+    """Candidate Intra_16x16 modes given neighbor availability."""
+    modes = [2]                     # DC always
+    if my > 0:
+        modes.append(0)             # vertical
+    if mx > 0:
+        modes.append(1)             # horizontal
+    if my > 0 and mx > 0:
+        modes.append(3)             # plane
+    return modes
+
+
 def _dc_pred8(recon, my, mx):
     """Chroma DC prediction per 4x4 quadrant (§8.3.4.1, mode DC)."""
     base_y, base_x = my * 8, mx * 8
@@ -280,9 +323,14 @@ def _dc_pred8(recon, my, mx):
 
 
 def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
-    # ---- luma
-    pred = _dc_pred16(ry, my, mx)
+    # ---- luma: pick the lowest-SAD Intra_16x16 mode (V/H/DC/Plane)
     src = y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16].astype(np.int64)
+    best_mode, pred, best_sad = 2, None, None
+    for mode in _modes16_available(my, mx):
+        p = _pred16(ry, my, mx, mode)
+        sad = int(np.abs(src - p).sum())
+        if best_sad is None or sad < best_sad:
+            best_mode, pred, best_sad = mode, p, sad
     resid = src - pred
     w16 = np.zeros((4, 4, 4, 4), np.int64)       # [by][bx][4][4]
     for by in range(4):
@@ -325,8 +373,8 @@ def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
     has_cac = np.any(c_lev["u"]) or np.any(c_lev["v"])
     cbp_chroma = 2 if has_cac else (1 if has_cdc else 0)
 
-    # ---- mb_type: I_16x16, predMode DC(2)
-    mb_type = 1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    # ---- mb_type: I_16x16 with the chosen prediction mode
+    mb_type = 1 + best_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
     _write_ue(bw, mb_type)
     _write_ue(bw, 0)                 # intra_chroma_pred_mode: DC
     _write_se(bw, 0)                 # mb_qp_delta

@@ -155,3 +155,53 @@ class TestH264Mp4:
         assert r.returncode == 0 and r.stderr == ""
         body = [ln for ln in r.stdout.splitlines() if not ln.startswith("#")]
         assert len(body) == 8
+
+
+class TestIntra16Modes:
+    """V/H/DC/Plane Intra_16x16 prediction (§8.3.3): mode selection by
+    SAD, recon bit-exact with the reference across mixed-mode frames."""
+
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
+    def test_gradient_uses_plane_and_matches_reference(self, tmp_path):
+        import subprocess
+        from librempeg_tpu.codecs.api import find_decoder
+        from librempeg_tpu.codecs.h264 import intra as I
+        from librempeg_tpu.core.packet import Packet
+
+        yy, xx = np.mgrid[0:96, 0:128]
+        y = np.clip(40 + yy + xx // 2, 0, 255).astype(np.uint8)
+        u = np.full((48, 64), 120, np.uint8)
+        v = np.full((48, 64), 130, np.uint8)
+        data = I.build_sps(8, 6) + I.build_pps() + \
+            I.encode_idr(y, u, v, qp=26, frame_idx=0)
+        assert len(data) < 400      # plane mode collapses the gradient
+        p = tmp_path / "g.h264"
+        p.write_bytes(data)
+        r = subprocess.run([reference_ffmpeg(), "-v", "error", "-f",
+                            "h264", "-i", str(p), "-f", "rawvideo",
+                            "-pix_fmt", "yuv420p", "-"],
+                           capture_output=True)
+        ref = np.frombuffer(r.stdout[:128 * 96], np.uint8).reshape(96, 128)
+        dec = find_decoder("h264")()
+        ours = np.asarray(dec.decode(Packet(data=data))[0].planes[0])
+        np.testing.assert_array_equal(ours, ref)
+        mse = np.mean((ours.astype(float) - y.astype(float)) ** 2)
+        assert 10 * np.log10(255 * 255 / mse) > 45
+
+    def test_mode_functions_match_spec_shapes(self):
+        from librempeg_tpu.codecs.h264 import intra as I
+
+        rng = np.random.RandomState(7)
+        recon = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+        for mode in (0, 1, 2, 3):
+            p = I._pred16(recon, 1, 1, mode)
+            assert p.shape == (16, 16)
+            assert p.min() >= 0 and p.max() <= 255
+        # V repeats the row above; H repeats the left column
+        np.testing.assert_array_equal(
+            I._pred16(recon, 1, 1, 0),
+            np.broadcast_to(recon[15, 16:32].astype(np.int64), (16, 16)))
+        np.testing.assert_array_equal(
+            I._pred16(recon, 1, 1, 1),
+            np.broadcast_to(recon[16:32, 15].astype(np.int64)[:, None],
+                            (16, 16)))
