@@ -165,8 +165,6 @@ class H264Decoder(Decoder):
         cbp_chroma = (t // 4) % 3
         cbp_luma = 15 if t >= 12 else 0
         chroma_mode = _read_ue_br(br)
-        if chroma_mode != 0:
-            raise Unsupported("h264: only DC chroma prediction (round-1)")
         _read_se_br(br)                          # mb_qp_delta (0)
 
         nc0 = ncY.nc(my * 4, mx * 4)
@@ -226,7 +224,7 @@ class H264Decoder(Decoder):
         ry[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
             np.clip(out + pred, 0, 255)
         for name, rec in (("u", ru), ("v", rv)):
-            predc = I._dc_pred8(rec, my, mx)
+            predc = I._pred8(rec, my, mx, chroma_mode)
             fc = I._H2 @ c_dc[name] @ I._H2
             dccd = I.dequant_chroma_dc(fc, qp)
             outc = np.zeros((8, 8), np.int64)

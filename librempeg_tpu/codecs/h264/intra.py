@@ -322,6 +322,47 @@ def _dc_pred8(recon, my, mx):
     return pred
 
 
+def _pred8(recon, my, mx, mode):
+    """8x8 chroma intra prediction (§8.3.4): 0=DC(quadrant), 1=H, 2=V,
+    3=Plane — note the chroma mode numbering differs from luma."""
+    if mode == 0:
+        return _dc_pred8(recon, my, mx)
+    top = recon[my * 8 - 1, mx * 8:mx * 8 + 8].astype(np.int64) \
+        if my > 0 else None
+    left = recon[my * 8:my * 8 + 8, mx * 8 - 1].astype(np.int64) \
+        if mx > 0 else None
+    if mode == 1:                                   # horizontal
+        return np.broadcast_to(left[:, None], (8, 8)).copy()
+    if mode == 2:                                   # vertical
+        return np.broadcast_to(top, (8, 8)).copy()
+    tl = int(recon[my * 8 - 1, mx * 8 - 1])         # plane
+    i = np.arange(1, 5, dtype=np.int64)
+    hsum = int(np.sum(i * (top[3 + i]
+                           - np.where(3 - i >= 0, top[np.maximum(3 - i, 0)],
+                                      tl))))
+    vsum = int(np.sum(i * (left[3 + i]
+                           - np.where(3 - i >= 0, left[np.maximum(3 - i, 0)],
+                                      tl))))
+    a = 16 * (int(left[7]) + int(top[7]))
+    b = (17 * hsum + 16) >> 5
+    c = (17 * vsum + 16) >> 5
+    x = np.arange(8, dtype=np.int64)
+    y = np.arange(8, dtype=np.int64)
+    out = (a + b * (x[None, :] - 3) + c * (y[:, None] - 3) + 16) >> 5
+    return np.clip(out, 0, 255)
+
+
+def _modes8_available(my, mx):
+    modes = [0]                     # DC always
+    if mx > 0:
+        modes.append(1)             # horizontal
+    if my > 0:
+        modes.append(2)             # vertical
+    if my > 0 and mx > 0:
+        modes.append(3)             # plane
+    return modes
+
+
 def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
     # ---- luma: pick the lowest-SAD Intra_16x16 mode (V/H/DC/Plane)
     src = y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16].astype(np.int64)
@@ -346,14 +387,21 @@ def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
             ac_lev[by, bx, 0, 0] = 0
     cbp_luma = 15 if np.any(ac_lev) else 0
 
-    # ---- chroma
+    # ---- chroma: one shared mode for u+v, picked by joint SAD
+    src_c = {n: p[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8].astype(np.int64)
+             for n, p in (("u", u), ("v", v))}
+    best_cmode, best_csad = 0, None
+    for mode in _modes8_available(my, mx):
+        sad = int(np.abs(src_c["u"] - _pred8(ru, my, mx, mode)).sum()
+                  + np.abs(src_c["v"] - _pred8(rv, my, mx, mode)).sum())
+        if best_csad is None or sad < best_csad:
+            best_cmode, best_csad = mode, sad
     cp = {}
     c_lev = {}
     c_dc = {}
     for name, plane, rec in (("u", u, ru), ("v", v, rv)):
-        predc = _dc_pred8(rec, my, mx)
-        srcc = plane[my * 8:(my + 1) * 8,
-                     mx * 8:(mx + 1) * 8].astype(np.int64)
+        predc = _pred8(rec, my, mx, best_cmode)
+        srcc = src_c[name]
         residc = srcc - predc
         wc = np.zeros((2, 2, 4, 4), np.int64)
         for by in range(2):
@@ -376,7 +424,7 @@ def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
     # ---- mb_type: I_16x16 with the chosen prediction mode
     mb_type = 1 + best_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
     _write_ue(bw, mb_type)
-    _write_ue(bw, 0)                 # intra_chroma_pred_mode: DC
+    _write_ue(bw, best_cmode)        # intra_chroma_pred_mode
     _write_se(bw, 0)                 # mb_qp_delta
 
     # ---- residuals: luma DC (16 coeffs, zigzag over the 4x4 DC grid)

@@ -205,3 +205,40 @@ class TestIntra16Modes:
             I._pred16(recon, 1, 1, 1),
             np.broadcast_to(recon[16:32, 15].astype(np.int64)[:, None],
                             (16, 16)))
+
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
+    def test_chroma_modes_bit_exact(self, tmp_path):
+        """Chroma V/H/Plane prediction on chroma-gradient content stays
+        bit-exact with the reference on all three planes."""
+        import subprocess
+        from librempeg_tpu.codecs.api import find_decoder
+        from librempeg_tpu.codecs.h264 import intra as I
+        from librempeg_tpu.core.packet import Packet
+        from librempeg_tpu.utils import testgen
+
+        y = testgen.video_yuv420(128, 96, 1)[0]
+        yy, xx = np.mgrid[0:48, 0:64]
+        u = np.clip(60 + yy * 2, 0, 255).astype(np.uint8)
+        v = np.clip(200 - xx * 2, 0, 255).astype(np.uint8)
+        data = I.build_sps(8, 6) + I.build_pps() + \
+            I.encode_idr(y, u, v, qp=24, frame_idx=0)
+        p = tmp_path / "c.h264"
+        p.write_bytes(data)
+        r = subprocess.run([reference_ffmpeg(), "-v", "error", "-f",
+                            "h264", "-i", str(p), "-f", "rawvideo",
+                            "-pix_fmt", "yuv420p", "-"],
+                           capture_output=True)
+        n = 128 * 96
+        dec = find_decoder("h264")()
+        f = dec.decode(Packet(data=data))[0]
+        np.testing.assert_array_equal(
+            np.asarray(f.planes[0]),
+            np.frombuffer(r.stdout[:n], np.uint8).reshape(96, 128))
+        np.testing.assert_array_equal(
+            np.asarray(f.planes[1]),
+            np.frombuffer(r.stdout[n:n + n // 4],
+                          np.uint8).reshape(48, 64))
+        np.testing.assert_array_equal(
+            np.asarray(f.planes[2]),
+            np.frombuffer(r.stdout[n + n // 4:n + n // 2],
+                          np.uint8).reshape(48, 64))
