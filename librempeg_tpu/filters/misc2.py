@@ -886,3 +886,99 @@ class AShowInfoFilter(Filter):
             x.shape[1], x.shape[0], csum)
         self._n += 1
         return [(0, frame)]
+
+
+@register_filter
+class TileFilter(Filter):
+    """Tile N successive frames into one grid frame (vf_tile.c)."""
+
+    NAME = "tile"
+    DESCRIPTION = "Tile several successive frames together."
+    OPT_ORDER = ("layout",)
+    OPTIONS = OptionTable(Option("layout", str, "6x5"))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        w, h = str(self.opts["layout"]).lower().split("x")
+        self._cols, self._rows = int(w), int(h)
+        self._n = self._cols * self._rows
+        out = in_props[0].copy()
+        out.width = in_props[0].width * self._cols
+        out.height = in_props[0].height * self._rows
+        self.out_props = [out]
+        self._buf = []
+        return self.out_props
+
+    def _emit(self):
+        while len(self._buf) < self._n:      # pad with black (tile pads)
+            f0 = self._buf[0]
+            planes = []
+            for i, p in enumerate(f0.planes):
+                fill = 0 if i == 0 or f0.desc.nb_planes == 1 else 128
+                planes.append(np.full(np.asarray(p).shape, fill, np.uint8))
+            self._buf.append(f0.replace(planes=tuple(planes)))
+        rows = []
+        for r in range(self._rows):
+            chunk = self._buf[r * self._cols:(r + 1) * self._cols]
+            rows.append([jnp.concatenate(
+                [jnp.asarray(f.planes[i]) for f in chunk], axis=1)
+                for i in range(len(chunk[0].planes))])
+        planes = tuple(jnp.concatenate([row[i] for row in rows], axis=0)
+                       for i in range(len(rows[0])))
+        f0 = self._buf[0]
+        self._buf = []
+        return f0.replace(planes=planes,
+                          width=self.out_props[0].width,
+                          height=self.out_props[0].height)
+
+    def filter_frame(self, frame, pad=0):
+        self._buf.append(frame)
+        if len(self._buf) == self._n:
+            return [(0, self._emit())]
+        return []
+
+    def flush(self):
+        if self._buf:
+            return [(0, self._emit())]
+        return []
+
+
+@register_filter
+class ThumbnailFilter(Filter):
+    """Pick the most representative frame of every batch of N
+    (vf_thumbnail.c: min histogram distance to the batch average)."""
+
+    NAME = "thumbnail"
+    DESCRIPTION = "Select the most representative frame per batch."
+    OPT_ORDER = ("n",)
+    OPTIONS = OptionTable(Option("n", int, 100, min=2, max=1 << 16))
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        self.out_props = [in_props[0].copy()]
+        self._batch = []
+        return self.out_props
+
+    @staticmethod
+    def _hist(frame):
+        y = np.asarray(frame.planes[0])
+        return np.bincount(y.reshape(-1) >> 2, minlength=64) / y.size
+
+    def _pick(self):
+        hists = [self._hist(f) for f in self._batch]
+        avg = np.mean(hists, axis=0)
+        best = int(np.argmin([np.sum((h - avg) ** 2) for h in hists]))
+        out = self._batch[best]
+        self._batch = []
+        return out
+
+    def filter_frame(self, frame, pad=0):
+        self._batch.append(frame)
+        if len(self._batch) == self.opts["n"]:
+            return [(0, self._pick())]
+        return []
+
+    def flush(self):
+        if self._batch:
+            return [(0, self._pick())]
+        return []

@@ -327,3 +327,39 @@ class TestShowInfo:
         g.push(f)
         rec = g.entry_nodes[0].filter.records[0]
         assert rec["nb_samples"] == 1000 and rec["channels"] == 2
+
+
+class TestTileThumbnail:
+    def test_tile_grid(self):
+        g = GraphRunner("tile=2x2", vprops())
+        frames = [vframe(i).replace(pts=i) for i in range(4)]
+        outs = []
+        for f in frames:
+            outs += g.push(f)
+        assert len(outs) == 1
+        y = np.asarray(outs[0].planes[0])
+        assert y.shape == (96, 128)
+        np.testing.assert_array_equal(y[:48, :64], frames[0].planes[0])
+        np.testing.assert_array_equal(y[48:, 64:], frames[3].planes[0])
+        assert g.output_props.width == 128
+
+    def test_tile_pads_short_batch(self):
+        g = GraphRunner("tile=2x1", vprops())
+        outs = g.push(vframe(0))
+        outs += g.finish()
+        y = np.asarray(outs[0].planes[0])
+        assert np.all(y[:, 64:] == 0)       # right half padded black
+
+    def test_thumbnail_picks_representative(self):
+        g = GraphRunner("thumbnail=4", vprops())
+        # three similar frames + one outlier (all white)
+        frames = [vframe(1).replace(pts=i) for i in range(3)]
+        white = vframe(1).replace(pts=3, planes=(
+            np.full((48, 64), 255, np.uint8),
+            np.full((24, 32), 128, np.uint8),
+            np.full((24, 32), 128, np.uint8)))
+        outs = []
+        for f in frames + [white]:
+            outs += g.push(f)
+        assert len(outs) == 1
+        assert outs[0].pts in (0, 1, 2)     # outlier not chosen
