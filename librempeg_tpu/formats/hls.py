@@ -110,3 +110,44 @@ class HlsMuxer(Muxer):
             lines.append(name)
         lines.append("#EXT-X-ENDLIST")
         self.io.write(("\n".join(lines) + "\n").encode())
+
+
+@register_muxer
+class DashMuxer(HlsMuxer):
+    """MPEG-DASH (static/VOD profile, MPEG-2 TS segments).
+
+    Analog of /root/reference/libavformat/dashenc.c's on-demand mode:
+    same keyframe-aligned segmenter as HLS, manifest is a static MPD
+    with a SegmentList (ISO/IEC 23009-1; TS media per the
+    urn:mpeg:dash:profile:mp2t-simple profile).
+    """
+
+    NAME = "dash"
+    LONG_NAME = "DASH Muxer"
+    EXTENSIONS = ("mpd",)
+
+    def write_trailer(self):
+        self._drain(final=True)
+        self._close_segment()
+        total = sum(d for _, d in self._segments)
+        maxseg = max((d for _, d in self._segments), default=self._target)
+        par = next((st.codecpar for st in self.streams
+                    if st.codecpar.codec_type == "video"),
+                   self.streams[0].codecpar)
+        lines = [
+            '<?xml version="1.0" encoding="utf-8"?>',
+            '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"',
+            f'     mediaPresentationDuration="PT{total:.3f}S"',
+            '     profiles="urn:mpeg:dash:profile:mp2t-simple:2011">',
+            f'  <Period duration="PT{total:.3f}S">',
+            '    <AdaptationSet mimeType="video/mp2t">',
+            f'      <Representation id="0" width="{par.width}"'
+            f' height="{par.height}" bandwidth="0">',
+            f'        <SegmentList duration="{int(maxseg * 1000)}"'
+            ' timescale="1000">',
+        ]
+        for name, _dur in self._segments:
+            lines.append(f'          <SegmentURL media="{name}"/>')
+        lines += ['        </SegmentList>', '      </Representation>',
+                  '    </AdaptationSet>', '  </Period>', '</MPD>']
+        self.io.write(("\n".join(lines) + "\n").encode())

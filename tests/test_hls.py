@@ -59,3 +59,42 @@ class TestHls:
             total += len([ln for ln in r.stdout.splitlines()
                           if not ln.startswith("#")])
         assert total == 150
+
+
+class TestDash:
+    def test_mpd_and_segments(self, tmp_path):
+        out = tmp_path / "out.mpd"
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "testsrc2=size=64x48:duration=4",
+                       "-c:v", "mpeg4", "-q:v", "4", "-g", "25",
+                       "-y", str(out)]) == 0
+        mpd = out.read_text()
+        assert mpd.startswith('<?xml')
+        assert 'type="static"' in mpd
+        assert 'mediaPresentationDuration="PT4.000S"' in mpd
+        segs = sorted(tmp_path.glob("out*.ts"))
+        assert len(segs) == 2
+        for s in segs:
+            assert f'media="{s.name}"' in mpd
+        total = 0
+        for seg in segs:
+            d = open_input(str(seg))
+            total += len(list(d.packets()))
+        assert total == 100
+
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
+    def test_reference_decodes_dash_segments(self, tmp_path):
+        out = tmp_path / "out.mpd"
+        assert ffmain(["-v", "error", "-f", "lavfi",
+                       "-i", "testsrc2=size=64x48:duration=4",
+                       "-c:v", "mpeg4", "-q:v", "4", "-g", "25",
+                       "-y", str(out)]) == 0
+        total = 0
+        for seg in sorted(tmp_path.glob("out*.ts")):
+            r = subprocess.run([reference_ffmpeg(), "-v", "error", "-i",
+                                str(seg), "-f", "framecrc", "-"],
+                               capture_output=True, text=True)
+            assert r.returncode == 0 and r.stderr == ""
+            total += len([ln for ln in r.stdout.splitlines()
+                          if not ln.startswith("#")])
+        assert total == 100
