@@ -67,6 +67,7 @@ class TranscodeSpec:
     duration: float = 0.0            # -t
     seek: float = 0.0                # -ss
     metadata: dict = field(default_factory=dict)   # -metadata key=value
+    maps: list = field(default_factory=list)       # -map selectors
 
 
 class _StreamChain:
@@ -192,6 +193,27 @@ class _StreamChain:
             mux.write(pkt.replace(stream_index=self.out_stream.index))
 
 
+def _map_matches(maps, st, media_index: int) -> bool:
+    """-map selector subset: '0', '0:v', '0:a', '0:N', '0:v:N'
+    (single-input; the leading file index must be 0)."""
+    media_char = {"video": "v", "audio": "a", "subtitle": "s"}.get(
+        st.codecpar.codec_type, "d")
+    for m in maps:
+        parts = str(m).split(":")
+        if parts[0] != "0":
+            continue
+        if len(parts) == 1:
+            return True
+        if parts[1].isdigit():
+            if int(parts[1]) == st.index:
+                return True
+        elif parts[1] == media_char:
+            if len(parts) == 2 or (parts[2].isdigit()
+                                   and int(parts[2]) == media_index):
+                return True
+    return False
+
+
 class Transcoder:
     """Single input -> single output transcoder (the ffmpeg CLI's core
     path; multi-input/multi-output composition comes via multiple
@@ -205,8 +227,13 @@ class Transcoder:
         self.mux.metadata.update(spec.metadata)
         self.chains: dict[int, _StreamChain] = {}
 
+        media_counts: dict = {}
         for st in self.demux.streams:
             media = st.codecpar.codec_type
+            midx = media_counts.get(media, 0)
+            media_counts[media] = midx + 1
+            if spec.maps and not _map_matches(spec.maps, st, midx):
+                continue
             if media == "video" and not spec.no_video:
                 smap = spec.video or StreamMap(codec="rawvideo")
                 if not smap.codec:

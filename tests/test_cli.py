@@ -195,3 +195,63 @@ class TestStreamCopy:
 
         a, b, c = payloads(src), payloads(mkv), payloads(mp4)
         assert a == b == c and len(a) == 8
+
+
+class TestMap:
+    def test_map_selects_single_stream(self, tmp_path):
+        """-map 0:a / -map 0:v extract one stream from an A/V input."""
+        from librempeg_tpu.codecs.api import find_encoder
+        from librempeg_tpu.core.rational import Rational as R
+        from librempeg_tpu.utils import testgen
+
+        # build an A/V mkv
+        src = tmp_path / "av.mkv"
+        enc = find_encoder("mpeg4")(width=64, height=48, qscale=4)
+        mux = open_output(str(src), format="matroska")
+        vst = mux.add_stream(enc.codec_parameters(), enc.time_base)
+        apar = CodecParameters(codec_type="audio", codec_id="pcm_s16le",
+                               sample_rate=48000, nb_channels=2,
+                               sample_fmt="s16")
+        ast = mux.add_stream(apar, time_base=R(1, 48000))
+        for i in range(4):
+            for p in enc.encode(testgen.video_frame_yuv420(64, 48, i)):
+                p.stream_index = vst.index
+                mux.write(p)
+        pcm = testgen.s16(testgen.audio_mix(48000, 1920 * 4, 2)).T
+        import numpy as np
+        for i in range(0, len(pcm), 1920):
+            chunk = np.ascontiguousarray(pcm[i:i + 1920])
+            mux.write(Packet(data=chunk.tobytes(), pts=i, dts=i,
+                             duration=len(chunk), stream_index=ast.index,
+                             time_base=R(1, 48000)))
+        mux.write_trailer()
+
+        wav = tmp_path / "a.wav"
+        assert ffm.main(["-v", "error", "-i", str(src), "-map", "0:a",
+                         "-c:a", "pcm_s16le", "-y", str(wav)]) == 0
+        d = open_input(str(wav))
+        assert [s.codecpar.codec_type for s in d.streams] == ["audio"]
+
+        m4v = tmp_path / "v.m4v"
+        assert ffm.main(["-v", "error", "-i", str(src), "-map", "0:v",
+                         "-y", str(m4v), "-c:v", "mpeg4", "-q:v", "4"]) == 0
+        d2 = open_input(str(m4v))
+        assert [s.codecpar.codec_type for s in d2.streams] == ["video"]
+
+    def test_map_by_index(self, tmp_path):
+        from librempeg_tpu.sched.pipeline import _map_matches
+
+        class St:
+            def __init__(self, idx, kind):
+                self.index = idx
+
+                class P:
+                    codec_type = kind
+                self.codecpar = P()
+
+        assert _map_matches(["0:1"], St(1, "audio"), 0)
+        assert not _map_matches(["0:1"], St(0, "video"), 0)
+        assert _map_matches(["0:v:0"], St(0, "video"), 0)
+        assert not _map_matches(["0:v:1"], St(0, "video"), 0)
+        assert _map_matches(["0"], St(5, "audio"), 2)
+        assert not _map_matches(["1:v"], St(0, "video"), 0)
