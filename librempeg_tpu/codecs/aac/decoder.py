@@ -1,10 +1,11 @@
-"""AAC-LC decoder (long windows).
+"""AAC-LC decoder.
 
-Analog of /root/reference/libavcodec/aac/aacdec.c reduced to the same
-feature point as our encoder: ADTS framing, SCE/CPE with ONLY_LONG
-windows, sine/KBD window shapes, all spectral codebooks 1-11 (+ESC),
-scalefactor delta decoding, inverse quant, device IMDCT + overlap-add.
-TNS/PNS/MS and EIGHT_SHORT sequences are round-2 scope (rejected
+Analog of /root/reference/libavcodec/aac/aacdec.c's LC profile path:
+ADTS framing, SCE/CPE, all four window sequences (ONLY_LONG,
+LONG_START, EIGHT_SHORT with window grouping, LONG_STOP), sine + KBD
+window shapes with cross-frame shape tracking, all spectral codebooks
+1-11 (+ESC), scalefactor delta decoding, M/S stereo, inverse quant,
+device IMDCT + overlap-add. TNS and PNS are round-2 scope (rejected
 explicitly, not silently).
 """
 from __future__ import annotations
@@ -87,45 +88,80 @@ def _decode_cb_values(br: BitReaderMSB, cb: int, n: int) -> np.ndarray:
 
 
 def _parse_ics_info(br: BitReaderMSB):
+    """-> (seq, shape, max_sfb, window_groups) — groups is a list of
+    window counts (length 1 for long sequences)."""
     br.read(1)                    # ics_reserved
     seq = br.read(2)
-    if seq == 2:
-        raise Unsupported("AAC: EIGHT_SHORT windows (round-2)")
     shape = br.read(1)
+    if seq == 2:
+        max_sfb = br.read(4)
+        grouping = br.read(7)
+        groups = [1]
+        for b in range(6, -1, -1):
+            if (grouping >> b) & 1:
+                groups[-1] += 1
+            else:
+                groups.append(1)
+        return seq, shape, max_sfb, groups
     max_sfb = br.read(6)
     if br.read(1):
         raise Unsupported("AAC: predictor data")
-    return seq, shape, max_sfb
+    return seq, shape, max_sfb, [1]
 
 
 def _decode_ics(br: BitReaderMSB, global_gain: int, max_sfb: int,
-                swb: list[int]) -> np.ndarray:
-    nbands = max_sfb
-    # section data
+                swb: list[int], groups: list[int] | None = None
+                ) -> np.ndarray:
+    """Decode one individual_channel_stream. For long sequences returns
+    [FRAME]; for EIGHT_SHORT (groups with >1 total windows) returns
+    [8, 128] window spectra."""
+    if groups is None:
+        groups = [1]
+    short = sum(groups) > 1
+    ngroups = len(groups)
+    nbands = ngroups * max_sfb
+    # section data: run-length bits are 3 for short windows, 5 for long;
+    # sections never cross group boundaries
     cbs = np.zeros(nbands, np.int32)
-    b = 0
-    while b < nbands:
-        cb = br.read(4)
-        run = 0
-        while True:
-            r = br.read(5)
-            run += r
-            if r != 31:
-                break
-        for i in range(b, min(b + run, nbands)):
-            cbs[i] = cb
-        b += run
-        if run == 0:
-            raise InvalidData("AAC: zero-length section")
-    # scalefactors: DPCM from global_gain; EVERY coded band reads a
-    # delta (the first is typically +0)
+    rbits = 3 if short else 5
+    esc = (1 << rbits) - 1
+    for g in range(ngroups):
+        b = 0
+        while b < max_sfb:
+            cb = br.read(4)
+            run = 0
+            while True:
+                r = br.read(rbits)
+                run += r
+                if r != esc:
+                    break
+            for i in range(b, min(b + run, max_sfb)):
+                cbs[g * max_sfb + i] = cb
+            b += run
+            if run == 0:
+                raise InvalidData("AAC: zero-length section")
+    # scalefactors: DPCM from global_gain; noise (PNS, cb 13) runs its
+    # own chain seeded at global_gain-90 with a 9-bit PCM first delta
     sfs = np.zeros(nbands, np.int32)
     sf = global_gain
+    sf_noise = global_gain - 90
+    sf_is = 0
+    noise_first = True
     for i in range(nbands):
         if cbs[i] == 0:
             continue
-        if cbs[i] in (13, 14, 15):
-            raise Unsupported("AAC: PNS/intensity stereo")
+        if cbs[i] == 13:             # NOISE_BT
+            if noise_first:
+                sf_noise += br.read(9) - 256
+                noise_first = False
+            else:
+                sf_noise += _SCF_VLC.read(br) - 60
+            sfs[i] = sf_noise
+            continue
+        if cbs[i] in (14, 15):      # intensity: own chain from 0
+            sf_is += _SCF_VLC.read(br) - 60
+            sfs[i] = sf_is
+            continue
         sf += _SCF_VLC.read(br) - 60
         sfs[i] = sf
     # pulse/tns/gain
@@ -136,22 +172,46 @@ def _decode_ics(br: BitReaderMSB, global_gain: int, max_sfb: int,
     if br.read(1):
         raise Unsupported("AAC: gain control")
     # spectral data
-    spec = np.zeros(FRAME, np.float64)
-    for i in range(nbands):
-        lo, hi = swb[i], swb[i + 1]
-        cb = int(cbs[i])
-        if cb == 0:
-            continue
-        q = _decode_cb_values(br, cb, hi - lo)
-        step = 2.0 ** ((int(sfs[i]) - SF_OFFSET) / 4.0)
-        spec[lo:hi] = np.sign(q) * np.abs(q).astype(np.float64) ** (4 / 3) \
-            * step
-    return spec
+    rng = np.random.default_rng(1234)
+
+    def band_values(cb, n, sf):
+        if cb == 13:                 # PNS: random vector, band L2 norm
+            noise = rng.standard_normal(n)
+            norm = np.sqrt(np.sum(noise ** 2)) or 1.0
+            return noise / norm * 2.0 ** ((sf - SF_OFFSET) / 4.0)
+        q = _decode_cb_values(br, cb, n)
+        step = 2.0 ** ((sf - SF_OFFSET) / 4.0)
+        return np.sign(q) * np.abs(q).astype(np.float64) ** (4 / 3) * step
+
+    if not short:
+        spec = np.zeros(FRAME, np.float64)
+        for i in range(nbands):
+            lo, hi = swb[i], swb[i + 1]
+            cb = int(cbs[i])
+            if cb == 0 or cb in (14, 15):   # IS bands carry no spectrum
+                continue
+            spec[lo:hi] = band_values(cb, hi - lo, int(sfs[i]))
+        return spec, cbs, sfs
+    # EIGHT_SHORT: per group, band values are window-interleaved
+    spec = np.zeros((8, 128), np.float64)
+    win0 = 0
+    for g, glen in enumerate(groups):
+        for i in range(max_sfb):
+            lo, hi = swb[i], swb[i + 1]
+            idx = g * max_sfb + i
+            cb = int(cbs[idx])
+            if cb == 0 or cb in (14, 15):
+                continue
+            vals = band_values(cb, (hi - lo) * glen, int(sfs[idx]))
+            spec[win0:win0 + glen, lo:hi] = vals.reshape(glen, hi - lo)
+        win0 += glen
+    return spec, cbs, sfs
 
 
 class AacFrameDecoder:
     def __init__(self):
         self.overlap: dict[int, np.ndarray] = {}
+        self.prev_shape: dict[int, int] = {}
         self.rate = 44100
         self.channels = 2
 
@@ -168,60 +228,150 @@ class AacFrameDecoder:
         swb = list(T.SWB_OFFSET_1024[rate_idx])
         if swb[-1] != FRAME:
             swb = swb + [FRAME]
-        return self._raw_data_block(br, swb)
+        swb128 = list(T.SWB_OFFSET_128[rate_idx])
+        if swb128[-1] != 128:
+            swb128 = swb128 + [128]
+        return self._raw_data_block(br, swb, swb128)
 
-    def _raw_data_block(self, br: BitReaderMSB, swb):
-        specs = []
+    def _raw_data_block(self, br: BitReaderMSB, swb, swb128):
+        specs = []                  # (spec, seq, shape)
+
+        def apply_ms(s0, s1, mask, bands, glen_list):
+            gi = 0
+            for g, glen in enumerate(glen_list):
+                for i in range(len(bands) - 1):
+                    if mask[g * (len(bands) - 1) + i]:
+                        lo, hi = bands[i], bands[i + 1]
+                        if s0.ndim == 1:
+                            m = s0[lo:hi].copy()
+                            sd = s1[lo:hi].copy()
+                            s0[lo:hi] = m + sd
+                            s1[lo:hi] = m - sd
+                        else:
+                            m = s0[gi:gi + glen, lo:hi].copy()
+                            sd = s1[gi:gi + glen, lo:hi].copy()
+                            s0[gi:gi + glen, lo:hi] = m + sd
+                            s1[gi:gi + glen, lo:hi] = m - sd
+                gi += glen
+
         while True:
             ele = br.read(3)
             if ele == 7:              # END
                 break
+            if ele == 6:              # FIL: 4-bit count (no instance tag)
+                cnt = br.read(4)
+                if cnt == 15:
+                    cnt += br.read(8) - 1
+                for _ in range(cnt):
+                    br.read(8)
+                continue
             br.read(4)                # instance tag
             if ele == 0:              # SCE
                 gg = br.read(8)
-                seq, shape, max_sfb = _parse_ics_info(br)
-                specs.append(_decode_ics(br, gg, max_sfb, swb))
+                seq, shape, max_sfb, groups = _parse_ics_info(br)
+                bands = swb128 if seq == 2 else swb
+                spec, _, _ = _decode_ics(br, gg, max_sfb, bands, groups)
+                specs.append((spec, seq, shape))
             elif ele == 1:            # CPE
                 common = br.read(1)
                 if not common:
                     raise Unsupported("AAC: CPE without common_window")
-                seq, shape, max_sfb = _parse_ics_info(br)
+                seq, shape, max_sfb, groups = _parse_ics_info(br)
+                bands = swb128 if seq == 2 else swb
                 ms = br.read(2)
-                n_sfb = max_sfb
+                n = len(groups) * max_sfb
                 ms_mask = None
                 if ms == 1:
-                    ms_mask = [br.read(1) for _ in range(n_sfb)]
+                    ms_mask = [br.read(1) for _ in range(n)]
                 elif ms == 2:
-                    ms_mask = [1] * n_sfb
+                    ms_mask = [1] * n
                 gg0 = br.read(8)
-                s0 = _decode_ics(br, gg0, max_sfb, swb)
+                s0, _, _ = _decode_ics(br, gg0, max_sfb, bands, groups)
                 gg1 = br.read(8)
-                s1 = _decode_ics(br, gg1, max_sfb, swb)
+                s1, cbs1, sfs1 = _decode_ics(br, gg1, max_sfb, bands,
+                                             groups)
+                is_band = [int(c) in (14, 15) for c in cbs1]
                 if ms_mask:
-                    for i in range(n_sfb):
-                        if ms_mask[i]:
-                            lo, hi = swb[i], swb[i + 1]
-                            m = s0[lo:hi].copy()
-                            s = s1[lo:hi].copy()
-                            s0[lo:hi] = m + s
-                            s1[lo:hi] = m - s
-                specs.append(s0)
-                specs.append(s1)
+                    mask = [m and not is_band[i]
+                            for i, m in enumerate(ms_mask)]
+                    apply_ms(s0, s1, mask, bands[:max_sfb + 1], groups)
+                # intensity stereo: right band is a scaled copy of left
+                gi = 0
+                for g, glen in enumerate(groups):
+                    for i in range(max_sfb):
+                        idx = g * max_sfb + i
+                        if not is_band[idx]:
+                            continue
+                        d = 1.0 if int(cbs1[idx]) == 15 else -1.0
+                        if ms_mask and ms_mask[idx]:
+                            d = -d
+                        sc = d * 2.0 ** (-0.25 * int(sfs1[idx]))
+                        lo, hi = bands[i], bands[i + 1]
+                        if s0.ndim == 1:
+                            s1[lo:hi] = sc * s0[lo:hi]
+                        else:
+                            s1[gi:gi + glen, lo:hi] = \
+                                sc * s0[gi:gi + glen, lo:hi]
+                    gi += glen
+                specs.append((s0, seq, shape))
+                specs.append((s1, seq, shape))
             else:
                 raise Unsupported(f"AAC: element type {ele}")
-        # IMDCT + window + overlap-add
+        out = np.zeros((len(specs), FRAME), np.float32)
+        for c, (spec, seq, shape) in enumerate(specs):
+            out[c] = self._reconstruct(c, spec, seq, shape)
+        return out / 32768.0
+
+    # -- windowing / overlap-add -------------------------------------
+    @staticmethod
+    def _half(shape: int, n: int, rising: bool) -> np.ndarray:
+        """Rising/falling half (length n) of a 2n analysis window.
+        kbd_window(n) IS the rising half of a 2n KBD window (cumsum of
+        an n-term Kaiser kernel); both shapes are symmetric."""
+        if shape:
+            w = tx.kbd_window(n, 4.0 if n >= 1024 else 6.0)
+        else:
+            w = tx.sine_window(2 * n)[:n]
+        return w if rising else w[::-1]
+
+    def _reconstruct(self, c: int, spec, seq: int, shape: int):
         import jax.numpy as jnp
 
-        win = tx.sine_window(2 * FRAME)
-        out = np.zeros((len(specs), FRAME), np.float32)
-        for c, spec in enumerate(specs):
+        prev_shape = self.prev_shape.get(c, shape)
+        buf = np.zeros(2 * FRAME)
+        if seq == 2:                 # EIGHT_SHORT
+            t = np.asarray(tx.imdct(jnp.asarray(spec, jnp.float32)))
+            t = t.astype(np.float64) / 8.0   # 2/N imdct scale: N ratio
+            for w in range(8):
+                rise = self._half(prev_shape if w == 0 else shape,
+                                  128, True)
+                fall = self._half(shape, 128, False)
+                seg = t[w] * np.concatenate([rise, fall])
+                o = 448 + 128 * w
+                buf[o:o + 256] += seg
+        else:
             t = np.asarray(tx.imdct(jnp.asarray(spec[None, :],
                                                 jnp.float32)))[0]
-            t = t * win
-            prev = self.overlap.get(c, np.zeros(FRAME))
-            out[c] = (prev + t[:FRAME]) / 2.0
-            self.overlap[c] = t[FRAME:]
-        return out / 32768.0
+            t = t.astype(np.float64)
+            if seq == 3:             # LONG_STOP: short rise at 448
+                left = np.concatenate([
+                    np.zeros(448), self._half(prev_shape, 128, True),
+                    np.ones(448)])
+            else:
+                left = self._half(prev_shape, 1024, True)
+            if seq == 1:             # LONG_START: short fall at 1472
+                right = np.concatenate([
+                    np.ones(448), self._half(shape, 128, False),
+                    np.zeros(448)])
+            else:
+                right = self._half(shape, 1024, False)
+            buf[:FRAME] = t[:FRAME] * left
+            buf[FRAME:] = t[FRAME:] * right
+        prev = self.overlap.get(c, np.zeros(FRAME))
+        out = (prev + buf[:FRAME]) / 2.0
+        self.overlap[c] = buf[FRAME:]
+        self.prev_shape[c] = shape
+        return out.astype(np.float32)
 
 
 @register_decoder

@@ -23,6 +23,10 @@ try:
 except ImportError:
     pass
 try:
+    from librempeg_tpu.formats import adts  # noqa: F401
+except ImportError:
+    pass
+try:
     from librempeg_tpu.formats import yuv4mpeg  # noqa: F401
 except ImportError:
     pass
