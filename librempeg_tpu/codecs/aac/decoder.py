@@ -109,6 +109,88 @@ def _parse_ics_info(br: BitReaderMSB):
     return seq, shape, max_sfb, [1]
 
 
+import math
+
+
+def _tns_coef(code: int, res_bits: int, compress: int) -> float:
+    """Inverse-quantized TNS reflection coefficient (§4.6.9.3): matches
+    the reference's tns_tmp2_map tables exactly."""
+    n = 1 << (res_bits - compress)
+    half = n >> 1
+    iqfac = ((1 << (res_bits - 1)) - 0.5) / (math.pi / 2.0)
+    iqfac_m = ((1 << (res_bits - 1)) + 0.5) / (math.pi / 2.0)
+    if code == 0:
+        return 0.0
+    if code < half:
+        return -math.sin(code / iqfac)
+    return math.sin((n - code) / iqfac_m)
+
+
+def _parse_tns(br: BitReaderMSB, short: bool):
+    """tns_data() -> per-window list of (length, order, direction,
+    lpc[order]) filters."""
+    nwin = 8 if short else 1
+    lbits, obits, fbits = (4, 3, 1) if short else (6, 5, 2)
+    out = []
+    for _ in range(nwin):
+        filters = []
+        n_filt = br.read(fbits)
+        coef_res = br.read(1) if n_filt else 0
+        for _ in range(n_filt):
+            length = br.read(lbits)
+            order = br.read(obits)
+            if order:
+                direction = br.read(1)
+                compress = br.read(1)
+                bits = coef_res + 3 - compress
+                refl = [_tns_coef(br.read(bits), coef_res + 3, compress)
+                        for _ in range(order)]
+                # reflection -> direct-form LPC (§4.6.9.3 conversion)
+                lpc = [0.0] * (order + 1)
+                lpc[0] = 1.0
+                for m in range(1, order + 1):
+                    b = [lpc[i] + refl[m - 1] * lpc[m - i]
+                         for i in range(1, m)]
+                    lpc[1:m] = b
+                    lpc[m] = refl[m - 1]
+            else:
+                direction, lpc = 0, [1.0]
+            filters.append((length, order, direction, lpc))
+        out.append(filters)
+    return out
+
+
+def _tns_apply(spec: np.ndarray, tns, max_sfb: int, bands: list[int],
+               max_band: int) -> None:
+    """All-pole TNS synthesis filtering over the coded band ranges
+    (aacdec.c apply_tns, decode direction). spec is [1024] or [8,128]."""
+    wins = spec if spec.ndim == 2 else spec[None, :]
+    nbins = wins.shape[1]
+    for w in range(wins.shape[0]):
+        bottom = len(bands) - 1
+        for (length, order, direction, lpc) in tns[w % len(tns)]:
+            top = bottom
+            bottom = max(0, top - length)
+            order = min(order, 20)
+            if not order:
+                continue
+            lo = bands[min(bottom, max_band, max_sfb)]
+            hi = min(bands[min(top, max_band, max_sfb)], nbins)
+            if hi <= lo:
+                continue
+            x = wins[w]
+            idxs = range(hi - 1, lo - 1, -1) if direction else \
+                range(lo, hi)
+            step = -1 if direction else 1
+            for i in idxs:
+                acc = x[i]
+                for j in range(1, order + 1):
+                    k = i - step * j
+                    if (lo <= k < hi):
+                        acc -= lpc[j] * x[k]
+                x[i] = acc
+
+
 def _decode_ics(br: BitReaderMSB, global_gain: int, max_sfb: int,
                 swb: list[int], groups: list[int] | None = None
                 ) -> np.ndarray:
@@ -167,8 +249,7 @@ def _decode_ics(br: BitReaderMSB, global_gain: int, max_sfb: int,
     # pulse/tns/gain
     if br.read(1):
         raise Unsupported("AAC: pulse data")
-    if br.read(1):
-        raise Unsupported("AAC: TNS (round-2)")
+    tns = _parse_tns(br, short) if br.read(1) else None
     if br.read(1):
         raise Unsupported("AAC: gain control")
     # spectral data
@@ -191,7 +272,7 @@ def _decode_ics(br: BitReaderMSB, global_gain: int, max_sfb: int,
             if cb == 0 or cb in (14, 15):   # IS bands carry no spectrum
                 continue
             spec[lo:hi] = band_values(cb, hi - lo, int(sfs[i]))
-        return spec, cbs, sfs
+        return spec, cbs, sfs, tns
     # EIGHT_SHORT: per group, band values are window-interleaved
     spec = np.zeros((8, 128), np.float64)
     win0 = 0
@@ -205,7 +286,7 @@ def _decode_ics(br: BitReaderMSB, global_gain: int, max_sfb: int,
             vals = band_values(cb, (hi - lo) * glen, int(sfs[idx]))
             spec[win0:win0 + glen, lo:hi] = vals.reshape(glen, hi - lo)
         win0 += glen
-    return spec, cbs, sfs
+    return spec, cbs, sfs, tns
 
 
 class AacFrameDecoder:
@@ -231,9 +312,11 @@ class AacFrameDecoder:
         swb128 = list(T.SWB_OFFSET_128[rate_idx])
         if swb128[-1] != 128:
             swb128 = swb128 + [128]
-        return self._raw_data_block(br, swb, swb128)
+        tns_max = (T.TNS_MAX_BANDS_1024[rate_idx],
+                   T.TNS_MAX_BANDS_128[rate_idx])
+        return self._raw_data_block(br, swb, swb128, tns_max)
 
-    def _raw_data_block(self, br: BitReaderMSB, swb, swb128):
+    def _raw_data_block(self, br: BitReaderMSB, swb, swb128, tns_max):
         specs = []                  # (spec, seq, shape)
 
         def apply_ms(s0, s1, mask, bands, glen_list):
@@ -270,7 +353,11 @@ class AacFrameDecoder:
                 gg = br.read(8)
                 seq, shape, max_sfb, groups = _parse_ics_info(br)
                 bands = swb128 if seq == 2 else swb
-                spec, _, _ = _decode_ics(br, gg, max_sfb, bands, groups)
+                spec, _, _, tns = _decode_ics(br, gg, max_sfb, bands,
+                                              groups)
+                if tns:
+                    _tns_apply(spec, tns, max_sfb, bands,
+                               tns_max[1] if seq == 2 else tns_max[0])
                 specs.append((spec, seq, shape))
             elif ele == 1:            # CPE
                 common = br.read(1)
@@ -286,10 +373,11 @@ class AacFrameDecoder:
                 elif ms == 2:
                     ms_mask = [1] * n
                 gg0 = br.read(8)
-                s0, _, _ = _decode_ics(br, gg0, max_sfb, bands, groups)
-                gg1 = br.read(8)
-                s1, cbs1, sfs1 = _decode_ics(br, gg1, max_sfb, bands,
+                s0, _, _, tns0 = _decode_ics(br, gg0, max_sfb, bands,
                                              groups)
+                gg1 = br.read(8)
+                s1, cbs1, sfs1, tns1 = _decode_ics(br, gg1, max_sfb,
+                                                   bands, groups)
                 is_band = [int(c) in (14, 15) for c in cbs1]
                 if ms_mask:
                     mask = [m and not is_band[i]
@@ -313,6 +401,11 @@ class AacFrameDecoder:
                             s1[gi:gi + glen, lo:hi] = \
                                 sc * s0[gi:gi + glen, lo:hi]
                     gi += glen
+                mb = tns_max[1] if seq == 2 else tns_max[0]
+                if tns0:
+                    _tns_apply(s0, tns0, max_sfb, bands, mb)
+                if tns1:
+                    _tns_apply(s1, tns1, max_sfb, bands, mb)
                 specs.append((s0, seq, shape))
                 specs.append((s1, seq, shape))
             else:
@@ -341,7 +434,7 @@ class AacFrameDecoder:
         buf = np.zeros(2 * FRAME)
         if seq == 2:                 # EIGHT_SHORT
             t = np.asarray(tx.imdct(jnp.asarray(spec, jnp.float32)))
-            t = t.astype(np.float64) / 8.0   # 2/N imdct scale: N ratio
+            t = t.astype(np.float64)   # tx.imdct gain is length-invariant
             for w in range(8):
                 rise = self._half(prev_shape if w == 0 else shape,
                                   128, True)

@@ -150,7 +150,6 @@ class TestReferenceStreams:
                         "-c:a", "aac", "-b:a", "128k", "-y", str(adts)],
                        check=True)
         from librempeg_tpu.codecs.api import find_decoder
-        from librempeg_tpu.core.errors import Unsupported
         from librempeg_tpu.formats.api import open_input
 
         d = open_input(str(adts))
@@ -158,26 +157,22 @@ class TestReferenceStreams:
         par = d.streams[0].codecpar
         assert (par.sample_rate, par.nb_channels) == (44100, 2)
         dec = find_decoder("aac")(par)
-        chunks = []
-        for p in d.packets():
-            try:
-                out = dec.decode(p)
-                chunks.append(np.asarray(out[0].data))
-            except Unsupported:          # TNS frames: round-2
-                chunks.append(np.zeros((2, 1024), np.float32))
-        assert sum(np.any(c) for c in chunks) >= len(chunks) - 3
+        chunks = [np.asarray(dec.decode(p)[0].data)
+                  for p in d.packets()]      # EVERY frame must decode
         got = np.concatenate(chunks, axis=1)
         r = subprocess.run([reference_ffmpeg(), "-v", "error", "-i",
                             str(adts), "-f", "s16le", "-"],
                            capture_output=True)
         ref = np.frombuffer(r.stdout, np.int16).reshape(-1, 2).T \
             .astype(np.float32) / 32768.0
-        # compare a steady-state region where every frame decoded
-        lo, hi = 4 * 1024, 40 * 1024
-        err = got[:, lo:hi] - ref[:, lo:hi]
-        sig = float(np.mean(ref[:, lo:hi] ** 2))
+        n = min(got.shape[1], ref.shape[1])
+        err = got[:, :n] - ref[:, :n]
+        sig = float(np.mean(ref[:, :n] ** 2))
         snr = 10 * np.log10(sig / max(float(np.mean(err ** 2)), 1e-12))
-        assert snr > 60, snr   # ~92 dB measured: transparent
+        # full stream incl. short-window transients; residual is PNS
+        # noise (random by construction, uncorrelated with the
+        # reference's noise generator)
+        assert snr > 40, snr   # ~63 dB measured
 
     def test_adts_demux_roundtrip_own_encoder(self, tmp_path):
         from librempeg_tpu.cli.ffmpeg import main as ffmain
