@@ -30,6 +30,11 @@ def make_mesh(n_devices: int | None = None,
               shape: tuple[int, int] | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh: asked for {n_devices} devices but backend "
+                f"has {len(devs)} ({devs[0].platform}); refusing to "
+                f"silently build a smaller mesh")
         devs = devs[:n_devices]
     n = len(devs)
     if shape is None:
