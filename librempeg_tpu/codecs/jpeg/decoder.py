@@ -167,6 +167,27 @@ def _decode_scan(data, scan_start, comps, qtabs, dc_tables, ac_tables,
         raise Unsupported("progressive JPEG (round-1 scope: baseline)")
     if not native.available():
         raise Unsupported("native extension unavailable for JPEG decode")
+    # All of this is file-controlled; validate before it reaches the
+    # native scan decoder (reference guards the same way: mjpegdec.c
+    # table/index validation).
+    if not comps:
+        raise InvalidData("JPEG: SOS before SOF / no components")
+    for c in comps:
+        if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
+            raise InvalidData(f"JPEG: bad sampling factors {c.h}x{c.v}")
+        if not (0 <= getattr(c, "dc", -1) < 4 and
+                0 <= getattr(c, "ac", -1) < 4):
+            raise InvalidData("JPEG: huffman table index out of range")
+        if c.dc not in dc_tables or c.ac not in ac_tables:
+            raise InvalidData("JPEG: scan references undefined huffman table")
+        if c.tq not in qtabs:
+            raise InvalidData("JPEG: scan references undefined quant table")
+    for kind, tabs in (("dc", dc_tables), ("ac", ac_tables)):
+        for th, (bits, vals) in tabs.items():
+            n = int(np.asarray(bits).sum())
+            if n == 0 or n > 256 or n > len(vals):
+                raise InvalidData(f"JPEG: malformed {kind} huffman table "
+                                  f"{th}: {n} codes, {len(vals)} values")
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -125,7 +125,11 @@ class Rational:
         if not isinstance(other, Rational):
             return NotImplemented
         if self.den == 0 or other.den == 0:
-            return self.reduce() is other.reduce()
+            # compare reduced (num, den) values so equal infinities/NaN
+            # forms compare equal (av_cmp_q semantics), consistent with
+            # __hash__
+            a, b = self.reduce(), other.reduce()
+            return (a.num, a.den) == (b.num, b.den)
         return self.num * other.den == other.num * self.den
 
     def __hash__(self) -> int:

@@ -53,25 +53,21 @@ class AdtsDemuxer(Demuxer):
             return 51
         return 0
 
+    _CHUNK = 1 << 16
+
     def read_header(self, io):
-        data = io.read(1 << 30)
-        pos = 0
-        while pos < len(data) and not _is_sync(data, pos):
-            pos += 1
-        if not _is_sync(data, pos):
+        # Incremental framing (reference aacdec.c reads per-packet): keep a
+        # rolling buffer; never slurp the whole stream into memory.
+        self.io = io
+        self._buf = b""
+        self._eof = False
+        self._consumed = io.tell()  # stream offset of the start of _buf
+        if not self._refill_to(7):
             raise InvalidData("adts: no sync")
-        rate_idx = (data[pos + 2] >> 2) & 0xF
-        channels = ((data[pos + 2] & 1) << 2) | (data[pos + 3] >> 6)
+        hdr = self._buf
+        rate_idx = (hdr[2] >> 2) & 0xF
+        channels = ((hdr[2] & 1) << 2) | (hdr[3] >> 6)
         rate = _RATES[rate_idx] if rate_idx < len(_RATES) else 44100
-        self._frames = []
-        while _is_sync(data, pos):
-            ln = _frame_len(data, pos)
-            if ln < 7 or pos + ln > len(data):
-                break
-            self._frames.append(data[pos:pos + ln])
-            pos += ln
-        if not self._frames:
-            raise InvalidData("adts: no frames")
         par = CodecParameters(codec_type="audio", codec_id="aac",
                               sample_rate=rate, nb_channels=channels or 2,
                               frame_size=1024)
@@ -79,14 +75,50 @@ class AdtsDemuxer(Demuxer):
                                time_base=Rational(1, rate))]
         self._idx = 0
 
+    def _refill_to(self, need: int) -> bool:
+        """Grow the rolling buffer until it starts at a sync word and holds
+        at least `need` bytes; returns False at clean EOF."""
+        while True:
+            while len(self._buf) < max(need, 7) and not self._eof:
+                chunk = self.io.read(self._CHUNK)
+                if not chunk:
+                    self._eof = True
+                    break
+                self._buf += chunk
+            if len(self._buf) < 7:
+                return False
+            if _is_sync(self._buf, 0):
+                return len(self._buf) >= need  # filled or truncated at EOF
+            # resync: drop bytes up to the next candidate sync
+            nxt = self._buf.find(b"\xff", 1)
+            dropped = nxt if nxt > 0 else len(self._buf)
+            self._consumed += dropped
+            self._buf = self._buf[dropped:]
+            if not self._buf and self._eof:
+                return False
+
     def read_packet(self) -> Packet:
-        if self._idx >= len(self._frames):
+        if not self._refill_to(7):
             raise EndOfStream
+        ln = _frame_len(self._buf, 0)
+        if ln < 7:
+            raise InvalidData("adts: bad frame length")
+        if not self._refill_to(ln):
+            raise EndOfStream  # truncated final frame
+        data, self._buf = self._buf[:ln], self._buf[ln:]
+        self._consumed += ln
         i = self._idx
         self._idx += 1
-        return Packet(data=self._frames[i], pts=i * 1024, dts=i * 1024,
+        return Packet(data=data, pts=i * 1024, dts=i * 1024,
                       duration=1024, flags=PktFlags.KEY,
                       time_base=self.streams[0].time_base)
+
+    def tell_resume(self) -> int:
+        return self._consumed
+
+    def on_restore(self) -> None:
+        self._buf = b""
+        self._eof = False
 
 
 @register_muxer

@@ -94,6 +94,16 @@ class Demuxer:
     def read_seek(self, stream_index: int, ts: int) -> None:
         raise NotImplementedError(f"{self.NAME}: seeking not supported")
 
+    def tell_resume(self) -> int:
+        """Byte offset a checkpoint should seek to on restore. Demuxers
+        with internal read-ahead buffers override this to report the
+        offset of the first *unconsumed* byte, not the raw io position."""
+        return self.io.tell()
+
+    def on_restore(self) -> None:
+        """Called after a checkpoint restore seeks the io: drop any
+        internal read-ahead state so reading resumes at the io position."""
+
     # public ----------------------------------------------------------
     def packets(self) -> Iterator[Packet]:
         while True:

@@ -96,16 +96,27 @@ struct HuffTable {
     int      ok;
 };
 
-// bits[1..16]: number of codes per length; values: concatenated HUFFVAL
-static void build_hufftable(HuffTable* t, const uint8_t* bits,
-                            const uint8_t* values, int nvalues) {
+// bits[1..16]: number of codes per length; values: concatenated HUFFVAL.
+// Returns 0 and leaves t->ok = 0 if the table is malformed (more codes
+// than fit in a length, or than values provided) — the data is
+// file-controlled, so every index must be proven in-bounds here.
+static int build_hufftable(HuffTable* t, const uint8_t* bits,
+                           const uint8_t* values, int nvalues) {
     memset(t, 0, sizeof(*t));
-    memcpy(t->values, values, nvalues < 256 ? nvalues : 256);
+    int total = 0;
+    for (int len = 1; len <= 16; len++) total += bits[len - 1];
+    if (total <= 0 || total > 256 || total > nvalues)
+        return 0;
+    memcpy(t->values, values, (size_t)total);
     uint32_t code = 0;
     int k = 0;
     for (int len = 1; len <= 16; len++) {
         t->valoffset[len] = (uint32_t)(k - (int)code);
         for (int i = 0; i < bits[len - 1]; i++) {
+            // canonical codes must fit in `len` bits; a violation would
+            // push the primary-LUT index past 512
+            if (code >= (1u << len))
+                return 0;
             if (len <= 9) {
                 // fill primary LUT
                 int shift = 9 - len;
@@ -122,6 +133,7 @@ static void build_hufftable(HuffTable* t, const uint8_t* bits,
         code <<= 1;
     }
     t->ok = 1;
+    return 1;
 }
 
 static inline int huff_decode(BitReader* br, const HuffTable* t) {
@@ -163,16 +175,24 @@ int jpeg_decode_scan(
     int mcu_count, int restart_interval,
     int16_t* out_coeffs)
 {
+    if (ncomp < 1 || ncomp > 4) return -1;
     HuffTable dct[4], act[4];
     for (int i = 0; i < 4; i++) { dct[i].ok = act[i].ok = 0; }
     for (int c = 0; c < ncomp; c++) {
         int d = comp_dc_tbl[c], a = comp_ac_tbl[c];
-        if (!dct[d].ok)
-            build_hufftable(&dct[d], dc_bits + 16 * d, dc_vals + 256 * d,
-                            dc_nvals[d]);
-        if (!act[a].ok)
-            build_hufftable(&act[a], ac_bits + 16 * a, ac_vals + 256 * a,
-                            ac_nvals[a]);
+        // all of these are file-controlled: reject out-of-range table
+        // indices / sampling factors before they index the stack arrays
+        if (d < 0 || d >= 4 || a < 0 || a >= 4) return -1;
+        if (comp_h[c] < 1 || comp_h[c] > 4 ||
+            comp_v[c] < 1 || comp_v[c] > 4) return -1;
+        if (!dct[d].ok &&
+            !build_hufftable(&dct[d], dc_bits + 16 * d, dc_vals + 256 * d,
+                             dc_nvals[d]))
+            return -1;
+        if (!act[a].ok &&
+            !build_hufftable(&act[a], ac_bits + 16 * a, ac_vals + 256 * a,
+                             ac_nvals[a]))
+            return -1;
     }
 
     BitReader br;
@@ -206,7 +226,7 @@ int jpeg_decode_scan(
                 int16_t* blk = out;
                 memset(blk, 0, 64 * sizeof(int16_t));
                 int s = huff_decode(&br, &dct[comp_dc_tbl[c]]);
-                if (s < 0) return -1;
+                if (s < 0 || s > 15) return -1;  // DC category is 0..15
                 int diff = jpeg_extend(br_get(&br, s), s);
                 pred[c] += diff;
                 blk[0] = (int16_t)pred[c];

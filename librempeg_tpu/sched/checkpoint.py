@@ -7,30 +7,86 @@ snapshot a running Transcoder's state (demux byte position, per-chain
 codec/filter state, muxer interleave queue) and resume later, so long
 transcodes survive preemption (the production-serving failure model).
 
-State is pickled; device arrays are pulled to host numpy first.
+Serialization is a data-only format (JSON scalar tree + npz array
+bundle) so restoring an untrusted/tampered snapshot can never execute
+code — unlike pickle.
 """
 from __future__ import annotations
 
 import io
-import pickle
+import json
+import struct
 from typing import Any
 
 import numpy as np
 
+_MAGIC = b"LTCKPT1\n"
 
-def _to_host(obj: Any) -> Any:
-    """Recursively convert jax arrays to numpy for pickling."""
+
+def _encode(obj: Any, arrays: list) -> Any:
+    """Lower a state tree to a JSON-safe tree; ndarrays go to `arrays`."""
     import jax
 
-    if isinstance(obj, jax.Array):
-        return np.asarray(obj)
+    if obj is None or isinstance(obj, (bool, str)):
+        return obj
+    if isinstance(obj, (int, np.integer)):
+        return int(obj)
+    if isinstance(obj, (float, np.floating)):
+        return float(obj)
+    if isinstance(obj, (np.ndarray, jax.Array)):
+        arrays.append(np.asarray(obj))
+        return {"__nd__": len(arrays) - 1}
     if isinstance(obj, tuple):
-        return tuple(_to_host(o) for o in obj)
+        return {"__tup__": [_encode(o, arrays) for o in obj]}
     if isinstance(obj, list):
-        return [_to_host(o) for o in obj]
+        return [_encode(o, arrays) for o in obj]
     if isinstance(obj, dict):
-        return {k: _to_host(v) for k, v in obj.items()}
+        return {"__map__": [[_encode(k, arrays), _encode(v, arrays)]
+                            for k, v in obj.items()]}
+    if isinstance(obj, bytes):
+        arrays.append(np.frombuffer(obj, np.uint8))
+        return {"__bytes__": len(arrays) - 1}
+    raise TypeError(f"checkpoint: unsupported state type {type(obj)!r}")
+
+
+def _decode(obj: Any, arrays: dict) -> Any:
+    if isinstance(obj, list):
+        return [_decode(o, arrays) for o in obj]
+    if isinstance(obj, dict):
+        if "__nd__" in obj:
+            return arrays[f"a{obj['__nd__']}"]
+        if "__bytes__" in obj:
+            return arrays[f"a{obj['__bytes__']}"].tobytes()
+        if "__tup__" in obj:
+            return tuple(_decode(o, arrays) for o in obj["__tup__"])
+        if "__map__" in obj:
+            return {_decode(k, arrays): _decode(v, arrays)
+                    for k, v in obj["__map__"]}
+        raise ValueError("checkpoint: malformed node")
     return obj
+
+
+def dumps_state(state: Any) -> bytes:
+    arrays: list = []
+    tree = json.dumps(_encode(state, arrays)).encode()
+    buf = io.BytesIO()
+    np.savez(buf, **{f"a{i}": a for i, a in enumerate(arrays)})
+    return _MAGIC + struct.pack("<Q", len(tree)) + tree + buf.getvalue()
+
+
+def loads_state(blob: bytes) -> Any:
+    if blob[:len(_MAGIC)] != _MAGIC:
+        raise ValueError("checkpoint: bad magic (not a LTCKPT1 snapshot)")
+    off = len(_MAGIC)
+    (tlen,) = struct.unpack_from("<Q", blob, off)
+    off += 8
+    tree = json.loads(blob[off:off + tlen].decode())
+    arrays: dict = {}
+    npz_bytes = blob[off + tlen:]
+    if npz_bytes:
+        with np.load(io.BytesIO(npz_bytes), allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+    return _decode(tree, arrays)
 
 
 def snapshot(tc) -> bytes:
@@ -44,7 +100,7 @@ def snapshot(tc) -> bytes:
             for attr in ("_ref", "_frame_idx", "_next_pts", "_frame_no",
                          "_pend", "_hist", "_total", "_total_in"):
                 if hasattr(enc, attr):
-                    enc_state[attr] = _to_host(getattr(enc, attr))
+                    enc_state[attr] = getattr(enc, attr)
             state["encoder"] = enc_state
         if chain.graph is not None:
             # resampler carry inside aresample filters
@@ -63,8 +119,8 @@ def snapshot(tc) -> bytes:
     # demuxer scalar state (packet counters, data-chunk offsets, ...)
     demux_attrs = {k: v for k, v in vars(tc.demux).items()
                    if isinstance(v, (int, float, bool))}
-    return pickle.dumps({
-        "demux_pos": tc.demux.io.tell(),
+    return dumps_state({
+        "demux_pos": tc.demux.tell_resume(),
         "demux_attrs": demux_attrs,
         "chains": chains,
     })
@@ -72,11 +128,14 @@ def snapshot(tc) -> bytes:
 
 def restore(tc, blob: bytes) -> None:
     """Restore a snapshot into a freshly constructed Transcoder with the
-    same spec (mirrors orbax-style restore-into-abstract-state)."""
-    state = pickle.loads(blob)
+    same spec (mirrors orbax-style restore-into-abstract-state).
+
+    Snapshots are a data-only format; no code is executed on load."""
+    state = loads_state(blob)
     tc.demux.io.seek(state["demux_pos"])
     for k, v in state.get("demux_attrs", {}).items():
         setattr(tc.demux, k, v)
+    tc.demux.on_restore()  # drop read-ahead so reading resumes at the seek
     for idx, chst in state["chains"].items():
         chain = tc.chains.get(idx)
         if chain is None:
