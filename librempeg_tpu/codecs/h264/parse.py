@@ -229,10 +229,17 @@ class SliceHeader:
     frame_num: int = 0
     idr: bool = False
     qp: int = 26
+    num_ref_idx_l0: int = 1
+    cabac_init_idc: int = 0
+    disable_deblock: int = 0       # disable_deblocking_filter_idc
+    alpha_off: int = 0             # slice_alpha_c0_offset_div2 * 2
+    beta_off: int = 0
+    data_bit_pos: int = 0          # first bit of slice_data()
 
 
 def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
-                       nal_type: int) -> SliceHeader:
+                       nal_type: int, nal_ref_idc: int = 1) -> SliceHeader:
+    """Full slice_header() for I/P CAVLC+CABAC slices (§7.3.3)."""
     g = ExpGolombReader(rbsp)
     sh = SliceHeader()
     sh.first_mb = g.ue()
@@ -246,15 +253,40 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
         g.u(sps.log2_max_poc_lsb)
         if pps.pic_order_present:
             g.se()
-    # (ref pic list mods, pred weights, dec_ref_pic_marking parsed by the
-    # full decoder; here we stop after slice_qp_delta for I slices)
-    if sh.slice_type == "I":
+    elif sps.pic_order_cnt_type == 1 and not sps.delta_pic_order_always_zero:
+        g.se()
+        if pps.pic_order_present:
+            g.se()
+    if pps.redundant_pic_cnt_present:
+        g.ue()
+    if sh.slice_type == "B":
+        raise Unsupported("h264: B slices")
+    sh.num_ref_idx_l0 = pps.num_ref_idx_l0
+    if sh.slice_type in ("P", "SP"):
+        if g.u(1):  # num_ref_idx_active_override
+            sh.num_ref_idx_l0 = g.ue() + 1
+        if g.u(1):  # ref_pic_list_modification_flag_l0
+            raise Unsupported("h264: ref pic list modification")
+    if pps.weighted_pred and sh.slice_type in ("P", "SP"):
+        raise Unsupported("h264: weighted prediction")
+    if nal_ref_idc != 0:
         if sh.idr:
             g.u(1)  # no_output_of_prior_pics
             g.u(1)  # long_term_reference_flag
-        if pps.entropy_coding_mode:
-            pass  # cabac_init_idc not present for I
-        sh.qp = pps.pic_init_qp + g.se()
+        else:
+            if g.u(1):  # adaptive_ref_pic_marking_mode_flag
+                raise Unsupported("h264: adaptive ref pic marking (MMCO)")
+    if pps.entropy_coding_mode and sh.slice_type not in ("I", "SI"):
+        sh.cabac_init_idc = g.ue()
+    sh.qp = pps.pic_init_qp + g.se()
+    if sh.slice_type == "SP":
+        raise Unsupported("h264: SP slices")
+    if pps.deblocking_filter_control_present:
+        sh.disable_deblock = g.ue()
+        if sh.disable_deblock != 1:
+            sh.alpha_off = g.se() * 2
+            sh.beta_off = g.se() * 2
+    sh.data_bit_pos = g.pos
     return sh
 
 

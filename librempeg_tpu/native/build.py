@@ -15,6 +15,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bitstream.cpp")
+_SRCS = [os.path.join(_DIR, f) for f in ("bitstream.cpp", "h264.cpp")]
+_HDRS = [os.path.join(_DIR, "h264_tables.h")]
 _LIB = os.path.join(_DIR, "_bitstream.so")
 
 _lock = threading.Lock()
@@ -26,7 +28,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-march=native",
-             "-o", _LIB, _SRC],
+             "-o", _LIB] + _SRCS,
             check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -45,8 +47,10 @@ def get() -> ctypes.CDLL | None:
         if _tried:
             return None
         _tried = True
+        srcs = [s for s in _SRCS + _HDRS if os.path.exists(s)]
         need_build = (not os.path.exists(_LIB)
-                      or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+                      or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                             for s in srcs))
         if need_build and not _build():
             return None
         lib = ctypes.CDLL(_LIB)
@@ -75,6 +79,19 @@ def get() -> ctypes.CDLL | None:
         f64p = ctypes.POINTER(ctypes.c_double)
         lib.biquad.restype = ctypes.c_int
         lib.biquad.argtypes = [f64p, f64p, f32p, f32p, ctypes.c_long]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.h264_decode_slice_cavlc.restype = ctypes.c_int
+        lib.h264_decode_slice_cavlc.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,             # rbsp, nbytes, bit
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,    # mb_w, mb_h, first
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,    # type, qp, nref
+            i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p]
+        lib.h264_deblock_frame.restype = None
+        lib.h264_deblock_frame.argtypes = [
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i16p, i8p, i16p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -222,3 +239,65 @@ def biquad(b, a, x: np.ndarray) -> np.ndarray:
                y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                len(x))
     return y
+
+
+def _i8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
+                            mb_h: int, first_mb: int, slice_type: int,
+                            slice_qp: int, num_ref_idx_l0: int) -> dict:
+    """Decode one CAVLC slice (I or P) to per-MB tensors.
+
+    Returns dict of arrays: kind[nMB], info[nMB], i4modes[nMB,16],
+    mv[nMB,16,2], ref[nMB,4], qp[nMB], coeffs[nMB,27,16] (zigzag),
+    ncoef[nMB,27], end_bit, last_mb. See native/h264.cpp for layout.
+    """
+    lib = get()
+    assert lib is not None
+    nmb = mb_w * mb_h
+    kind = np.full(nmb, -1, np.int32)
+    info = np.zeros(nmb, np.int32)
+    i4m = np.zeros((nmb, 16), np.int8)
+    mv = np.zeros((nmb, 16, 2), np.int16)
+    ref = np.full((nmb, 4), -1, np.int8)
+    qp = np.zeros(nmb, np.int32)
+    coeffs = np.zeros((nmb, 27, 16), np.int16)
+    ncoef = np.zeros((nmb, 27), np.int16)
+    end = np.zeros(2, np.int32)
+    buf = np.frombuffer(rbsp, np.uint8)
+    r = lib.h264_decode_slice_cavlc(
+        _u8(buf), len(rbsp), start_bit, mb_w, mb_h, first_mb,
+        slice_type, slice_qp, num_ref_idx_l0,
+        _i32(kind), _i32(info), _i8(i4m), _i16(mv), _i8(ref), _i32(qp),
+        _i16(coeffs), _i16(ncoef), _i32(end))
+    if r < 0:
+        from librempeg_tpu.core.errors import InvalidData, Unsupported
+
+        if r == -5:
+            raise Unsupported("h264: I_PCM macroblocks")
+        raise InvalidData(f"h264: slice entropy decode failed ({r})")
+    return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
+            "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
+            "end_bit": int(end[0]), "last_mb": int(end[1])}
+
+
+def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       kind: np.ndarray, qp: np.ndarray, mv: np.ndarray,
+                       ref: np.ndarray, ncoef: np.ndarray,
+                       mb_w: int, mb_h: int, alpha_off: int = 0,
+                       beta_off: int = 0, chroma_qp_off: int = 0) -> None:
+    """In-place H.264 in-loop deblock over uint8 yuv420 planes."""
+    lib = get()
+    assert lib is not None
+    assert y.dtype == np.uint8 and y.flags.c_contiguous
+    h, w = y.shape
+    lib.h264_deblock_frame(
+        _u8(y), _u8(u), _u8(v), w, h,
+        _i32(np.ascontiguousarray(kind, np.int32)),
+        _i32(np.ascontiguousarray(qp, np.int32)),
+        _i16(np.ascontiguousarray(mv, np.int16)),
+        _i8(np.ascontiguousarray(ref, np.int8)),
+        _i16(np.ascontiguousarray(ncoef, np.int16)),
+        mb_w, mb_h, alpha_off, beta_off, chroma_qp_off)

@@ -1,0 +1,924 @@
+// H.264 host-side serial layer: CAVLC slice entropy decode + in-loop
+// deblocking filter.
+//
+// Role split (SURVEY.md §7): the irreducibly serial bitstream walk
+// (entropy decode, neighbor-context tracking, MV prediction) runs here
+// on the host and emits flat per-MB tensors; the data-parallel pixel
+// work (dequant/IDCT, qpel motion compensation, intra batches) runs on
+// device from those tensors. Behavioral reference (not a translation):
+// /root/reference/libavcodec/h264_cavlc.c, h264_mvpred.h,
+// h264_loopfilter.c, h264data.c. Spec: ISO/IEC 14496-10 §7.3.5, §8.4.1,
+// §8.7, §9.2.
+//
+// Build: compiled into _bitstream.so together with bitstream.cpp (see
+// native/build.py).
+
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+#include "h264_tables.h"
+
+// ---------------------------------------------------------------------------
+// Bit reader over RBSP (emulation prevention already removed)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct HBits {
+    const uint8_t* data;
+    int nbits;     // total payload bits (up to and including rbsp stop bit)
+    int pos;       // current bit position
+    int last_bit;  // position of the rbsp_stop_one_bit (last set bit)
+    int error;
+};
+
+inline int hb_read1(HBits* b) {
+    if (b->pos >= b->nbits) { b->error = 1; return 0; }
+    int v = (b->data[b->pos >> 3] >> (7 - (b->pos & 7))) & 1;
+    b->pos++;
+    return v;
+}
+
+inline uint32_t hb_read(HBits* b, int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | (uint32_t)hb_read1(b);
+    return v;
+}
+
+inline uint32_t hb_ue(HBits* b) {
+    int zeros = 0;
+    while (!hb_read1(b)) {
+        if (++zeros > 31 || b->error) { b->error = 1; return 0; }
+    }
+    return ((1u << zeros) - 1) + (zeros ? hb_read(b, zeros) : 0);
+}
+
+inline int32_t hb_se(HBits* b) {
+    uint32_t k = hb_ue(b);
+    return (k & 1) ? (int32_t)((k + 1) >> 1) : -(int32_t)(k >> 1);
+}
+
+// te(v) with range [0, max]
+inline int hb_te(HBits* b, int maxv) {
+    if (maxv == 0) return 0;
+    if (maxv == 1) return !hb_read1(b);
+    return (int)hb_ue(b);
+}
+
+// more_rbsp_data(): true while bits remain before the rbsp stop bit
+inline int hb_more(const HBits* b) {
+    return !b->error && b->pos < b->last_bit;
+}
+
+int find_last_set_bit(const uint8_t* data, int nbytes) {
+    for (int i = nbytes - 1; i >= 0; i--) {
+        if (data[i]) {
+            int byte = data[i];
+            for (int k = 0; k < 8; k++)
+                if (byte & (1 << k)) return i * 8 + (7 - k);
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// CAVLC residual (§9.2) — mirrors codecs/h264/cavlc.py semantics
+// ---------------------------------------------------------------------------
+
+inline int token_table(int nc) {
+    if (nc < 2) return 0;
+    if (nc < 4) return 1;
+    if (nc < 8) return 2;
+    return 3;
+}
+
+// match (total,t1) against a [ntotals*4] len/bits table, MSB-first
+int read_token(HBits* b, const uint8_t* len_tab, const uint8_t* bits_tab,
+               int ntotals, int* total, int* t1) {
+    uint32_t code = 0;
+    for (int ln = 1; ln <= 16; ln++) {
+        code = (code << 1) | (uint32_t)hb_read1(b);
+        if (b->error) return -1;
+        for (int t = 0; t < ntotals; t++)
+            for (int o = 0; o < 4; o++)
+                if (len_tab[t * 4 + o] == ln && bits_tab[t * 4 + o] == code) {
+                    *total = t; *t1 = o; return 0;
+                }
+    }
+    return -1;
+}
+
+int read_vlc_row(HBits* b, const uint8_t* len_row, const uint8_t* bits_row,
+                 int n) {
+    uint32_t code = 0;
+    for (int ln = 1; ln <= 15; ln++) {
+        code = (code << 1) | (uint32_t)hb_read1(b);
+        if (b->error) return -1;
+        for (int v = 0; v < n; v++)
+            if (len_row[v] == ln && bits_row[v] == code) return v;
+    }
+    return -1;
+}
+
+// Decode one residual block into out[maxc] (zigzag order). nc = -1 means
+// the chroma-DC table. Returns total_coeff, or -1 on error.
+int residual_block(HBits* b, int16_t* out, int maxc, int nc) {
+    memset(out, 0, sizeof(int16_t) * maxc);
+    int total = 0, t1 = 0;
+    if (nc >= 0) {
+        int tab = token_table(nc);
+        if (tab == 3) {
+            int v = (int)hb_read(b, 6);
+            if (v == 3) return 0;
+            total = (v >> 2) + 1;
+            t1 = v & 3;
+        } else {
+            if (read_token(b, COEFF_TOKEN_LEN[tab], COEFF_TOKEN_BITS[tab],
+                           17, &total, &t1) < 0) return -1;
+        }
+    } else {
+        if (read_token(b, CHROMA_DC_COEFF_TOKEN_LEN,
+                       CHROMA_DC_COEFF_TOKEN_BITS, 5, &total, &t1) < 0)
+            return -1;
+    }
+    if (total == 0) return 0;
+    if (total > maxc) return -1;
+
+    int32_t levels[16];
+    for (int k = 0; k < t1; k++)
+        levels[k] = hb_read1(b) ? -1 : 1;
+    int suffix_len = (total > 10 && t1 < 3) ? 1 : 0;
+    int first = 1;
+    for (int k = t1; k < total; k++) {
+        int prefix = 0;
+        while (!hb_read1(b)) {
+            if (++prefix > 32 || b->error) return -1;
+        }
+        int code;
+        if (suffix_len == 0) {
+            if (prefix < 14) code = prefix;
+            else if (prefix == 14) code = 14 + (int)hb_read(b, 4);
+            else code = 30 + (int)hb_read(b, 12);
+        } else {
+            if (prefix < 15)
+                code = (prefix << suffix_len) | (int)hb_read(b, suffix_len);
+            else
+                code = (15 << suffix_len) + (int)hb_read(b, 12);
+        }
+        if (first && t1 < 3) code += 2;
+        first = 0;
+        int32_t level = (code % 2 == 0) ? ((code + 2) >> 1)
+                                        : -((code + 1) >> 1);
+        levels[k] = level;
+        if (suffix_len == 0) suffix_len = 1;
+        int32_t al = level < 0 ? -level : level;
+        if (al > (3 << (suffix_len - 1)) && suffix_len < 6) suffix_len++;
+    }
+    int tz = 0;
+    if (total < maxc) {
+        if (nc >= 0)
+            tz = read_vlc_row(b, TOTAL_ZEROS_LEN[total - 1],
+                              TOTAL_ZEROS_BITS[total - 1], 16);
+        else
+            tz = read_vlc_row(b, CHROMA_DC_TOTAL_ZEROS_LEN[total - 1],
+                              CHROMA_DC_TOTAL_ZEROS_BITS[total - 1], 4);
+        if (tz < 0) return -1;
+    }
+    int runs[16];
+    int zeros_left = tz;
+    for (int k = 0; k < total - 1; k++) {
+        if (zeros_left <= 0) { runs[k] = 0; continue; }
+        int tabrow = (zeros_left < 7 ? zeros_left : 7) - 1;
+        int run = read_vlc_row(b, RUN_LEN[tabrow], RUN_BITS[tabrow], 16);
+        if (run < 0) return -1;
+        runs[k] = run;
+        zeros_left -= run;
+    }
+    runs[total - 1] = zeros_left;
+    int pos = total + tz - 1;
+    if (pos >= maxc) return -1;
+    for (int k = 0; k < total; k++) {
+        if (pos < 0) return -1;
+        out[pos] = (int16_t)levels[k];
+        if (k < total - 1) pos -= runs[k] + 1;
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// Slice decode context
+// ---------------------------------------------------------------------------
+
+// mb_kind codes (shared with the Python recon layer)
+enum { K_PSKIP = 0, K_INTER = 1, K_I4X4 = 2, K_I16 = 3, K_IPCM = 4,
+       K_UNDECODED = -1 };
+
+// block index -> (row4, col4) within MB, §6.4.3 4x4 scan order
+static const int BLK4[16][2] = {
+    {0,0},{0,1},{1,0},{1,1},{0,2},{0,3},{1,2},{1,3},
+    {2,0},{2,1},{3,0},{3,1},{2,2},{2,3},{3,2},{3,3}};
+
+// CBP me(v) mapping (Table 9-4; ISO spec data, cf. h264data.c:42-55)
+static const uint8_t GOLOMB_TO_INTRA4X4_CBP[48] = {
+    47, 31, 15, 0,  23, 27, 29, 30, 7,  11, 13, 14, 39, 43, 45, 46,
+    16, 3,  5,  10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1,  2,  4,
+    8,  17, 18, 20, 24, 6,  9,  22, 25, 32, 33, 34, 36, 40, 38, 41};
+static const uint8_t GOLOMB_TO_INTER_CBP[48] = {
+    0,  16, 1,  2,  4,  8,  32, 3,  5,  10, 12, 15, 47, 7,  11, 13,
+    14, 6,  9,  31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41};
+
+struct SliceCtx {
+    int mb_w, mb_h;
+    int w4, h4;       // luma 4x4 grid dims
+    int wc, hc;       // chroma 4x4 grid dims
+    // nC total_coeff contexts (-1 = unavailable)
+    int8_t* tcY;
+    int8_t* tcU;
+    int8_t* tcV;
+    // motion grids (per luma 4x4)
+    int16_t* mvg;     // [h4*w4*2]
+    int8_t* refg;     // [h4*w4]: -2 undecoded, -1 intra, >=0 ref
+    // intra 4x4 mode grid: -2 undecoded, -1 available-non-I4x4, >=0 mode
+    int8_t* i4g;
+    uint8_t* decoded; // per-MB decoded flag (this slice)
+};
+
+inline int tc_nc(const int8_t* grid, int w, int by, int bx) {
+    int na = bx > 0 ? grid[by * w + bx - 1] : -1;
+    int nb = by > 0 ? grid[(by - 1) * w + bx] : -1;
+    if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+    if (na >= 0) return na;
+    if (nb >= 0) return nb;
+    return 0;
+}
+
+// --- motion vector prediction (§8.4.1.3) --------------------------------
+
+// fetch neighbor (x4,y4) on the 4x4 grid: returns 1 if the block is
+// available (decoded in this slice); fills mv/ref (intra -> ref=-1,mv=0)
+inline int fetch_n(const SliceCtx* c, int x4, int y4,
+                   int* refn, int* mvx, int* mvy) {
+    *refn = -1; *mvx = 0; *mvy = 0;
+    if (x4 < 0 || y4 < 0 || x4 >= c->w4 || y4 >= c->h4) return 0;
+    int8_t r = c->refg[y4 * c->w4 + x4];
+    if (r == -2) return 0;   // not decoded (other slice / future MB)
+    if (r >= 0) {
+        *refn = r;
+        *mvx = c->mvg[(y4 * c->w4 + x4) * 2];
+        *mvy = c->mvg[(y4 * c->w4 + x4) * 2 + 1];
+    }
+    return 1;                // available (intra contributes ref=-1, mv=0)
+}
+
+inline int median3(int a, int b, int cc) {
+    int mx = a > b ? a : b; if (cc > mx) mx = cc;
+    int mn = a < b ? a : b; if (cc < mn) mn = cc;
+    return a + b + cc - mx - mn;
+}
+
+// Predict mv for a partition at (x4,y4) size (w4p,h4p) with ref `ref`.
+// part_kind: 0 normal median; 1 = 16x8 top; 2 = 16x8 bottom;
+//            3 = 8x16 left; 4 = 8x16 right.
+void mv_pred(const SliceCtx* c, int x4, int y4, int w4p, int h4p,
+             int ref, int part_kind, int* px, int* py) {
+    int refA, mvxA, mvyA, refB, mvxB, mvyB, refC, mvxC, mvyC;
+    int availA = fetch_n(c, x4 - 1, y4, &refA, &mvxA, &mvyA);
+    int availB = fetch_n(c, x4, y4 - 1, &refB, &mvxB, &mvyB);
+    int availC = fetch_n(c, x4 + w4p, y4 - 1, &refC, &mvxC, &mvyC);
+    if (!availC)  // substitute D (top-left)
+        availC = fetch_n(c, x4 - 1, y4 - 1, &refC, &mvxC, &mvyC);
+
+    // directional shortcuts for 16x8 / 8x16 partitions (§8.4.1.3.1)
+    if (part_kind == 1 && availB && refB == ref) { *px = mvxB; *py = mvyB; return; }
+    if (part_kind == 2 && availA && refA == ref) { *px = mvxA; *py = mvyA; return; }
+    if (part_kind == 3 && availA && refA == ref) { *px = mvxA; *py = mvyA; return; }
+    if (part_kind == 4 && availC && refC == ref) { *px = mvxC; *py = mvyC; return; }
+
+    // when B and C are both unavailable, use A (if available)
+    if (!availB && !availC && availA) { *px = mvxA; *py = mvyA; return; }
+
+    int eqA = availA && refA == ref;
+    int eqB = availB && refB == ref;
+    int eqC = availC && refC == ref;
+    if (eqA && !eqB && !eqC) { *px = mvxA; *py = mvyA; return; }
+    if (!eqA && eqB && !eqC) { *px = mvxB; *py = mvyB; return; }
+    if (!eqA && !eqB && eqC) { *px = mvxC; *py = mvyC; return; }
+    *px = median3(mvxA, mvxB, mvxC);
+    *py = median3(mvyA, mvyB, mvyC);
+}
+
+void fill_part(SliceCtx* c, int x4, int y4, int w4p, int h4p,
+               int ref, int mvx, int mvy) {
+    for (int y = y4; y < y4 + h4p; y++)
+        for (int x = x4; x < x4 + w4p; x++) {
+            c->refg[y * c->w4 + x] = (int8_t)ref;
+            c->mvg[(y * c->w4 + x) * 2] = (int16_t)mvx;
+            c->mvg[(y * c->w4 + x) * 2 + 1] = (int16_t)mvy;
+        }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Public entry: decode one CAVLC slice (I or P) to per-MB tensors
+// ---------------------------------------------------------------------------
+//
+// Coefficient layout per MB: 27 blocks x 16 int16, ZIGZAG order:
+//   blk 0      luma DC (Intra_16x16 only)
+//   blk 1..16  luma 4x4 in raster (by*4+bx) order; AC-only blocks keep [0]=0
+//   blk 17,18  chroma DC (u, v; 4 coeffs used)
+//   blk 19..22 chroma u AC raster; 23..26 chroma v AC raster
+//
+// Outputs (caller-allocated, nMB-major):
+//   mb_kind  [nMB]        K_* codes; K_UNDECODED for MBs outside the slice
+//   mb_info  [nMB]        imode16 | chroma_mode<<4 | cbp<<8
+//   i4modes  [nMB*16]     Intra_4x4 modes, raster order within MB
+//   mv_out   [nMB*16*2]   per-4x4 mv (qpel), raster within MB
+//   ref_out  [nMB*4]      per-8x8 ref idx (-1 for intra)
+//   qp_out   [nMB]        luma QP after mb_qp_delta accumulation
+//   coeffs   [nMB*27*16]
+//   ncoef    [nMB*27]     total_coeff per block (deblock bS input)
+//   end_state[2]          { end_bit_pos, mbs_decoded }
+//
+// Returns 0 on success; negative error codes otherwise.
+extern "C" int h264_decode_slice_cavlc(
+    const uint8_t* rbsp, int nbytes, int start_bit,
+    int mb_w, int mb_h, int first_mb,
+    int slice_type,          // 0 = P, 2 = I
+    int slice_qp, int num_ref_idx_l0,
+    int32_t* mb_kind, int32_t* mb_info, int8_t* i4modes,
+    int16_t* mv_out, int8_t* ref_out, int32_t* qp_out,
+    int16_t* coeffs, int16_t* ncoef, int32_t* end_state)
+{
+    const int nMB = mb_w * mb_h;
+    const int is_p = slice_type == 0;
+    if (first_mb < 0 || first_mb >= nMB) return -1;
+
+    HBits b;
+    b.data = rbsp; b.nbits = nbytes * 8; b.pos = start_bit; b.error = 0;
+    b.last_bit = find_last_set_bit(rbsp, nbytes);
+
+    SliceCtx c;
+    c.mb_w = mb_w; c.mb_h = mb_h;
+    c.w4 = mb_w * 4; c.h4 = mb_h * 4;
+    c.wc = mb_w * 2; c.hc = mb_h * 2;
+    c.tcY = (int8_t*)malloc((size_t)c.w4 * c.h4);
+    c.tcU = (int8_t*)malloc((size_t)c.wc * c.hc);
+    c.tcV = (int8_t*)malloc((size_t)c.wc * c.hc);
+    c.mvg = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
+    c.refg = (int8_t*)malloc((size_t)c.w4 * c.h4);
+    c.i4g = (int8_t*)malloc((size_t)c.w4 * c.h4);
+    c.decoded = (uint8_t*)calloc((size_t)nMB, 1);
+    memset(c.tcY, -1, (size_t)c.w4 * c.h4);
+    memset(c.tcU, -1, (size_t)c.wc * c.hc);
+    memset(c.tcV, -1, (size_t)c.wc * c.hc);
+    memset(c.refg, -2, (size_t)c.w4 * c.h4);
+    memset(c.i4g, -2, (size_t)c.w4 * c.h4);
+
+    int qp = slice_qp;
+    int mb = first_mb;
+    int err = 0;
+
+    #define FAIL(code) do { err = (code); goto done; } while (0)
+
+    while (mb < nMB) {
+        int skip_run = 0;
+        if (is_p) {
+            if (!hb_more(&b)) break;
+            skip_run = (int)hb_ue(&b);
+            if (b.error) FAIL(-2);
+            for (int s = 0; s < skip_run && mb < nMB; s++, mb++) {
+                int my = mb / mb_w, mx = mb % mb_w;
+                // P_SKIP mv derivation (§8.4.1.1): mvp unless the
+                // left/top MB condition forces zero
+                int refA, mvxA, mvyA, refB, mvxB, mvyB;
+                int availA = fetch_n(&c, mx * 4 - 1, my * 4,
+                                     &refA, &mvxA, &mvyA);
+                int availB = fetch_n(&c, mx * 4, my * 4 - 1,
+                                     &refB, &mvxB, &mvyB);
+                int mvx = 0, mvy = 0;
+                if (availA && availB &&
+                    !(refA == 0 && mvxA == 0 && mvyA == 0) &&
+                    !(refB == 0 && mvxB == 0 && mvyB == 0))
+                    mv_pred(&c, mx * 4, my * 4, 4, 4, 0, 0, &mvx, &mvy);
+                fill_part(&c, mx * 4, my * 4, 4, 4, 0, mvx, mvy);
+                mb_kind[mb] = K_PSKIP;
+                mb_info[mb] = 0;
+                qp_out[mb] = qp;
+                ref_out[mb * 4 + 0] = ref_out[mb * 4 + 1] = 0;
+                ref_out[mb * 4 + 2] = ref_out[mb * 4 + 3] = 0;
+                for (int i = 0; i < 16; i++) {
+                    mv_out[(mb * 16 + i) * 2] = (int16_t)mvx;
+                    mv_out[(mb * 16 + i) * 2 + 1] = (int16_t)mvy;
+                }
+                // contexts: all total_coeff zero, available
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        c.tcY[(my * 4 + y) * c.w4 + mx * 4 + x] = 0;
+                        c.i4g[(my * 4 + y) * c.w4 + mx * 4 + x] = -1;
+                    }
+                for (int y = 0; y < 2; y++)
+                    for (int x = 0; x < 2; x++) {
+                        c.tcU[(my * 2 + y) * c.wc + mx * 2 + x] = 0;
+                        c.tcV[(my * 2 + y) * c.wc + mx * 2 + x] = 0;
+                    }
+                c.decoded[mb] = 1;
+            }
+            if (mb >= nMB) break;
+            if (!hb_more(&b)) break;  // trailing skip run ended the slice
+        }
+
+        const int my = mb / mb_w, mx = mb % mb_w;
+        int mbt = (int)hb_ue(&b);
+        if (b.error) FAIL(-2);
+
+        int kind, imode16 = 0, cbp = 0, chroma_mode = 0;
+        int intra_mbt = mbt;
+        if (is_p) {
+            if (mbt >= 5) intra_mbt = mbt - 5;
+            else intra_mbt = -1;
+        }
+
+        if (intra_mbt < 0) {
+            // ---------------- inter MB (P) ----------------
+            kind = K_INTER;
+            int refs[4] = {0, 0, 0, 0};
+            int x4 = mx * 4, y4 = my * 4;
+            if (mbt == 0) {                       // P_L0_16x16
+                refs[0] = hb_te(&b, num_ref_idx_l0 - 1);
+                int mvdx = hb_se(&b), mvdy = hb_se(&b);
+                int px, py;
+                mv_pred(&c, x4, y4, 4, 4, refs[0], 0, &px, &py);
+                fill_part(&c, x4, y4, 4, 4, refs[0], px + mvdx, py + mvdy);
+                refs[1] = refs[2] = refs[3] = refs[0];
+            } else if (mbt == 1) {                // P_L0_L0_16x8
+                int r0 = hb_te(&b, num_ref_idx_l0 - 1);
+                int r1 = hb_te(&b, num_ref_idx_l0 - 1);
+                int d0x = hb_se(&b), d0y = hb_se(&b);
+                int d1x = hb_se(&b), d1y = hb_se(&b);
+                int px, py;
+                mv_pred(&c, x4, y4, 4, 2, r0, 1, &px, &py);
+                fill_part(&c, x4, y4, 4, 2, r0, px + d0x, py + d0y);
+                mv_pred(&c, x4, y4 + 2, 4, 2, r1, 2, &px, &py);
+                fill_part(&c, x4, y4 + 2, 4, 2, r1, px + d1x, py + d1y);
+                refs[0] = refs[1] = r0; refs[2] = refs[3] = r1;
+            } else if (mbt == 2) {                // P_L0_L0_8x16
+                int r0 = hb_te(&b, num_ref_idx_l0 - 1);
+                int r1 = hb_te(&b, num_ref_idx_l0 - 1);
+                int d0x = hb_se(&b), d0y = hb_se(&b);
+                int d1x = hb_se(&b), d1y = hb_se(&b);
+                int px, py;
+                mv_pred(&c, x4, y4, 2, 4, r0, 3, &px, &py);
+                fill_part(&c, x4, y4, 2, 4, r0, px + d0x, py + d0y);
+                mv_pred(&c, x4 + 2, y4, 2, 4, r1, 4, &px, &py);
+                fill_part(&c, x4 + 2, y4, 2, 4, r1, px + d1x, py + d1y);
+                refs[0] = refs[2] = r0; refs[1] = refs[3] = r1;
+            } else if (mbt == 3 || mbt == 4) {    // P_8x8 / P_8x8ref0
+                int sub[4];
+                for (int i = 0; i < 4; i++) {
+                    sub[i] = (int)hb_ue(&b);
+                    if (sub[i] > 3) FAIL(-3);
+                }
+                if (mbt == 3)
+                    for (int i = 0; i < 4; i++)
+                        refs[i] = hb_te(&b, num_ref_idx_l0 - 1);
+                for (int i = 0; i < 4; i++) {
+                    int bx4 = x4 + (i & 1) * 2, by4 = y4 + (i >> 1) * 2;
+                    // sub_mb_type: 0=8x8(1), 1=8x4(2), 2=4x8(2), 3=4x4(4)
+                    static const int NPART[4] = {1, 2, 2, 4};
+                    static const int PW[4] = {2, 2, 1, 1};
+                    static const int PH[4] = {2, 1, 2, 1};
+                    int np = NPART[sub[i]], pw = PW[sub[i]], ph = PH[sub[i]];
+                    for (int p = 0; p < np; p++) {
+                        int ox = 0, oy = 0;
+                        if (sub[i] == 1) oy = p;          // 8x4: stacked
+                        else if (sub[i] == 2) ox = p;     // 4x8: side-by-side
+                        else if (sub[i] == 3) { ox = p & 1; oy = p >> 1; }
+                        int sx = bx4 + ox * pw, sy = by4 + oy * ph;
+                        int dx = hb_se(&b), dyv = hb_se(&b);
+                        int px, py;
+                        mv_pred(&c, sx, sy, pw, ph, refs[i], 0, &px, &py);
+                        fill_part(&c, sx, sy, pw, ph, refs[i],
+                                  px + dx, py + dyv);
+                    }
+                }
+            } else {
+                FAIL(-3);
+            }
+            if (b.error) FAIL(-2);
+            for (int i = 0; i < 4; i++)
+                ref_out[mb * 4 + i] = (int8_t)refs[i];
+            // intra-mode grid: available, not I4x4
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+            // coded_block_pattern (inter mapping)
+            unsigned cg = hb_ue(&b);
+            if (cg > 47 || b.error) FAIL(-4);
+            cbp = GOLOMB_TO_INTER_CBP[cg];
+        } else if (intra_mbt == 0) {
+            // ---------------- I_4x4 ----------------
+            kind = K_I4X4;
+            int x4 = mx * 4, y4 = my * 4;
+            int8_t modes[16];
+            for (int blk = 0; blk < 16; blk++) {
+                int by = BLK4[blk][0], bx = BLK4[blk][1];
+                int gx = x4 + bx, gy = y4 + by;
+                // predicted mode (§8.3.1.1): DC if A or B unavailable;
+                // non-I4x4 neighbors predict as DC
+                int8_t ma = gx > 0 ? c.i4g[gy * c.w4 + gx - 1] : -2;
+                int8_t mbv = gy > 0 ? c.i4g[(gy - 1) * c.w4 + gx] : -2;
+                int pred;
+                if (ma == -2 || mbv == -2) pred = 2;
+                else {
+                    int a = ma < 0 ? 2 : ma, bb = mbv < 0 ? 2 : mbv;
+                    pred = a < bb ? a : bb;
+                }
+                int mode;
+                if (hb_read1(&b)) mode = pred;
+                else {
+                    int rem = (int)hb_read(&b, 3);
+                    mode = rem < pred ? rem : rem + 1;
+                }
+                modes[by * 4 + bx] = (int8_t)mode;  // raster within MB
+                c.i4g[gy * c.w4 + gx] = (int8_t)mode;
+            }
+            memcpy(i4modes + mb * 16, modes, 16);
+            chroma_mode = (int)hb_ue(&b);
+            unsigned cg = hb_ue(&b);
+            if (cg > 47 || b.error) FAIL(-4);
+            cbp = GOLOMB_TO_INTRA4X4_CBP[cg];
+            for (int i = 0; i < 4; i++) ref_out[mb * 4 + i] = -1;
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+        } else if (intra_mbt <= 24) {
+            // ---------------- I_16x16 ----------------
+            kind = K_I16;
+            int t = intra_mbt - 1;
+            imode16 = t % 4;
+            cbp = ((t / 4) % 3) << 4;
+            if (t >= 12) cbp |= 15;
+            chroma_mode = (int)hb_ue(&b);
+            for (int i = 0; i < 4; i++) ref_out[mb * 4 + i] = -1;
+            int x4 = mx * 4, y4 = my * 4;
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+                }
+        } else {
+            FAIL(-5);  // I_PCM: unsupported in this round's entropy layer
+        }
+        if (b.error) FAIL(-2);
+
+        int cbp_luma = cbp & 15;
+        int cbp_chroma = (cbp >> 4) & 3;
+
+        // mb_qp_delta: present for I_16x16 always, else when cbp != 0
+        if (kind == K_I16 || cbp != 0) {
+            int dq = hb_se(&b);
+            if (b.error) FAIL(-2);
+            qp = qp + dq;
+            if (qp < 0) qp += 52;
+            if (qp > 51) qp -= 52;
+        }
+        qp_out[mb] = qp;
+
+        // ---------------- residuals ----------------
+        int16_t* mbco = coeffs + (size_t)mb * 27 * 16;
+        int16_t* mbnc = ncoef + (size_t)mb * 27;
+        int x4 = mx * 4, y4 = my * 4;
+
+        if (kind == K_I16) {
+            int nc0 = tc_nc(c.tcY, c.w4, y4, x4);
+            int t = residual_block(&b, mbco + 0, 16, nc0);
+            if (t < 0) FAIL(-6);
+            mbnc[0] = (int16_t)t;
+        }
+        // luma 4x4 blocks in §6.4.3 order
+        for (int blk = 0; blk < 16; blk++) {
+            int by = BLK4[blk][0], bx = BLK4[blk][1];
+            int gy = y4 + by, gx = x4 + bx;
+            int i8 = blk >> 2;               // 8x8 group in scan order
+            int present = kind == K_I16 ? (cbp_luma != 0)
+                                        : ((cbp_luma >> i8) & 1);
+            int16_t* out = mbco + (size_t)(1 + by * 4 + bx) * 16;
+            if (present) {
+                int nc = tc_nc(c.tcY, c.w4, gy, gx);
+                int t;
+                if (kind == K_I16)
+                    t = residual_block(&b, out + 1, 15, nc);
+                else
+                    t = residual_block(&b, out, 16, nc);
+                if (t < 0) FAIL(-6);
+                c.tcY[gy * c.w4 + gx] = (int8_t)t;
+                mbnc[1 + by * 4 + bx] = (int16_t)t;
+            } else {
+                c.tcY[gy * c.w4 + gx] = 0;
+            }
+        }
+        // chroma DC
+        if (cbp_chroma) {
+            for (int ch = 0; ch < 2; ch++) {
+                int t = residual_block(&b, mbco + (size_t)(17 + ch) * 16,
+                                       4, -1);
+                if (t < 0) FAIL(-6);
+                mbnc[17 + ch] = (int16_t)t;
+            }
+        }
+        // chroma AC
+        for (int ch = 0; ch < 2; ch++) {
+            int8_t* tg = ch == 0 ? c.tcU : c.tcV;
+            for (int blk = 0; blk < 4; blk++) {
+                int by = blk >> 1, bx = blk & 1;
+                int gy = my * 2 + by, gx = mx * 2 + bx;
+                if (cbp_chroma == 2) {
+                    int nc = tc_nc(tg, c.wc, gy, gx);
+                    int16_t* out = mbco +
+                        (size_t)(19 + ch * 4 + by * 2 + bx) * 16;
+                    int t = residual_block(&b, out + 1, 15, nc);
+                    if (t < 0) FAIL(-6);
+                    tg[gy * c.wc + gx] = (int8_t)t;
+                    mbnc[19 + ch * 4 + by * 2 + bx] = (int16_t)t;
+                } else {
+                    tg[gy * c.wc + gx] = 0;
+                }
+            }
+        }
+
+        mb_kind[mb] = kind;
+        mb_info[mb] = imode16 | (chroma_mode << 4) | (cbp << 8);
+        c.decoded[mb] = 1;
+        mb++;
+        if (!is_p && !hb_more(&b)) break;
+    }
+
+    end_state[0] = b.pos;
+    end_state[1] = mb;
+
+done:
+    free(c.tcY); free(c.tcU); free(c.tcV);
+    free(c.mvg); free(c.refg); free(c.i4g); free(c.decoded);
+    return err;
+    #undef FAIL
+}
+
+// ---------------------------------------------------------------------------
+// In-loop deblocking filter (§8.7), frame_mbs_only, 4:2:0
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// spec tables (Table 8-16 / 8-17; cf. h264_loopfilter.c:37-104)
+static const uint8_t ALPHA[52] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    4,4,5,6,7,8,9,10,12,13,15,17,20,22,25,28,32,36,40,45,50,56,63,71,
+    80,90,101,113,127,144,162,182,203,226,255,255};
+static const uint8_t BETA[52] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    2,2,2,3,3,3,3,4,4,4,6,6,7,7,8,8,9,9,10,10,11,11,12,12,
+    13,13,14,14,15,15,16,16,17,17,18,18};
+static const uint8_t TC0[52][3] = {
+    {0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},
+    {0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},
+    {0,0,0},{0,0,1},{0,0,1},{0,0,1},{0,0,1},{0,1,1},{0,1,1},{1,1,1},
+    {1,1,1},{1,1,1},{1,1,1},{1,1,2},{1,1,2},{1,1,2},{1,1,2},{1,2,3},
+    {1,2,3},{2,2,3},{2,2,4},{2,3,4},{2,3,4},{3,3,5},{3,4,6},{3,4,6},
+    {4,5,7},{4,5,8},{4,6,9},{5,7,10},{6,8,11},{6,8,13},{7,10,14},
+    {8,11,16},{9,12,18},{10,13,20},{11,15,23},{13,17,25}};
+static const uint8_t CHROMA_QP[52] = {
+    0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,
+    25,26,27,28,29,29,30,31,32,32,33,34,34,35,35,36,36,37,37,37,38,38,
+    38,39,39,39,39};
+
+inline int iclip(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+inline int iabs(int v) { return v < 0 ? -v : v; }
+
+// filter one line of a luma edge; p/q point at p0/q0, pstep walks away
+// from the edge on the p side (and toward q)
+inline void filt_line_luma(uint8_t* line, int step, int bS,
+                           int alpha, int beta, int tc0v) {
+    int p0 = line[-step], p1 = line[-2 * step], p2 = line[-3 * step];
+    int p3 = line[-4 * step];
+    int q0 = line[0], q1 = line[step], q2 = line[2 * step];
+    int q3 = line[3 * step];
+    if (iabs(p0 - q0) >= alpha || iabs(p1 - p0) >= beta ||
+        iabs(q1 - q0) >= beta)
+        return;
+    int ap = iabs(p2 - p0), aq = iabs(q2 - q0);
+    if (bS < 4) {
+        int tc = tc0v + (ap < beta) + (aq < beta);
+        int delta = iclip((((q0 - p0) * 4) + (p1 - q1) + 4) >> 3, -tc, tc);
+        line[-step] = (uint8_t)iclip(p0 + delta, 0, 255);
+        line[0] = (uint8_t)iclip(q0 - delta, 0, 255);
+        if (ap < beta)
+            line[-2 * step] = (uint8_t)(p1 + iclip(
+                (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0v, tc0v));
+        if (aq < beta)
+            line[step] = (uint8_t)(q1 + iclip(
+                (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0v, tc0v));
+    } else {
+        if (ap < beta && iabs(p0 - q0) < ((alpha >> 2) + 2)) {
+            line[-step] = (uint8_t)((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4)
+                                    >> 3);
+            line[-2 * step] = (uint8_t)((p2 + p1 + p0 + q0 + 2) >> 2);
+            line[-3 * step] = (uint8_t)((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4)
+                                        >> 3);
+        } else {
+            line[-step] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+        }
+        if (aq < beta && iabs(p0 - q0) < ((alpha >> 2) + 2)) {
+            line[0] = (uint8_t)((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3);
+            line[step] = (uint8_t)((q2 + q1 + q0 + p0 + 2) >> 2);
+            line[2 * step] = (uint8_t)((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4)
+                                       >> 3);
+        } else {
+            line[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+        }
+    }
+}
+
+inline void filt_line_chroma(uint8_t* line, int step, int bS,
+                             int alpha, int beta, int tc0v) {
+    int p0 = line[-step], p1 = line[-2 * step];
+    int q0 = line[0], q1 = line[step];
+    if (iabs(p0 - q0) >= alpha || iabs(p1 - p0) >= beta ||
+        iabs(q1 - q0) >= beta)
+        return;
+    if (bS < 4) {
+        int tc = tc0v + 1;
+        int delta = iclip((((q0 - p0) * 4) + (p1 - q1) + 4) >> 3, -tc, tc);
+        line[-step] = (uint8_t)iclip(p0 + delta, 0, 255);
+        line[0] = (uint8_t)iclip(q0 - delta, 0, 255);
+    } else {
+        line[-step] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+        line[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+    }
+}
+
+struct DeblockCtx {
+    const int32_t* mb_kind;
+    const int32_t* qp_arr;
+    const int16_t* mv;       // [nMB*16*2] raster within MB
+    const int8_t* refidx;    // [nMB*4]
+    const int16_t* ncoef;    // [nMB*27]
+    int mb_w, mb_h;
+};
+
+inline int is_intra_kind(int k) { return k >= 2; }
+
+// bS for edge between 4x4 luma blocks p=(pxb,pyb) and q=(qxb,qyb)
+// (frame-wide 4x4 coords); mb_edge = crossing an MB boundary
+int edge_bs(const DeblockCtx* d, int pxb, int pyb, int qxb, int qyb,
+            int mb_edge) {
+    int pmb = (pyb / 4) * d->mb_w + (pxb / 4);
+    int qmb = (qyb / 4) * d->mb_w + (qxb / 4);
+    int pk = d->mb_kind[pmb], qk = d->mb_kind[qmb];
+    if (is_intra_kind(pk) || is_intra_kind(qk))
+        return mb_edge ? 4 : 3;
+    int pnz = d->ncoef[pmb * 27 + 1 + (pyb % 4) * 4 + (pxb % 4)] != 0;
+    int qnz = d->ncoef[qmb * 27 + 1 + (qyb % 4) * 4 + (qxb % 4)] != 0;
+    // Intra_16x16 DC-only blocks never reach here (intra => bS>=3)
+    if (pnz || qnz) return 2;
+    int pref = d->refidx[pmb * 4 + ((pyb % 4) / 2) * 2 + (pxb % 4) / 2];
+    int qref = d->refidx[qmb * 4 + ((qyb % 4) / 2) * 2 + (qxb % 4) / 2];
+    if (pref != qref) return 1;
+    const int16_t* pmv = d->mv + (pmb * 16 + (pyb % 4) * 4 + (pxb % 4)) * 2;
+    const int16_t* qmv = d->mv + (qmb * 16 + (qyb % 4) * 4 + (qxb % 4)) * 2;
+    if (iabs(pmv[0] - qmv[0]) >= 4 || iabs(pmv[1] - qmv[1]) >= 4) return 1;
+    return 0;
+}
+
+}  // namespace
+
+// Deblock a full frame in place (disable_deblocking_filter_idc == 0).
+extern "C" void h264_deblock_frame(
+    uint8_t* Y, uint8_t* U, uint8_t* V,
+    int width, int height,
+    const int32_t* mb_kind, const int32_t* qp_arr,
+    const int16_t* mv, const int8_t* refidx, const int16_t* ncoef,
+    int mb_w, int mb_h,
+    int alpha_off, int beta_off, int chroma_qp_off)
+{
+    DeblockCtx d;
+    d.mb_kind = mb_kind; d.qp_arr = qp_arr; d.mv = mv;
+    d.refidx = refidx; d.ncoef = ncoef; d.mb_w = mb_w; d.mb_h = mb_h;
+    const int cw = width / 2;
+
+    for (int my = 0; my < mb_h; my++) {
+        for (int mx = 0; mx < mb_w; mx++) {
+            const int mb = my * mb_w + mx;
+            const int qpq = qp_arr[mb];
+            // ---- vertical luma edges (filter columns x = mx*16 + e*4)
+            for (int e = 0; e < 4; e++) {
+                if (e == 0 && mx == 0) continue;
+                const int qpp = e == 0 ? qp_arr[mb - 1] : qpq;
+                const int qpav = (qpp + qpq + 1) >> 1;
+                const int ia = iclip(qpav + alpha_off, 0, 51);
+                const int ib = iclip(qpav + beta_off, 0, 51);
+                const int alpha = ALPHA[ia], beta = BETA[ib];
+                if (!alpha) continue;
+                const int gx = mx * 4 + e;           // q block column (4x4)
+                for (int r4 = 0; r4 < 4; r4++) {     // 4x4 block rows
+                    const int gy = my * 4 + r4;
+                    const int bS = edge_bs(&d, gx - 1, gy, gx, gy, e == 0);
+                    if (!bS) continue;
+                    const int tc0v = bS < 4 ? TC0[ia][bS - 1] : 0;
+                    for (int r = 0; r < 4; r++) {
+                        uint8_t* line = Y + (size_t)(gy * 4 + r) * width
+                                        + gx * 4;
+                        filt_line_luma(line, 1, bS, alpha, beta, tc0v);
+                    }
+                }
+            }
+            // ---- horizontal luma edges
+            for (int e = 0; e < 4; e++) {
+                if (e == 0 && my == 0) continue;
+                const int qpp = e == 0 ? qp_arr[mb - mb_w] : qpq;
+                const int qpav = (qpp + qpq + 1) >> 1;
+                const int ia = iclip(qpav + alpha_off, 0, 51);
+                const int ib = iclip(qpav + beta_off, 0, 51);
+                const int alpha = ALPHA[ia], beta = BETA[ib];
+                if (!alpha) continue;
+                const int gy = my * 4 + e;
+                for (int c4 = 0; c4 < 4; c4++) {
+                    const int gx = mx * 4 + c4;
+                    const int bS = edge_bs(&d, gx, gy - 1, gx, gy, e == 0);
+                    if (!bS) continue;
+                    const int tc0v = bS < 4 ? TC0[ia][bS - 1] : 0;
+                    for (int cc = 0; cc < 4; cc++) {
+                        uint8_t* line = Y + (size_t)(gy * 4) * width
+                                        + gx * 4 + cc;
+                        filt_line_luma(line, width, bS, alpha, beta, tc0v);
+                    }
+                }
+            }
+            // ---- chroma edges (4:2:0): vertical cx in {0,4}, horizontal
+            // cy in {0,4}; bS taken from the co-located luma blocks
+            for (int pl = 0; pl < 2; pl++) {
+                uint8_t* C = pl == 0 ? U : V;
+                // vertical
+                for (int e = 0; e < 2; e++) {
+                    if (e == 0 && mx == 0) continue;
+                    const int qpp = e == 0 ? qp_arr[mb - 1] : qpq;
+                    const int qa = CHROMA_QP[iclip(qpp + chroma_qp_off,
+                                                   0, 51)];
+                    const int qb = CHROMA_QP[iclip(qpq + chroma_qp_off,
+                                                   0, 51)];
+                    const int qpav = (qa + qb + 1) >> 1;
+                    const int ia = iclip(qpav + alpha_off, 0, 51);
+                    const int ibt = iclip(qpav + beta_off, 0, 51);
+                    const int alpha = ALPHA[ia], beta = BETA[ibt];
+                    if (!alpha) continue;
+                    const int gx = mx * 4 + e * 2;   // luma 4x4 column
+                    for (int r4 = 0; r4 < 4; r4++) {
+                        const int gy = my * 4 + r4;
+                        const int bS = edge_bs(&d, gx - 1, gy, gx, gy,
+                                               e == 0);
+                        if (!bS) continue;
+                        const int tc0v = bS < 4 ? TC0[ia][bS - 1] : 0;
+                        for (int r = 0; r < 2; r++) {
+                            uint8_t* line = C +
+                                (size_t)(gy * 2 + r) * cw + gx * 2;
+                            filt_line_chroma(line, 1, bS, alpha, beta,
+                                             tc0v);
+                        }
+                    }
+                }
+                // horizontal
+                for (int e = 0; e < 2; e++) {
+                    if (e == 0 && my == 0) continue;
+                    const int qpp = e == 0 ? qp_arr[mb - mb_w] : qpq;
+                    const int qa = CHROMA_QP[iclip(qpp + chroma_qp_off,
+                                                   0, 51)];
+                    const int qb = CHROMA_QP[iclip(qpq + chroma_qp_off,
+                                                   0, 51)];
+                    const int qpav = (qa + qb + 1) >> 1;
+                    const int ia = iclip(qpav + alpha_off, 0, 51);
+                    const int ibt = iclip(qpav + beta_off, 0, 51);
+                    const int alpha = ALPHA[ia], beta = BETA[ibt];
+                    if (!alpha) continue;
+                    const int gy = my * 4 + e * 2;
+                    for (int c4 = 0; c4 < 4; c4++) {
+                        const int gx = mx * 4 + c4;
+                        const int bS = edge_bs(&d, gx, gy - 1, gx, gy,
+                                               e == 0);
+                        if (!bS) continue;
+                        const int tc0v = bS < 4 ? TC0[ia][bS - 1] : 0;
+                        for (int cc = 0; cc < 2; cc++) {
+                            uint8_t* line = C + (size_t)(gy * 2) * cw
+                                            + gx * 2 + cc;
+                            filt_line_chroma(line, cw, bS, alpha, beta,
+                                             tc0v);
+                        }
+                    }
+                }
+            }
+        }
+    }
+}
