@@ -31,11 +31,20 @@ from librempeg_tpu.core.rational import NOPTS, Rational
 
 
 @register_encoder
-class H264IntraEncoder(Encoder):
-    INFO = CodecInfo(name="h264", long_name="H.264 / AVC (intra baseline)",
+class H264Encoder(Encoder):
+    """Baseline-profile encoder: IDR I_16x16 frames + P frames
+    (P_L0_16x16 / P_SKIP / intra-in-P) with full-search + quarter-pel
+    motion estimation, CAVLC, in-loop deblocking. The reconstruction
+    loop shares the decoder's integer primitives, so encoder recon ==
+    decoder output == reference-decoder output (asserted in tests)."""
+
+    INFO = CodecInfo(name="h264", long_name="H.264 / AVC",
                      codec_type="video")
     OPTIONS = OptionTable(
         Option("qp", int, 26, min=0, max=51),
+        Option("g", int, 12, min=1, max=300,
+               help="GOP size (IDR interval)"),
+        Option("sr", int, 8, min=1, max=16, help="ME search range (pels)"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
@@ -43,12 +52,14 @@ class H264IntraEncoder(Encoder):
         super().__init__(**opts)
         if width % 16 or height % 16:
             raise Unsupported("h264: dimensions must be 16-aligned "
-                              "(round-1; cropping lands next)")
+                              "(cropping lands with the mp4 path)")
         self.width, self.height = width, height
         self.framerate = framerate
         self.time_base = Rational(framerate.den, framerate.num)
         self._idx = 0
         self._next_pts = 0
+        self._ref = None          # deblocked recon of last ref frame
+        self._frame_num = 0
 
     def codec_parameters(self):
         from librempeg_tpu.formats.api import CodecParameters
@@ -61,20 +72,51 @@ class H264IntraEncoder(Encoder):
             + I.build_pps())
 
     def encode(self, frame: VideoFrame):
+        from librempeg_tpu.codecs.h264.inter_enc import PFrameEncoder
+        from librempeg_tpu.native import build as native
+
         if frame.format not in ("yuv420p", "yuvj420p"):
             raise Unsupported("h264: input must be yuv420p")
         y, u, v = (np.asarray(p) for p in frame.planes)
+        mb_w, mb_h = self.width // 16, self.height // 16
+        nmb = mb_w * mb_h
+        qp = self.opts["qp"]
         data = b""
-        if self._idx == 0:
-            data += I.build_sps(self.width // 16, self.height // 16)
-            data += I.build_pps()
-        data += I.encode_idr(y, u, v, qp=self.opts["qp"],
-                             frame_idx=self._idx)
+        is_idr = self._idx % self.opts["g"] == 0
+        if is_idr:
+            if self._idx == 0:
+                data += I.build_sps(mb_w, mb_h)
+                data += I.build_pps()
+            self._frame_num = 0
+            nal, recon = I.encode_idr(y, u, v, qp=qp, frame_idx=self._idx,
+                                      deblock=True, return_recon=True)
+            data += nal
+            kind = np.full(nmb, 3, np.int32)
+            qp_arr = np.full(nmb, qp, np.int32)
+            mv_arr = np.zeros((nmb, 16, 2), np.int16)
+            ref_arr = np.full((nmb, 4), -1, np.int8)
+            ncoef = np.zeros((nmb, 27), np.int16)
+        else:
+            pe = PFrameEncoder(mb_w, mb_h, qp, search_range=self.opts["sr"])
+            nal, recon = pe.encode(y, u, v, self._ref, self._frame_num)
+            data += nal
+            kind, qp_arr = pe.kind, pe.qp_arr
+            mv_arr, ref_arr, ncoef = pe.mv_arr, pe.ref_arr, pe.ncoef
+        # in-loop deblock of the recon -> reference for the next frame
+        dy = np.ascontiguousarray(recon[0])
+        du = np.ascontiguousarray(recon[1])
+        dv = np.ascontiguousarray(recon[2])
+        native.h264_deblock_frame(dy, du, dv, kind, qp_arr, mv_arr,
+                                  ref_arr, ncoef, mb_w, mb_h)
+        self._ref = (dy, du, dv)
+        self._frame_num = (self._frame_num + 1) % 16
+
         pts = frame.pts if frame.pts != NOPTS else self._next_pts
         self._next_pts = pts + 1
         self._idx += 1
         return [Packet(data=data, pts=pts, dts=pts, duration=1,
-                       flags=PktFlags.KEY, time_base=self.time_base)]
+                       flags=PktFlags.KEY if is_idr else 0,
+                       time_base=self.time_base)]
 
 
 @register_decoder

@@ -40,6 +40,15 @@ def _pos_class() -> np.ndarray:
 
 
 _POS = _pos_class()
+
+# chroma QP mapping (Table 8-15, 8-bit depth)
+CHROMA_QP = (list(range(30))
+             + [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
+                37, 38, 38, 38, 39, 39, 39, 39])
+
+
+def chroma_qp_of(qp: int, off: int = 0) -> int:
+    return CHROMA_QP[min(51, max(0, qp + off))]
 _CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1],
                 [1, -2, 2, -1]], np.int64)
 _H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1],
@@ -197,8 +206,9 @@ def build_pps() -> bytes:
 
 
 def encode_idr(y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int = 26,
-               frame_idx: int = 0) -> bytes:
-    """One IDR slice NAL (I_16x16 DC / CAVLC), 16-aligned planes."""
+               frame_idx: int = 0, deblock: bool = False,
+               return_recon: bool = False):
+    """One IDR slice NAL (I_16x16 / CAVLC), 16-aligned planes."""
     h, w = y.shape
     mb_h, mb_w = h // 16, w // 16
     bw = BitWriterMSB()
@@ -212,7 +222,12 @@ def encode_idr(y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int = 26,
     bw.write(0, 1)                   # no_output_of_prior_pics
     bw.write(0, 1)                   # long_term_reference
     _write_se(bw, qp - 26)           # slice_qp_delta
-    _write_ue(bw, 1)                 # disable_deblocking_filter_idc = 1
+    if deblock:
+        _write_ue(bw, 0)             # disable_deblocking_filter_idc = 0
+        _write_se(bw, 0)             # alpha offset
+        _write_se(bw, 0)             # beta offset
+    else:
+        _write_ue(bw, 1)             # deblocking off
 
     recon_y = np.zeros_like(y, np.int64)
     recon_u = np.zeros_like(u, np.int64)
@@ -227,7 +242,10 @@ def encode_idr(y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int = 26,
                        my, mx, qp, ncY, ncU, ncV)
     bw.write(1, 1)                   # rbsp stop
     bw.align()
-    return _rbsp_to_nal(bw.bytes(), 5, 3)
+    nal = _rbsp_to_nal(bw.bytes(), 5, 3)
+    recon = (recon_y.astype(np.uint8), recon_u.astype(np.uint8),
+             recon_v.astype(np.uint8))
+    return (nal, recon) if return_recon else nal
 
 
 def _dc_pred16(recon, my, mx):
@@ -363,7 +381,9 @@ def _modes8_available(my, mx):
     return modes
 
 
-def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
+def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV,
+               mb_type_offset=0, chroma_qp=None):
+    cqp = chroma_qp if chroma_qp is not None else chroma_qp_of(qp)
     # ---- luma: pick the lowest-SAD Intra_16x16 mode (V/H/DC/Plane)
     src = y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16].astype(np.int64)
     best_mode, pred, best_sad = 2, None, None
@@ -409,11 +429,11 @@ def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
                 wc[by, bx] = fwd4(residc[by * 4:by * 4 + 4,
                                          bx * 4:bx * 4 + 4])
         cdc = _H2 @ wc[:, :, 0, 0] @ _H2
-        c_dc[name] = quant_dc(cdc, qp)
+        c_dc[name] = quant_dc(cdc, cqp)
         lev = np.zeros((2, 2, 4, 4), np.int64)
         for by in range(2):
             for bx in range(2):
-                lev[by, bx] = quant4(wc[by, bx], qp)
+                lev[by, bx] = quant4(wc[by, bx], cqp)
                 lev[by, bx, 0, 0] = 0
         c_lev[name] = lev
         cp[name] = predc
@@ -423,7 +443,7 @@ def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
 
     # ---- mb_type: I_16x16 with the chosen prediction mode
     mb_type = 1 + best_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
-    _write_ue(bw, mb_type)
+    _write_ue(bw, mb_type_offset + mb_type)
     _write_ue(bw, best_cmode)        # intra_chroma_pred_mode
     _write_se(bw, 0)                 # mb_qp_delta
 
@@ -475,11 +495,11 @@ def _encode_mb(bw, y, u, v, ry, ru, rv, my, mx, qp, ncY, ncU, ncV):
         np.clip(out + pred, 0, 255)
     for name, rec in (("u", ru), ("v", rv)):
         fc = _H2 @ c_dc[name] @ _H2
-        dccd = dequant_chroma_dc(fc, qp)
+        dccd = dequant_chroma_dc(fc, cqp)
         outc = np.zeros((8, 8), np.int64)
         for by in range(2):
             for bx in range(2):
-                wq = dequant4_ac(c_lev[name][by, bx], qp)
+                wq = dequant4_ac(c_lev[name][by, bx], cqp)
                 wq[0, 0] = dccd[by, bx]
                 outc[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = inv4(wq)
         rec[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \

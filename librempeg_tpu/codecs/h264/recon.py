@@ -172,6 +172,37 @@ def mc_luma_blocks(planes: tuple, ys: np.ndarray, xs: np.ndarray,
     return out
 
 
+def mc_luma_block(planes: tuple, y: int, x: int, mvx: int, mvy: int,
+                  bh: int = 16, bw: int = 16) -> np.ndarray:
+    """Predict one bh x bw luma block (encoder-side helper)."""
+    ix = x + (mvx >> 2)
+    iy = y + (mvy >> 2)
+    p1i, (d1y, d1x), p2i, (d2y, d2x) = _QPEL_MAP[(mvx & 3, mvy & 3)]
+    iyc = int(np.clip(iy + PAD, 3, planes[0].shape[0] - bh - 4))
+    ixc = int(np.clip(ix + PAD, 3, planes[0].shape[1] - bw - 4))
+    a = planes[p1i][iyc + d1y:iyc + d1y + bh,
+                    ixc + d1x:ixc + d1x + bw].astype(np.int64)
+    b = planes[p2i][iyc + d2y:iyc + d2y + bh,
+                    ixc + d2x:ixc + d2x + bw].astype(np.int64)
+    return (a + b + 1) >> 1
+
+
+def mc_chroma_block(cpad: np.ndarray, y: int, x: int, mvx: int, mvy: int,
+                    bh: int = 8, bw: int = 8) -> np.ndarray:
+    """Predict one bh x bw chroma block at chroma coords (encoder-side)."""
+    ix = x + (mvx >> 3)
+    iy = y + (mvy >> 3)
+    dx, dy = mvx & 7, mvy & 7
+    iyc = int(np.clip(iy + PADC, 0, cpad.shape[0] - bh - 2))
+    ixc = int(np.clip(ix + PADC, 0, cpad.shape[1] - bw - 2))
+    a = cpad[iyc:iyc + bh, ixc:ixc + bw].astype(np.int64)
+    b = cpad[iyc:iyc + bh, ixc + 1:ixc + 1 + bw].astype(np.int64)
+    c = cpad[iyc + 1:iyc + 1 + bh, ixc:ixc + bw].astype(np.int64)
+    d = cpad[iyc + 1:iyc + 1 + bh, ixc + 1:ixc + 1 + bw].astype(np.int64)
+    return ((8 - dx) * (8 - dy) * a + dx * (8 - dy) * b
+            + (8 - dx) * dy * c + dx * dy * d + 32) >> 6
+
+
 PADC = PAD // 2
 
 

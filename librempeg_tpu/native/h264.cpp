@@ -510,10 +510,15 @@ extern "C" int h264_decode_slice_cavlc(
             if (b.error) FAIL(-2);
             for (int i = 0; i < 4; i++)
                 ref_out[mb * 4 + i] = (int8_t)refs[i];
-            // intra-mode grid: available, not I4x4
+            // export the MB's per-4x4 motion field + mark intra grid
             for (int y = 0; y < 4; y++)
-                for (int x = 0; x < 4; x++)
+                for (int x = 0; x < 4; x++) {
                     c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+                    mv_out[(mb * 16 + y * 4 + x) * 2] =
+                        c.mvg[((y4 + y) * c.w4 + x4 + x) * 2];
+                    mv_out[(mb * 16 + y * 4 + x) * 2 + 1] =
+                        c.mvg[((y4 + y) * c.w4 + x4 + x) * 2 + 1];
+                }
             // coded_block_pattern (inter mapping)
             unsigned cg = hb_ue(&b);
             if (cg > 47 || b.error) FAIL(-4);
