@@ -45,6 +45,9 @@ class H264Encoder(Encoder):
         Option("g", int, 12, min=1, max=300,
                help="GOP size (IDR interval)"),
         Option("sr", int, 8, min=1, max=16, help="ME search range (pels)"),
+        Option("variety", int, 0, min=0, max=1,
+               help="cycle all partition/intra shapes (conformance "
+                    "torture streams)"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
@@ -72,42 +75,34 @@ class H264Encoder(Encoder):
             + I.build_pps())
 
     def encode(self, frame: VideoFrame):
-        from librempeg_tpu.codecs.h264.inter_enc import PFrameEncoder
+        from librempeg_tpu.codecs.h264.inter_enc import FrameEncoder
         from librempeg_tpu.native import build as native
 
         if frame.format not in ("yuv420p", "yuvj420p"):
             raise Unsupported("h264: input must be yuv420p")
         y, u, v = (np.asarray(p) for p in frame.planes)
         mb_w, mb_h = self.width // 16, self.height // 16
-        nmb = mb_w * mb_h
         qp = self.opts["qp"]
         data = b""
         is_idr = self._idx % self.opts["g"] == 0
+        fe = FrameEncoder(mb_w, mb_h, qp, search_range=self.opts["sr"],
+                          variety=bool(self.opts["variety"]))
         if is_idr:
             if self._idx == 0:
                 data += I.build_sps(mb_w, mb_h)
                 data += I.build_pps()
             self._frame_num = 0
-            nal, recon = I.encode_idr(y, u, v, qp=qp, frame_idx=self._idx,
-                                      deblock=True, return_recon=True)
-            data += nal
-            kind = np.full(nmb, 3, np.int32)
-            qp_arr = np.full(nmb, qp, np.int32)
-            mv_arr = np.zeros((nmb, 16, 2), np.int16)
-            ref_arr = np.full((nmb, 4), -1, np.int8)
-            ncoef = np.zeros((nmb, 27), np.int16)
+            nal, recon = fe.encode(y, u, v, None, 0, idr_pic_id=self._idx)
         else:
-            pe = PFrameEncoder(mb_w, mb_h, qp, search_range=self.opts["sr"])
-            nal, recon = pe.encode(y, u, v, self._ref, self._frame_num)
-            data += nal
-            kind, qp_arr = pe.kind, pe.qp_arr
-            mv_arr, ref_arr, ncoef = pe.mv_arr, pe.ref_arr, pe.ncoef
+            nal, recon = fe.encode(y, u, v, self._ref, self._frame_num)
+        data += nal
         # in-loop deblock of the recon -> reference for the next frame
         dy = np.ascontiguousarray(recon[0])
         du = np.ascontiguousarray(recon[1])
         dv = np.ascontiguousarray(recon[2])
-        native.h264_deblock_frame(dy, du, dv, kind, qp_arr, mv_arr,
-                                  ref_arr, ncoef, mb_w, mb_h)
+        native.h264_deblock_frame(dy, du, dv, fe.kind, fe.qp_arr,
+                                  fe.mv_arr, fe.ref_arr, fe.ncoef,
+                                  mb_w, mb_h)
         self._ref = (dy, du, dv)
         self._frame_num = (self._frame_num + 1) % 16
 

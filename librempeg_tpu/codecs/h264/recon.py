@@ -306,9 +306,9 @@ def pred4x4(rec: np.ndarray, gy: int, gx: int, mode: int,
                                + t[x - y] + 2) >> 2 if x - y >= 2 else \
                         (lt + 2 * t[0] + t[1] + 2) >> 2
                 elif x < y:
-                    p[y, x] = (left[y - x - 2] + 2 * left[y - x - 1]
-                               + left[y - x] + 2) >> 2 if y - x >= 2 else \
-                        (left[0] + 2 * lt + t[0] + 2) >> 2
+                    p[y, x] = (left[y - x] + 2 * left[y - x - 1]
+                               + (left[y - x - 2] if y - x >= 2 else lt)
+                               + 2) >> 2
                 else:
                     p[y, x] = (t[0] + 2 * lt + left[0] + 2) >> 2
     elif mode == 5:                            # vertical-right

@@ -148,3 +148,68 @@ class TestH264Inter:
         frames = make_sequence(3, H, W, motion=(2, 2), noise=8)
         pkts = encode(frames, W, H, qp=24)
         check_bitexact(pkts, W, H, tmp_path)
+
+
+@needs_ref
+class TestH264Torture:
+    """variety=1 cycles every partition shape (16x16/16x8/8x16/all four
+    sub_mb_types/I16/I4x4) across MBs, covering every inter decode path
+    deterministically."""
+
+    def test_variety_partitions(self, tmp_path):
+        W, H = 96, 96      # 36 MBs: 4 full cycles of the 9 shapes
+        frames = make_sequence(4, H, W, motion=(3, 5), noise=4)
+        enc = H264Encoder(width=W, height=H, qp=27, g=12, variety=1)
+        pkts = []
+        for i, (y, u, v) in enumerate(frames):
+            pkts += enc.encode(VideoFrame(planes=(y, u, v),
+                                          format="yuv420p", width=W,
+                                          height=H, pts=i,
+                                          time_base=Rational(1, 25)))
+        check_bitexact(pkts, W, H, tmp_path)
+
+    def test_variety_high_qp(self, tmp_path):
+        W, H = 80, 64
+        frames = make_sequence(3, H, W, motion=(1, 2), noise=10)
+        enc = H264Encoder(width=W, height=H, qp=40, g=12, variety=1)
+        pkts = []
+        for i, (y, u, v) in enumerate(frames):
+            pkts += enc.encode(VideoFrame(planes=(y, u, v),
+                                          format="yuv420p", width=W,
+                                          height=H, pts=i,
+                                          time_base=Rational(1, 25)))
+        check_bitexact(pkts, W, H, tmp_path)
+
+    def test_variety_exercises_all_kinds(self, tmp_path):
+        """Sanity: the stream really contains every mb shape."""
+        W, H = 96, 96
+        frames = make_sequence(2, H, W, motion=(2, 3), noise=6)
+        enc = H264Encoder(width=W, height=H, qp=27, g=12, variety=1)
+        pkts = []
+        for i, (y, u, v) in enumerate(frames):
+            pkts += enc.encode(VideoFrame(planes=(y, u, v),
+                                          format="yuv420p", width=W,
+                                          height=H, pts=i,
+                                          time_base=Rational(1, 25)))
+        # decode the P frame's arrays via the native layer and count kinds
+        from librempeg_tpu.codecs.h264.parse import (
+            NalUnit, parse_pps, parse_slice_header, parse_sps, split_annexb)
+        from librempeg_tpu.codecs.h264 import intra as I
+        from librempeg_tpu.native import build as native
+
+        sps = parse_sps(NalUnit.parse(
+            split_annexb(I.build_sps(W // 16, H // 16))[0]).rbsp)
+        pps = parse_pps(NalUnit.parse(split_annexb(I.build_pps())[0]).rbsp)
+        nal = NalUnit.parse(split_annexb(bytes(pkts[1].data))[0])
+        sh = parse_slice_header(nal.rbsp, sps, pps, nal.type, nal.ref_idc)
+        res = native.h264_decode_slice_cavlc(
+            nal.rbsp, sh.data_bit_pos, W // 16, H // 16, 0, 0, sh.qp, 1)
+        kinds = set(res["kind"].tolist())
+        assert {1, 2, 3} <= kinds          # inter, I4x4, I16 all present
+        # partition variety: at least one MB with non-uniform mvs
+        mvs = res["mv"]
+        per_mb_unique = [len(np.unique(mvs[m].reshape(16, 2), axis=0))
+                         for m in range(mvs.shape[0])
+                         if res["kind"][m] == 1]
+        assert max(per_mb_unique) > 1, "no multi-partition MB found"
+        check_bitexact(pkts, W, H, tmp_path)
