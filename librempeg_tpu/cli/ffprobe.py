@@ -24,6 +24,10 @@ def probe(url: str, format: str | None = None, count_packets: bool = False,
         "format_long_name": d.LONG_NAME,
         "nb_streams": len(d.streams),
     }}
+    if d.duration != NOPTS:
+        info["format"]["duration"] = f"{d.duration / 1_000_000:.6f}"
+    for k, v in d.metadata.items():
+        info["format"][f"TAG:{k}"] = v
     streams = []
     for st in d.streams:
         par = st.codecpar

@@ -110,11 +110,21 @@ def _vfir6(e: np.ndarray) -> np.ndarray:
 
 def qpel_planes(ref_y: np.ndarray) -> tuple:
     """Half-pel planes of a reference luma plane: (E, b, h, j), each
-    padded by PAD with edge replication, int32."""
-    e = np.pad(ref_y.astype(np.int32), PAD, mode="edge")
-    b1 = _hfir6(e)
+    padded by PAD with edge replication. Native FIR when available
+    (the three 6-tap passes are the host decode hot spot)."""
+    e = np.pad(np.asarray(ref_y, np.uint8), PAD, mode="edge")
+    try:
+        from librempeg_tpu.native import build as native
+
+        if native.available():
+            b, h, j = native.h264_qpel_planes(e)
+            return e, b, h, j
+    except ImportError:
+        pass
+    ei = e.astype(np.int32)
+    b1 = _hfir6(ei)
     b = np.clip((b1 + 16) >> 5, 0, 255)
-    h1 = _vfir6(e)
+    h1 = _vfir6(ei)
     h = np.clip((h1 + 16) >> 5, 0, 255)
     j1 = _vfir6(b1)
     j = np.clip((j1 + 512) >> 10, 0, 255)
@@ -429,9 +439,9 @@ def reconstruct_frame(res: dict, mb_w: int, mb_h: int,
     rc = chroma_res.reshape(mb_h, mb_w, 2, 2, 2, 4, 4) \
         .transpose(2, 0, 3, 5, 1, 4, 6).reshape(2, H // 2, W // 2)
 
-    rec_y = np.zeros((H, W), np.int64)
-    rec_u = np.zeros((H // 2, W // 2), np.int64)
-    rec_v = np.zeros((H // 2, W // 2), np.int64)
+    rec_y = np.zeros((H, W), np.uint8)
+    rec_u = np.zeros((H // 2, W // 2), np.uint8)
+    rec_v = np.zeros((H // 2, W // 2), np.uint8)
 
     # ---- inter prediction (parallel over all inter/skip blocks) ----
     inter_mb = np.nonzero((kind == 0) | (kind == 1))[0]
@@ -480,39 +490,23 @@ def reconstruct_frame(res: dict, mb_w: int, mb_h: int,
         rec_u[cyy, cxx] = np.clip(pred_u + rc[0][cyy, cxx], 0, 255)
         rec_v[cyy, cxx] = np.clip(pred_v + rc[1][cyy, cxx], 0, 255)
 
-    # ---- intra assembly (serial, §8.3 dependency order) ----
-    intra_mb = np.nonzero(kind >= 2)[0]
-    for m in intra_mb:
-        my, mx = divmod(int(m), mb_w)
-        k = kind[m]
-        imode16 = info[m] & 15
-        chroma_mode = (info[m] >> 4) & 15
-        if k == 3:                                      # I_16x16
-            pred = I._pred16(rec_y, my, mx, imode16)
-            blkres = luma_res[m].reshape(4, 4, 4, 4) \
-                .transpose(0, 2, 1, 3).reshape(16, 16)
-            rec_y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-                np.clip(pred + blkres, 0, 255)
-        elif k == 2:                                    # I_4x4
-            modes = res["i4modes"][m]
-            for blk in range(16):
-                by, bx = I._BLK4[blk]
-                gy, gx = my * 4 + by, mx * 4 + bx
-                p4 = pred4x4(rec_y, gy, gx, int(modes[by * 4 + bx]), mb_w)
-                r4 = luma_res[m, by * 4 + bx]
-                rec_y[gy * 4:gy * 4 + 4, gx * 4:gx * 4 + 4] = \
-                    np.clip(p4 + r4, 0, 255)
-        else:
-            raise InvalidData(f"h264: unsupported mb kind {k}")
-        for ci, recc in ((0, rec_u), (1, rec_v)):
-            predc = I._pred8(recc, my, mx, chroma_mode)
-            resid = chroma_res[m, ci].reshape(2, 2, 4, 4) \
-                .transpose(0, 2, 1, 3).reshape(8, 8)
-            recc[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                np.clip(predc + resid, 0, 255)
+    # ---- intra assembly (serial, §8.3 dependency order; native) ----
+    if np.any(kind >= 4):
+        raise InvalidData("h264: unsupported mb kind (I_PCM)")
+    if np.any(kind >= 2):
+        from librempeg_tpu.native import build as native
 
-    return (rec_y.astype(np.uint8), rec_u.astype(np.uint8),
-            rec_v.astype(np.uint8))
+        # residuals to MB-raster layout for the native pass
+        resid_y = luma_res.reshape(nmb, 4, 4, 4, 4) \
+            .transpose(0, 1, 3, 2, 4).reshape(nmb, 256).astype(np.int16)
+        resid_c = chroma_res.reshape(nmb, 2, 2, 2, 4, 4) \
+            .transpose(0, 1, 2, 4, 3, 5).reshape(nmb, 2, 64) \
+            .astype(np.int16)
+        native.h264_intra_recon(rec_y, rec_u, rec_v, kind, info,
+                                res["i4modes"], resid_y, resid_c,
+                                mb_w, mb_h)
+
+    return rec_y, rec_u, rec_v
 
 
 def dezigzag_chroma_dc(blocks: np.ndarray) -> np.ndarray:

@@ -1,35 +1,47 @@
 """Codec registry (allcodecs.c analog): importing this registers all
-built-in decoders/encoders."""
-from librempeg_tpu.codecs import pcm  # noqa: F401
+built-in decoders/encoders.
 
-try:
-    from librempeg_tpu.codecs import rawvideo  # noqa: F401
-except ImportError:
-    pass
-try:
-    from librempeg_tpu.codecs.jpeg import decoder as _jpeg_dec  # noqa: F401
-    from librempeg_tpu.codecs.jpeg import encoder as _jpeg_enc  # noqa: F401
-except ImportError:
-    pass
-try:
-    from librempeg_tpu.codecs.png import codec as _png  # noqa: F401
-except ImportError:
-    pass
-try:
-    from librempeg_tpu.codecs.mpeg4 import encoder as _m4enc  # noqa: F401
-    from librempeg_tpu.codecs.mpeg4 import decoder as _m4dec  # noqa: F401
-except ImportError:
-    pass
-try:
-    from librempeg_tpu.codecs.aac import codec as _aac  # noqa: F401
-    from librempeg_tpu.codecs.aac import decoder as _aacdec  # noqa: F401
-except ImportError:
-    pass
-try:
-    from librempeg_tpu.codecs.h264 import codec as _h264  # noqa: F401
-except ImportError:
-    pass
-try:
-    from librempeg_tpu.codecs.flac import codec as _flac  # noqa: F401
-except ImportError:
-    pass
+Imports are explicit and failures are LOUD: a broken codec module (or a
+stale native build) must fail the build, not silently shrink the codec
+set — the reference's registry is compile-time explicit for the same
+reason (allcodecs.c). Set LIBREMPEG_TPU_LENIENT_REGISTRY=1 to degrade
+to warnings (for bisecting a broken tree only).
+"""
+import os as _os
+
+_LENIENT = _os.environ.get("LIBREMPEG_TPU_LENIENT_REGISTRY") == "1"
+
+_MODULES = (
+    "librempeg_tpu.codecs.pcm",
+    "librempeg_tpu.codecs.rawvideo",
+    "librempeg_tpu.codecs.gif",
+    "librempeg_tpu.codecs.jpeg.decoder",
+    "librempeg_tpu.codecs.jpeg.encoder",
+    "librempeg_tpu.codecs.png.codec",
+    "librempeg_tpu.codecs.mpeg4.encoder",
+    "librempeg_tpu.codecs.mpeg4.decoder",
+    "librempeg_tpu.codecs.aac.codec",
+    "librempeg_tpu.codecs.aac.decoder",
+    "librempeg_tpu.codecs.h264.codec",
+    "librempeg_tpu.codecs.flac.codec",
+)
+
+
+def _load():
+    import importlib
+    import sys
+
+    for mod in _MODULES:
+        try:
+            importlib.import_module(mod)
+        except Exception:
+            if not _LENIENT:
+                raise
+            import traceback
+
+            print(f"codec registry: {mod} failed to load:",
+                  file=sys.stderr)
+            traceback.print_exc()
+
+
+_load()

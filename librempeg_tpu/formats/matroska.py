@@ -60,6 +60,13 @@ _CODEC_IDS = {
     "A_FLAC": "flac",
     "A_PCM/INT/LIT": "pcm_s16le",
     "A_PCM/FLOAT/IEEE": "pcm_f32le",
+    "A_MPEG/L3": "mp3",
+    "A_MPEG/L2": "mp2",
+    "A_MPEG/L1": "mp1",
+    "A_AC3": "ac3",
+    "A_EAC3": "eac3",
+    "A_VORBIS": "vorbis",
+    "A_OPUS": "opus",
 }
 
 

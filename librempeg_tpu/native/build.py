@@ -86,6 +86,13 @@ def get() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,    # mb_w, mb_h, first
             ctypes.c_int, ctypes.c_int, ctypes.c_int,    # type, qp, nref
             i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p]
+        lib.h264_qpel_planes.restype = None
+        lib.h264_qpel_planes.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p]
+        lib.h264_intra_recon.restype = None
+        lib.h264_intra_recon.argtypes = [
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i8p, i16p, i16p, ctypes.c_int, ctypes.c_int]
         lib.h264_deblock_frame.restype = None
         lib.h264_deblock_frame.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -301,3 +308,36 @@ def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         _i8(np.ascontiguousarray(ref, np.int8)),
         _i16(np.ascontiguousarray(ncoef, np.int16)),
         mb_w, mb_h, alpha_off, beta_off, chroma_qp_off)
+
+
+def h264_intra_recon(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     kind: np.ndarray, info: np.ndarray,
+                     i4modes: np.ndarray, resid_y: np.ndarray,
+                     resid_c: np.ndarray, mb_w: int, mb_h: int) -> None:
+    """In-place intra MB reconstruction over uint8 planes; resid_y
+    [nMB,256] int16 MB-raster, resid_c [nMB,2,64]."""
+    lib = get()
+    assert lib is not None
+    assert y.dtype == np.uint8 and y.flags.c_contiguous
+    h, w = y.shape
+    lib.h264_intra_recon(
+        _u8(y), _u8(u), _u8(v), w, h,
+        _i32(np.ascontiguousarray(kind, np.int32)),
+        _i32(np.ascontiguousarray(info, np.int32)),
+        _i8(np.ascontiguousarray(i4modes, np.int8)),
+        _i16(np.ascontiguousarray(resid_y, np.int16)),
+        _i16(np.ascontiguousarray(resid_c, np.int16)),
+        mb_w, mb_h)
+
+
+def h264_qpel_planes(epad: np.ndarray):
+    """(b, h, j) half-pel planes (uint8) for a padded ref plane."""
+    lib = get()
+    assert lib is not None
+    hp, wp = epad.shape
+    epad = np.ascontiguousarray(epad, np.uint8)
+    b = np.zeros((hp, wp), np.uint8)
+    h = np.zeros((hp, wp), np.uint8)
+    j = np.zeros((hp, wp), np.uint8)
+    lib.h264_qpel_planes(_u8(epad), hp, wp, _u8(b), _u8(h), _u8(j))
+    return b, h, j

@@ -927,3 +927,387 @@ extern "C" void h264_deblock_frame(
         }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Intra macroblock reconstruction (§8.3) — the serial neighbor-dependent
+// pixel pass. Inter MBs are already reconstructed (device/batched);
+// this walks intra MBs in raster order adding pred + residual in place.
+// Math is the verified port of codecs/h264/recon.py pred4x4 /
+// intra.py _pred16/_pred8 (bit-exact vs the reference decoder).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint8_t clip255(int v) { return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v)); }
+
+// Intra_16x16 luma prediction into pred[256]
+void pred16(const uint8_t* Y, int W, int my, int mx, int mode,
+            int* pred) {
+    const uint8_t* top = my > 0 ? Y + (size_t)(my * 16 - 1) * W + mx * 16
+                                : nullptr;
+    int y0 = my * 16, x0 = mx * 16;
+    if (mode == 0) {                        // vertical
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++) pred[y * 16 + x] = top[x];
+    } else if (mode == 1) {                 // horizontal
+        for (int y = 0; y < 16; y++) {
+            int l = Y[(size_t)(y0 + y) * W + x0 - 1];
+            for (int x = 0; x < 16; x++) pred[y * 16 + x] = l;
+        }
+    } else if (mode == 2) {                 // DC
+        int dc;
+        if (my > 0 && mx > 0) {
+            int s = 0;
+            for (int x = 0; x < 16; x++) s += top[x];
+            for (int y = 0; y < 16; y++) s += Y[(size_t)(y0 + y) * W + x0 - 1];
+            dc = (s + 16) >> 5;
+        } else if (my > 0) {
+            int s = 0;
+            for (int x = 0; x < 16; x++) s += top[x];
+            dc = (s + 8) >> 4;
+        } else if (mx > 0) {
+            int s = 0;
+            for (int y = 0; y < 16; y++) s += Y[(size_t)(y0 + y) * W + x0 - 1];
+            dc = (s + 8) >> 4;
+        } else dc = 128;
+        for (int i = 0; i < 256; i++) pred[i] = dc;
+    } else {                                // plane
+        int tl = Y[(size_t)(y0 - 1) * W + x0 - 1];
+        int hsum = 0, vsum = 0;
+        for (int i = 1; i <= 8; i++) {
+            int a = top[7 + i];
+            int b = (7 - i >= 0) ? top[7 - i] : tl;
+            hsum += i * (a - b);
+            int c = Y[(size_t)(y0 + 7 + i) * W + x0 - 1];
+            int d = (7 - i >= 0) ? Y[(size_t)(y0 + 7 - i) * W + x0 - 1] : tl;
+            vsum += i * (c - d);
+        }
+        int a = 16 * ((int)Y[(size_t)(y0 + 15) * W + x0 - 1] + (int)top[15]);
+        int b = (5 * hsum + 32) >> 6;
+        int c = (5 * vsum + 32) >> 6;
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++) {
+                int v = (a + b * (x - 7) + c * (y - 7) + 16) >> 5;
+                pred[y * 16 + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+            }
+    }
+}
+
+// chroma 8x8 prediction (modes: 0=DC quadrant, 1=H, 2=V, 3=plane)
+void pred8c(const uint8_t* C, int W, int my, int mx, int mode, int* pred) {
+    int y0 = my * 8, x0 = mx * 8;
+    if (mode == 0) {
+        for (int qy = 0; qy < 2; qy++)
+            for (int qx = 0; qx < 2; qx++) {
+                int ts = 0, ls = 0, has_t = my > 0, has_l = mx > 0;
+                if (has_t)
+                    for (int x = 0; x < 4; x++)
+                        ts += C[(size_t)(y0 - 1) * W + x0 + qx * 4 + x];
+                if (has_l)
+                    for (int y = 0; y < 4; y++)
+                        ls += C[(size_t)(y0 + qy * 4 + y) * W + x0 - 1];
+                int val;
+                if (qy == 0 && qx == 1)
+                    val = has_t ? (ts + 2) >> 2 : (has_l ? (ls + 2) >> 2 : 128);
+                else if (qy == 1 && qx == 0)
+                    val = has_l ? (ls + 2) >> 2 : (has_t ? (ts + 2) >> 2 : 128);
+                else
+                    val = (has_t && has_l) ? (ts + ls + 4) >> 3
+                        : (has_t ? (ts + 2) >> 2 : (has_l ? (ls + 2) >> 2 : 128));
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++)
+                        pred[(qy * 4 + y) * 8 + qx * 4 + x] = val;
+            }
+    } else if (mode == 1) {                 // horizontal
+        for (int y = 0; y < 8; y++) {
+            int l = C[(size_t)(y0 + y) * W + x0 - 1];
+            for (int x = 0; x < 8; x++) pred[y * 8 + x] = l;
+        }
+    } else if (mode == 2) {                 // vertical
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                pred[y * 8 + x] = C[(size_t)(y0 - 1) * W + x0 + x];
+    } else {                                // plane
+        int tl = C[(size_t)(y0 - 1) * W + x0 - 1];
+        int hsum = 0, vsum = 0;
+        for (int i = 1; i <= 4; i++) {
+            int a = C[(size_t)(y0 - 1) * W + x0 + 3 + i];
+            int b = (3 - i >= 0) ? C[(size_t)(y0 - 1) * W + x0 + 3 - i] : tl;
+            hsum += i * (a - b);
+            int c = C[(size_t)(y0 + 3 + i) * W + x0 - 1];
+            int d = (3 - i >= 0) ? C[(size_t)(y0 + 3 - i) * W + x0 - 1] : tl;
+            vsum += i * (c - d);
+        }
+        int a = 16 * ((int)C[(size_t)(y0 + 7) * W + x0 - 1]
+                      + (int)C[(size_t)(y0 - 1) * W + x0 + 7]);
+        int b = (17 * hsum + 16) >> 5;
+        int c = (17 * vsum + 16) >> 5;
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5;
+                pred[y * 8 + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
+            }
+    }
+}
+
+// decode-order index of raster 4x4 positions within an MB (§6.4.3)
+static const int ORD4[16] = {0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13,
+                             10, 11, 14, 15};
+
+// Intra_4x4 prediction for one block at 4x4-grid coords (gy,gx)
+void pred4(const uint8_t* Y, int W, int w4, int gy, int gx, int mode,
+           int* p) {
+    int y0 = gy * 4, x0 = gx * 4;
+    int avail_t = gy > 0, avail_l = gx > 0;
+    int cur_ord = ((gy / 4) * (w4 / 4) + gx / 4) * 16
+                  + ORD4[(gy % 4) * 4 + (gx % 4)];
+    int tr_ord = gy > 0 && gx + 1 < w4
+        ? (((gy - 1) / 4) * (w4 / 4) + (gx + 1) / 4) * 16
+          + ORD4[((gy - 1) % 4) * 4 + ((gx + 1) % 4)]
+        : 0x7fffffff;
+    int avail_tr = gy > 0 && gx + 1 < w4 && tr_ord < cur_ord;
+    int t[4], l[4], tt[8], lt = 0;
+    if (avail_t)
+        for (int x = 0; x < 4; x++) t[x] = Y[(size_t)(y0 - 1) * W + x0 + x];
+    if (avail_l)
+        for (int y = 0; y < 4; y++) l[y] = Y[(size_t)(y0 + y) * W + x0 - 1];
+    if (avail_t && avail_l) lt = Y[(size_t)(y0 - 1) * W + x0 - 1];
+    if (avail_t) {
+        for (int x = 0; x < 4; x++) tt[x] = t[x];
+        for (int x = 0; x < 4; x++)
+            tt[4 + x] = avail_tr ? Y[(size_t)(y0 - 1) * W + x0 + 4 + x]
+                                 : t[3];
+    }
+    switch (mode) {
+    case 0:                                 // vertical
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) p[y * 4 + x] = t[x];
+        break;
+    case 1:                                 // horizontal
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) p[y * 4 + x] = l[y];
+        break;
+    case 2: {                               // DC
+        int dc;
+        if (avail_t && avail_l)
+            dc = (t[0] + t[1] + t[2] + t[3] + l[0] + l[1] + l[2] + l[3]
+                  + 4) >> 3;
+        else if (avail_t) dc = (t[0] + t[1] + t[2] + t[3] + 2) >> 2;
+        else if (avail_l) dc = (l[0] + l[1] + l[2] + l[3] + 2) >> 2;
+        else dc = 128;
+        for (int i = 0; i < 16; i++) p[i] = dc;
+        break;
+    }
+    case 3:                                 // diagonal down-left
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++)
+                p[y * 4 + x] = (x == 3 && y == 3)
+                    ? (tt[6] + 3 * tt[7] + 2) >> 2
+                    : (tt[x + y] + 2 * tt[x + y + 1] + tt[x + y + 2] + 2)
+                      >> 2;
+        break;
+    case 4:                                 // diagonal down-right
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                if (x > y) {
+                    int z = x - y;
+                    p[y * 4 + x] = (t[z] + 2 * t[z - 1]
+                                    + (z >= 2 ? t[z - 2] : lt) + 2) >> 2;
+                } else if (x < y) {
+                    int z = y - x;
+                    p[y * 4 + x] = (l[z] + 2 * l[z - 1]
+                                    + (z >= 2 ? l[z - 2] : lt) + 2) >> 2;
+                } else
+                    p[y * 4 + x] = (t[0] + 2 * lt + l[0] + 2) >> 2;
+            }
+        break;
+    case 5:                                 // vertical-right
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int z = 2 * x - y;
+                if (z >= 0 && z % 2 == 0) {
+                    int i = x - (y >> 1);
+                    int a = i >= 1 ? t[i - 1] : lt;
+                    p[y * 4 + x] = (a + t[i] + 1) >> 1;
+                } else if (z >= 0) {
+                    int i = x - (y >> 1);
+                    int a = i >= 2 ? t[i - 2] : (i == 1 ? lt : l[0]);
+                    int b = i >= 1 ? t[i - 1] : lt;
+                    p[y * 4 + x] = (a + 2 * b + t[i] + 2) >> 2;
+                } else if (z == -1)
+                    p[y * 4 + x] = (l[0] + 2 * lt + t[0] + 2) >> 2;
+                else
+                    p[y * 4 + x] = (l[y - 1] + 2 * l[y - 2]
+                                    + (y - 3 >= 0 ? l[y - 3] : lt) + 2) >> 2;
+            }
+        break;
+    case 6:                                 // horizontal-down
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int z = 2 * y - x;
+                if (z >= 0 && z % 2 == 0) {
+                    int i = y - (x >> 1);
+                    int a = i >= 1 ? l[i - 1] : lt;
+                    p[y * 4 + x] = (a + l[i] + 1) >> 1;
+                } else if (z >= 0) {
+                    int i = y - (x >> 1);
+                    int a = i >= 2 ? l[i - 2] : (i == 1 ? lt : t[0]);
+                    int b = i >= 1 ? l[i - 1] : lt;
+                    p[y * 4 + x] = (a + 2 * b + l[i] + 2) >> 2;
+                } else if (z == -1)
+                    p[y * 4 + x] = (t[0] + 2 * lt + l[0] + 2) >> 2;
+                else
+                    p[y * 4 + x] = (t[x - 1] + 2 * t[x - 2]
+                                    + (x - 3 >= 0 ? t[x - 3] : lt) + 2) >> 2;
+            }
+        break;
+    case 7:                                 // vertical-left
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int i = x + (y >> 1);
+                p[y * 4 + x] = (y % 2 == 0)
+                    ? (tt[i] + tt[i + 1] + 1) >> 1
+                    : (tt[i] + 2 * tt[i + 1] + tt[i + 2] + 2) >> 2;
+            }
+        break;
+    default:                                // 8: horizontal-up
+        for (int y = 0; y < 4; y++)
+            for (int x = 0; x < 4; x++) {
+                int z = x + 2 * y;
+                if (z > 5) p[y * 4 + x] = l[3];
+                else if (z == 5) p[y * 4 + x] = (l[2] + 3 * l[3] + 2) >> 2;
+                else {
+                    int i = y + (x >> 1);
+                    p[y * 4 + x] = (z % 2 == 0)
+                        ? (l[i] + l[i + 1] + 1) >> 1
+                        : (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2;
+                }
+            }
+        break;
+    }
+}
+
+}  // namespace
+
+// Reconstruct all intra MBs in place (raster order). resid_* hold the
+// already-dequantized inverse-transformed residuals in MB-raster layout.
+extern "C" void h264_intra_recon(
+    uint8_t* Y, uint8_t* U, uint8_t* V, int width, int height,
+    const int32_t* mb_kind, const int32_t* mb_info,
+    const int8_t* i4modes,
+    const int16_t* resid_y,    // [nMB][256] raster within MB
+    const int16_t* resid_c,    // [nMB][2][64]
+    int mb_w, int mb_h)
+{
+    const int cw = width / 2;
+    int pred[256];
+    for (int my = 0; my < mb_h; my++)
+        for (int mx = 0; mx < mb_w; mx++) {
+            const int mb = my * mb_w + mx;
+            const int k = mb_kind[mb];
+            if (k < 2) continue;            // inter / skip / undecoded
+            const int16_t* ry = resid_y + (size_t)mb * 256;
+            if (k == 3) {                   // I_16x16
+                pred16(Y, width, my, mx, mb_info[mb] & 15, pred);
+                for (int y = 0; y < 16; y++) {
+                    uint8_t* row = Y + (size_t)(my * 16 + y) * width
+                                   + mx * 16;
+                    for (int x = 0; x < 16; x++)
+                        row[x] = clip255(pred[y * 16 + x]
+                                         + ry[y * 16 + x]);
+                }
+            } else {                        // I_4x4 (k == 2)
+                for (int blk = 0; blk < 16; blk++) {
+                    int by = BLK4[blk][0], bx = BLK4[blk][1];
+                    int gy = my * 4 + by, gx = mx * 4 + bx;
+                    int p4[16];
+                    pred4(Y, width, mb_w * 4, gy, gx,
+                          i4modes[mb * 16 + by * 4 + bx], p4);
+                    for (int y = 0; y < 4; y++) {
+                        uint8_t* row = Y + (size_t)(gy * 4 + y) * width
+                                       + gx * 4;
+                        for (int x = 0; x < 4; x++)
+                            row[x] = clip255(
+                                p4[y * 4 + x]
+                                + ry[(by * 4 + y) * 16 + bx * 4 + x]);
+                    }
+                }
+            }
+            const int cmode = (mb_info[mb] >> 4) & 15;
+            for (int pl = 0; pl < 2; pl++) {
+                uint8_t* C = pl == 0 ? U : V;
+                const int16_t* rc = resid_c + ((size_t)mb * 2 + pl) * 64;
+                pred8c(C, cw, my, mx, cmode, pred);
+                for (int y = 0; y < 8; y++) {
+                    uint8_t* row = C + (size_t)(my * 8 + y) * cw + mx * 8;
+                    for (int x = 0; x < 8; x++)
+                        row[x] = clip255(pred[y * 8 + x] + rc[y * 8 + x]);
+                }
+            }
+        }
+}
+
+// ---------------------------------------------------------------------------
+// Half-pel plane computation (§8.4.2.2.1): the three 6-tap FIR passes
+// over a padded reference plane. Outputs are clipped pixel planes
+// (uint8) aligned with the padded input; the 3-sample border ring is
+// garbage by construction and is never addressed (MC clamps keep
+// accesses >= 3 samples inside).
+// ---------------------------------------------------------------------------
+
+extern "C" void h264_qpel_planes(
+    const uint8_t* epad, int hp, int wp,    // padded ref, padded dims
+    uint8_t* bp, uint8_t* hpn, uint8_t* jp)
+{
+    int32_t* b1 = (int32_t*)malloc((size_t)hp * wp * sizeof(int32_t));
+    memset(b1, 0, (size_t)hp * wp * sizeof(int32_t));
+    // horizontal 6-tap between x and x+1 (unscaled intermediates)
+    for (int y = 0; y < hp; y++) {
+        const uint8_t* r = epad + (size_t)y * wp;
+        int32_t* o = b1 + (size_t)y * wp;
+        for (int x = 2; x < wp - 3; x++)
+            o[x] = r[x - 2] - 5 * r[x - 1] + 20 * r[x] + 20 * r[x + 1]
+                   - 5 * r[x + 2] + r[x + 3];
+    }
+    for (int y = 0; y < hp; y++) {
+        const int32_t* o = b1 + (size_t)y * wp;
+        uint8_t* d = bp + (size_t)y * wp;
+        for (int x = 0; x < wp; x++) {
+            int v = (o[x] + 16) >> 5;
+            d[x] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+    }
+    // vertical 6-tap between y and y+1
+    for (int y = 2; y < hp - 3; y++) {
+        const uint8_t* rm2 = epad + (size_t)(y - 2) * wp;
+        const uint8_t* rm1 = epad + (size_t)(y - 1) * wp;
+        const uint8_t* r0 = epad + (size_t)y * wp;
+        const uint8_t* r1 = epad + (size_t)(y + 1) * wp;
+        const uint8_t* r2 = epad + (size_t)(y + 2) * wp;
+        const uint8_t* r3 = epad + (size_t)(y + 3) * wp;
+        uint8_t* d = hpn + (size_t)y * wp;
+        for (int x = 0; x < wp; x++) {
+            int v = rm2[x] - 5 * rm1[x] + 20 * r0[x] + 20 * r1[x]
+                    - 5 * r2[x] + r3[x];
+            v = (v + 16) >> 5;
+            d[x] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+    }
+    // center: vertical 6-tap over the horizontal intermediates
+    for (int y = 2; y < hp - 3; y++) {
+        const int32_t* rm2 = b1 + (size_t)(y - 2) * wp;
+        const int32_t* rm1 = b1 + (size_t)(y - 1) * wp;
+        const int32_t* r0 = b1 + (size_t)y * wp;
+        const int32_t* r1 = b1 + (size_t)(y + 1) * wp;
+        const int32_t* r2 = b1 + (size_t)(y + 2) * wp;
+        const int32_t* r3 = b1 + (size_t)(y + 3) * wp;
+        uint8_t* d = jp + (size_t)y * wp;
+        for (int x = 0; x < wp; x++) {
+            int v = rm2[x] - 5 * rm1[x] + 20 * r0[x] + 20 * r1[x]
+                    - 5 * r2[x] + r3[x];
+            v = (v + 512) >> 10;
+            d[x] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+    }
+    free(b1);
+}
