@@ -281,7 +281,8 @@ class _Mpeg4Packer:
         bw.align_stuffing()
         return bw.bytes()
 
-    def vop(self, bw: BitWriter, coding_type: int, frame_idx: int) -> None:
+    def vop(self, bw: BitWriter, coding_type: int, frame_idx: int,
+            qscale: int | None = None) -> None:
         bw.put(0x000001B6, 32)
         bw.put(coding_type, 2)     # 0 = I, 1 = P
         # time: seconds elapsed as modulo_time_base '1's
@@ -298,9 +299,51 @@ class _Mpeg4Packer:
         if coding_type == 1:
             bw.put(0, 1)           # vop_rounding_type
         bw.put(0, 3)               # intra_dc_vlc_thr: always DC VLC
-        bw.put(self.qscale, 5)
+        bw.put(qscale if qscale is not None else self.qscale, 5)
         if coding_type == 1:
             bw.put(1, 3)           # vop_fcode_forward
+
+
+class RateController:
+    """Single-pass rate control (the role of the reference's
+    ratecontrol.c in one-pass CBR mode): a bits*q complexity model per
+    frame type predicts the quantizer that hits the per-frame budget; a
+    leaky virtual buffer adds integral correction. I frames spend a
+    fixed multiple of the per-frame budget."""
+
+    I_COST = 3.0          # relative I-frame budget at equal quality
+
+    def __init__(self, bit_rate: int, fps: Rational, gop: int):
+        self.fps = max(1.0, fps.num / max(1, fps.den))
+        self.gop = max(1, gop)
+        per_gop = bit_rate / self.fps * self.gop
+        unit = per_gop / (self.I_COST + (self.gop - 1))
+        self.p_budget = max(1.0, unit)
+        self.i_budget = max(1.0, unit * self.I_COST)
+        # complexity = bits * q (approximately constant per frame type)
+        self.c_i = self.i_budget * 8.0
+        self.c_p = self.p_budget * 8.0
+        self.buffer = 0.0             # bits over (+) / under (-) target
+        self._last_q = 8
+
+    def pick_qscale(self, is_i: bool) -> int:
+        budget = self.i_budget if is_i else self.p_budget
+        # drain the buffer over roughly one GOP
+        eff = budget - self.buffer / self.gop
+        eff = max(budget * 0.3, min(budget * 3.0, eff))
+        c = self.c_i if is_i else self.c_p
+        q = c / eff
+        self._last_q = int(max(2, min(31, round(q))))
+        return self._last_q
+
+    def update(self, bits: float, is_i: bool) -> None:
+        budget = self.i_budget if is_i else self.p_budget
+        self.buffer += bits - budget
+        c = bits * self._last_q
+        if is_i:
+            self.c_i = 0.5 * self.c_i + 0.5 * c
+        else:
+            self.c_p = 0.7 * self.c_p + 0.3 * c
 
 
 @register_encoder
@@ -311,6 +354,8 @@ class Mpeg4Encoder(Encoder):
         Option("qscale", int, 4, min=1, max=31),
         Option("gop_size", int, 12, alias="g", min=1, max=600),
         Option("search_range", int, 8, min=2, max=16),
+        Option("bit_rate", int, 0, alias="b", min=0, max=1 << 30,
+               help="target bitrate (bits/s); 0 = constant qscale"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
@@ -327,6 +372,7 @@ class Mpeg4Encoder(Encoder):
         self.framerate = framerate
         self.time_base = Rational(framerate.den, framerate.num)
         self._packer = None
+        self._rc = None
         self._frame_idx = 0
         self._ref = None  # (y, u, v) device recon planes
         self._next_pts = 0
@@ -344,7 +390,16 @@ class Mpeg4Encoder(Encoder):
         if frame.format not in ("yuv420p", "yuvj420p"):
             raise Unsupported(f"mpeg4: input must be yuv420p, got "
                               f"{frame.format}")
-        q = self.opts["qscale"]
+        is_i_next = (self._frame_idx % self.opts["gop_size"] == 0
+                     or self._ref is None)
+        if self.opts["bit_rate"] > 0:
+            if self._rc is None:
+                self._rc = RateController(self.opts["bit_rate"],
+                                          self.framerate,
+                                          self.opts["gop_size"])
+            q = self._rc.pick_qscale(is_i_next)
+        else:
+            q = self.opts["qscale"]
         if self._packer is None:
             self._packer = _Mpeg4Packer(self.width, self.height,
                                         self.framerate, q)
@@ -376,6 +431,8 @@ class Mpeg4Encoder(Encoder):
         pkt = Packet(data=payload, pts=pts, dts=pts, duration=1,
                      flags=PktFlags.KEY if is_i else 0,
                      time_base=self.time_base)
+        if self._rc is not None:
+            self._rc.update(len(payload) * 8, is_i)
         self._frame_idx += 1
         return [pkt]
 
@@ -397,7 +454,7 @@ class Mpeg4Encoder(Encoder):
         diff_u = _dc_predict(dc_u, T.dc_scaler(q, True))
         diff_v = _dc_predict(dc_v, T.dc_scaler(q, True))
 
-        self._packer.vop(bw, 0, self._frame_idx)
+        self._packer.vop(bw, 0, self._frame_idx, q)
         mb_w, mb_h = self.cw // 16, self.ch // 16
         nbx = mb_w * 2
         for my in range(mb_h):
@@ -444,7 +501,7 @@ class Mpeg4Encoder(Encoder):
         zz_u = np.asarray(zz_u)
         zz_v = np.asarray(zz_v)
 
-        self._packer.vop(bw, 1, self._frame_idx)
+        self._packer.vop(bw, 1, self._frame_idx, q)
         mb_w, mb_h = self.cw // 16, self.ch // 16
         nbx = mb_w * 2
         # MV prediction: median of left/top/top-right in half-pel units

@@ -27,6 +27,9 @@ WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+WAVE_FORMAT_ADPCM_MS = 0x0002
+WAVE_FORMAT_ADPCM_IMA = 0x0011
+WAVE_FORMAT_ADPCM_YAMAHA = 0x0020
 
 _TAG_TO_CODEC = {
     (WAVE_FORMAT_PCM, 8): "pcm_u8",
@@ -37,7 +40,12 @@ _TAG_TO_CODEC = {
     (WAVE_FORMAT_IEEE_FLOAT, 64): "pcm_f64le",
     (WAVE_FORMAT_ALAW, 8): "pcm_alaw",
     (WAVE_FORMAT_MULAW, 8): "pcm_mulaw",
+    (WAVE_FORMAT_ADPCM_MS, 4): "adpcm_ms",
+    (WAVE_FORMAT_ADPCM_IMA, 4): "adpcm_ima_wav",
+    (WAVE_FORMAT_ADPCM_YAMAHA, 4): "adpcm_yamaha",
 }
+
+_ADPCM_CODECS = ("adpcm_ms", "adpcm_ima_wav", "adpcm_yamaha")
 
 _CODEC_TO_TAG = {
     "pcm_u8": (WAVE_FORMAT_PCM, 8),
@@ -48,6 +56,9 @@ _CODEC_TO_TAG = {
     "pcm_f64le": (WAVE_FORMAT_IEEE_FLOAT, 64),
     "pcm_alaw": (WAVE_FORMAT_ALAW, 8),
     "pcm_mulaw": (WAVE_FORMAT_MULAW, 8),
+    "adpcm_ms": (WAVE_FORMAT_ADPCM_MS, 4),
+    "adpcm_ima_wav": (WAVE_FORMAT_ADPCM_IMA, 4),
+    "adpcm_yamaha": (WAVE_FORMAT_ADPCM_YAMAHA, 4),
 }
 
 # packet size target (bytes); like the reference, demuxed PCM is chunked
@@ -97,6 +108,17 @@ class WavDemuxer(Demuxer):
                 par.nb_channels = channels
                 par.block_align = balign or channels * (bits // 8)
                 par.extra["bits_per_sample"] = bits
+                if codec in _ADPCM_CODECS:
+                    from librempeg_tpu.codecs import adpcm as _adpcm
+
+                    if codec == "adpcm_ima_wav":
+                        spb = _adpcm.ima_samples_per_block(balign, channels)
+                    elif codec == "adpcm_ms":
+                        spb = _adpcm.ms_samples_per_block(balign, channels)
+                    else:
+                        spb = balign * 2 // channels
+                    par.frame_size = spb
+                    par.extra["samples_per_block"] = spb
                 fmt_seen = True
             elif tag == b"LIST" and size >= 4:
                 body = io.read_exact(size + (size & 1))[:size]
@@ -125,7 +147,8 @@ class WavDemuxer(Demuxer):
         st = Stream(index=0, codecpar=par,
                     time_base=Rational(1, par.sample_rate))
         if self._data_size > 0 and par.block_align:
-            st.duration = self._data_size // par.block_align
+            st.duration = (self._data_size // par.block_align
+                           * par.extra.get("samples_per_block", 1))
         self.streams = [st]
         if io.seekable:
             io.seek(self._data_start)
@@ -144,13 +167,14 @@ class WavDemuxer(Demuxer):
         data = self.io.read(n)
         if not data:
             raise EndOfStream
-        pts = self._pos // par.block_align
+        spb = par.extra.get("samples_per_block", 1)
+        pts = self._pos // par.block_align * spb
         self._pos += len(data)
         return Packet(
             data=data,
             pts=pts,
             dts=pts,
-            duration=len(data) // par.block_align,
+            duration=len(data) // par.block_align * spb,
             stream_index=0,
             flags=PktFlags.KEY,
             time_base=self.streams[0].time_base,
@@ -194,14 +218,34 @@ class WavMuxer(Muxer):
         io.wl32(0)  # patched in trailer
         io.write(b"WAVE")
         io.write(b"fmt ")
-        io.wl32(16)
-        balign = par.nb_channels * (bits // 8)
-        io.wl16(wtag)
-        io.wl16(par.nb_channels)
-        io.wl32(par.sample_rate)
-        io.wl32(par.sample_rate * balign)  # byte rate
-        io.wl16(balign)
-        io.wl16(bits)
+        if par.codec_id in _ADPCM_CODECS:
+            balign = par.block_align
+            spb = par.frame_size or par.extra.get("samples_per_block", 0)
+            extra = struct.pack("<H", spb)
+            if par.codec_id == "adpcm_ms":
+                from librempeg_tpu.codecs.adpcm import MS_C1, MS_C2
+
+                extra += struct.pack("<H", 7)
+                for c1, c2 in zip(MS_C1, MS_C2):
+                    extra += struct.pack("<hh", int(c1), int(c2))
+            io.wl32(18 + len(extra))
+            io.wl16(wtag)
+            io.wl16(par.nb_channels)
+            io.wl32(par.sample_rate)
+            io.wl32(par.sample_rate * balign // max(spb, 1))  # approx rate
+            io.wl16(balign)
+            io.wl16(bits)
+            io.wl16(len(extra))
+            io.write(extra)
+        else:
+            io.wl32(16)
+            balign = par.nb_channels * (bits // 8)
+            io.wl16(wtag)
+            io.wl16(par.nb_channels)
+            io.wl32(par.sample_rate)
+            io.wl32(par.sample_rate * balign)  # byte rate
+            io.wl16(balign)
+            io.wl16(bits)
         io.write(b"data")
         self._data_size_pos = io.tell()
         io.wl32(0)  # patched in trailer
