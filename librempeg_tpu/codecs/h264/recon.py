@@ -41,8 +41,9 @@ def qpc_of(qp, off: int):
 # ---------------------------------------------------------------------------
 
 def inv4_batch(w: np.ndarray) -> np.ndarray:
-    """Inverse 4x4 core transform over [..., 4, 4] int64 (§8.5.12.2)."""
-    d = w.astype(np.int64)
+    """Inverse 4x4 core transform over [..., 4, 4] (§8.5.12.2). int32 is
+    exact: dequantized levels are < 2^25 and the butterflies add 4 terms."""
+    d = w.astype(np.int32)
     e0 = d[..., :, 0] + d[..., :, 2]
     e1 = d[..., :, 0] - d[..., :, 2]
     e2 = (d[..., :, 1] >> 1) - d[..., :, 3]
@@ -57,10 +58,11 @@ def inv4_batch(w: np.ndarray) -> np.ndarray:
 
 
 def dequant4_batch(lev: np.ndarray, qp: np.ndarray) -> np.ndarray:
-    """lev [..., 4, 4] int, qp broadcastable [...] -> int64."""
-    qp = np.asarray(qp, np.int64)
-    v = _V[qp % 6][..., _POS]                      # [..., 4, 4]
-    return (lev.astype(np.int64) * v) << (qp[..., None, None] // 6)
+    """lev [..., 4, 4] int, qp broadcastable [...] -> int32 (exact:
+    |level| <= 2047, V <= 29, shift <= 8 -> < 2^25)."""
+    qp = np.asarray(qp, np.int32)
+    v = _V[qp % 6][..., _POS].astype(np.int32)     # [..., 4, 4]
+    return (lev.astype(np.int32) * v) << (qp[..., None, None] // 6)
 
 
 def luma_dc_dequant_batch(f: np.ndarray, qp: np.ndarray) -> np.ndarray:

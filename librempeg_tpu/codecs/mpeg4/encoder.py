@@ -61,42 +61,47 @@ def _idct_spec(c: jax.Array) -> jax.Array:
     return dct8x8.idct(c / jnp.asarray(_spec_dct_scale()))
 
 
-def _quant_intra(coeffs, qscale: int, dc_scale: int):
-    """H.263-style intra quant. Returns (dc_level, ac_levels, recon)."""
+def _quant_intra(coeffs, qscale, dc_scale):
+    """H.263-style intra quant. Returns (dc_level, ac_levels, recon).
+    qscale/dc_scale are traced scalars (no recompile per quantizer —
+    rate control sweeps them every frame)."""
+    qscale = jnp.asarray(qscale, jnp.int32)
+    dc_scale = jnp.asarray(dc_scale, jnp.int32)
     dc = coeffs[..., 0, 0]
     dc_level = jnp.round(dc / dc_scale).astype(jnp.int32)
     ac_level = jnp.trunc(coeffs / (2.0 * qscale)).astype(jnp.int32)
     ac_level = jnp.clip(ac_level, -2047, 2047)
     ac_level = ac_level.at[..., 0, 0].set(0)
     # dequant (what the decoder reconstructs)
-    odd = qscale & 1
+    even = 1 - (qscale & 1)
     deq = jnp.where(
         ac_level != 0,
         jnp.sign(ac_level) * (qscale * (2 * jnp.abs(ac_level) + 1)
-                              - (0 if odd else 1)),
+                              - even),
         0).astype(jnp.float32)
     deq = deq.at[..., 0, 0].set(dc_level.astype(jnp.float32) * dc_scale)
     recon = _idct_spec(deq)
     return dc_level, ac_level, recon
 
 
-def _quant_inter(coeffs, qscale: int):
-    """H.263-style inter quant with dead zone."""
+def _quant_inter(coeffs, qscale):
+    """H.263-style inter quant with dead zone (qscale traced)."""
+    qscale = jnp.asarray(qscale, jnp.int32)
     mag = jnp.trunc((jnp.abs(coeffs) - qscale / 2.0) / (2.0 * qscale))
     level = (jnp.sign(coeffs) * jnp.maximum(mag, 0.0)).astype(jnp.int32)
     level = jnp.clip(level, -2047, 2047)
-    odd = qscale & 1
+    even = 1 - (qscale & 1)
     deq = jnp.where(
         level != 0,
         jnp.sign(level) * (qscale * (2 * jnp.abs(level) + 1)
-                           - (0 if odd else 1)),
+                           - even),
         0).astype(jnp.float32)
     recon = _idct_spec(deq)
     return level, recon
 
 
-@functools.partial(jax.jit, static_argnames=("qscale",))
-def _encode_i_device(y, u, v, qscale: int):
+@jax.jit
+def _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma):
     """I-VOP device pass over one frame's planes.
 
     Returns per-plane (dc_levels [bh,bw], ac_zz [nblk,64], recon plane).
@@ -108,9 +113,10 @@ def _encode_i_device(y, u, v, qscale: int):
         h, w = p.shape
         blocks = dct8x8.to_blocks(p)
         coeffs = _fdct_spec(blocks)
-        dcs = T.dc_scaler(qscale, chroma)
+        dcs = dcs_chroma if chroma else dcs_luma
         dc, ac, recon = _quant_intra(coeffs, qscale, dcs)
-        zz = ac.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+        zz = ac.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
+            .astype(jnp.int16)
         out[name] = (
             dc.reshape(h // 8, w // 8),
             zz,
@@ -119,8 +125,8 @@ def _encode_i_device(y, u, v, qscale: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("qscale", "search_range"))
-def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale: int,
+@functools.partial(jax.jit, static_argnames=("search_range",))
+def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
                      search_range: int = 8):
     """P-VOP device pass: even-integer-pel ME on luma, chroma MVs = mv/2,
     residual transform coding, in-loop recon."""
@@ -148,7 +154,8 @@ def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale: int,
         resid = p - pred
         coeffs = _fdct_spec(dct8x8.to_blocks(resid))
         level, rec_res = _quant_inter(coeffs, qscale)
-        zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+        zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
+            .astype(jnp.int16)
         recon = jnp.clip(pred + dct8x8.from_blocks(rec_res, h, w), 0, 255)
         out[name] = (zz, recon)
     return out
@@ -438,7 +445,9 @@ class Mpeg4Encoder(Encoder):
 
     def _encode_i(self, bw: BitWriter, y, u, v, q: int) -> None:
         dev = _encode_i_device(jnp.asarray(y), jnp.asarray(u),
-                               jnp.asarray(v), q)
+                               jnp.asarray(v), jnp.int32(q),
+                               jnp.int32(T.dc_scaler(q, False)),
+                               jnp.int32(T.dc_scaler(q, True)))
         dc_y, zz_y, rec_y = dev["y"]
         dc_u, zz_u, rec_u = dev["u"]
         dc_v, zz_v, rec_v = dev["v"]
@@ -490,7 +499,7 @@ class Mpeg4Encoder(Encoder):
     def _encode_p(self, bw: BitWriter, y, u, v, q: int) -> None:
         ry, ru, rv = self._ref
         dev = _encode_p_device(jnp.asarray(y), jnp.asarray(u),
-                               jnp.asarray(v), ry, ru, rv, q,
+                               jnp.asarray(v), ry, ru, rv, jnp.int32(q),
                                self.opts["search_range"])
         mv = np.asarray(dev["mv"])                 # [bh, bw, 2] (dy, dx)
         zz_y, rec_y = dev["y"]
@@ -558,8 +567,10 @@ class Mpeg4Encoder(Encoder):
         A = A or (0, 0)
         B = B or (0, 0)
         C = C or (0, 0)
-        px = int(np.median([A[0], B[0], C[0]]))
-        py = int(np.median([A[1], B[1], C[1]]))
+        px = A[0] + B[0] + C[0] - max(A[0], B[0], C[0]) \
+            - min(A[0], B[0], C[0])
+        py = A[1] + B[1] + C[1] - max(A[1], B[1], C[1]) \
+            - min(A[1], B[1], C[1])
         return px, py
 
     def flush(self):
