@@ -69,8 +69,29 @@ class Filter(OptionedObject):
     INPUTS: Sequence[PadDesc] = (PadDesc("default", "video"),)
     OUTPUTS: Sequence[PadDesc] = (PadDesc("default", "video"),)
     PURE = False
+    #: True when the filter can change the pixel/sample format between
+    #: input and output (scale/format/aformat/aresample) — negotiation
+    #: groups end at converters (avfiltergraph.c two-phase analog)
+    CONVERTS = False
+    #: True for N-input filters whose inputs the graph aligns by pts
+    #: before delivery (framesync.c analog); such filters implement
+    #: filter_frames(frames) instead of per-pad filter_frame
+    FRAMESYNC = False
     #: declared order of positional (shorthand) options
     OPT_ORDER: Sequence[str] = ()
+
+    def in_formats(self, pad: int = 0):
+        """Supported input pixel/sample formats (None = unconstrained)."""
+        return None
+
+    def out_formats(self, pad: int = 0):
+        """Producible output formats. None means: same as input for
+        non-converting filters, unconstrained for converters."""
+        return None
+
+    def filter_frames(self, frames: list):
+        """FRAMESYNC delivery: one pts-aligned frame per input pad."""
+        raise NotImplementedError
 
     def __init__(self, args: str = "", **kwargs):
         from librempeg_tpu.core.options import apply_positional, parse_opt_string

@@ -47,6 +47,7 @@ def _ssim_plane(a, b):
 
 
 class _TwoInput(Filter):
+    FRAMESYNC = True
     INPUTS = (PadDesc("main", "video"), PadDesc("reference", "video"))
 
     def configure(self, in_props):
@@ -62,6 +63,11 @@ class _TwoInput(Filter):
             return []
         main, ref = self._pending
         self._pending = [None, None]
+        self._compare(main, ref)
+        return [(0, main)]
+
+    def filter_frames(self, frames):
+        main, ref = frames[0], frames[1]
         self._compare(main, ref)
         return [(0, main)]
 

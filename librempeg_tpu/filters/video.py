@@ -40,6 +40,7 @@ class ScaleFilter(Filter):
     NAME = "scale"
     DESCRIPTION = "Scale the input video size and/or convert pixel format."
     PURE = True
+    CONVERTS = True
     OPT_ORDER = ("width", "height")
     OPTIONS = OptionTable(
         Option("width", str, "0", alias="w"),
@@ -69,6 +70,8 @@ class ScaleFilter(Filter):
         out.width, out.height = w, h
         if self.opts["format"]:
             out.pix_fmt = self.opts["format"]
+        elif getattr(self, "_forced_format", ""):
+            out.pix_fmt = self._forced_format
         self.out_props = [out]
         return self.out_props
 
@@ -88,6 +91,12 @@ class FormatFilter(Filter):
     NAME = "format"
     DESCRIPTION = "Convert the input video to one of the specified formats."
     PURE = True
+    CONVERTS = True
+
+    def out_formats(self, pad: int = 0):
+        fmts = [f for f in self.opts["pix_fmts"].replace("|", ":").split(":")
+                if f]
+        return tuple(fmts) or None
     OPT_ORDER = ("pix_fmts",)
     OPTIONS = OptionTable(Option("pix_fmts", str, ""))
 
@@ -100,6 +109,33 @@ class FormatFilter(Filter):
             raise InvalidData("format: no pix_fmts given")
         if out.pix_fmt not in fmts:
             out.pix_fmt = fmts[0]
+        self._target = out.pix_fmt
+        self.out_props = [out]
+        return self.out_props
+
+    def filter_frame(self, frame: VideoFrame, pad=0):
+        if frame.format == self._target:
+            return [(0, frame)]
+        s = get_scaler(frame.format, frame.width, frame.height,
+                       self._target, frame.width, frame.height)
+        return [(0, s.scale_frame(frame))]
+
+
+@register_filter
+class AutoFormatFilter(Filter):
+    """Converter the negotiator auto-inserts on a conflicted link: emits
+    the link's negotiated format (avfiltergraph.c auto-scale analog)."""
+
+    NAME = "autoformat"
+    DESCRIPTION = "Convert to the negotiated pixel format (auto-inserted)."
+    PURE = True
+    CONVERTS = True
+
+    def configure(self, in_props):
+        self.in_props = in_props
+        out = in_props[0].copy()
+        if getattr(self, "_forced_format", ""):
+            out.pix_fmt = self._forced_format
         self._target = out.pix_fmt
         self.out_props = [out]
         return self.out_props
@@ -407,6 +443,13 @@ class OverlayFilter(Filter):
     NAME = "overlay"
     DESCRIPTION = "Overlay a video on top of the input."
     INPUTS = (PadDesc("main", "video"), PadDesc("overlay", "video"))
+    FRAMESYNC = True
+    #: planar formats the blend operates in (negotiation converts rgb
+    #: etc. upstream automatically — avfiltergraph auto-insert analog)
+    _FORMATS = ("yuv420p", "yuvj420p", "yuv422p", "yuv444p", "gray")
+
+    def in_formats(self, pad: int = 0):
+        return self._FORMATS
     OPT_ORDER = ("x", "y")
     OPTIONS = OptionTable(
         Option("x", str, "0"),
@@ -435,6 +478,9 @@ class OverlayFilter(Filter):
         main, over = self._pending[0], self._pending[1]
         self._pending[0] = None  # keep overlay frame for repeated use
         return [(0, self._blend(main, over))]
+
+    def filter_frames(self, frames):
+        return [(0, self._blend(frames[0], frames[1]))]
 
     def _blend(self, main: VideoFrame, over: VideoFrame) -> VideoFrame:
         # operate in main's format; convert overlay if needed
