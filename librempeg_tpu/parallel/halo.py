@@ -56,3 +56,16 @@ def row_sharded_stencil(fn: Callable[[jax.Array], jax.Array], halo: int,
 def vblur3(xh: jax.Array) -> jax.Array:
     """Example 3-tap vertical stencil ([.., R+2, W] -> [.., R, W])."""
     return (xh[..., :-2, :] + 2.0 * xh[..., 1:-1, :] + xh[..., 2:, :]) * 0.25
+
+
+def vfir6_halfpel(xh: jax.Array) -> jax.Array:
+    """H.264 §8.4.2.2 vertical half-pel 6-tap [1,-5,20,20,-5,1] with
+    (+16)>>5 rounding — the real production kernel whose taps cross row
+    shards (the vscale-synchronization case). [.., R+6, W] -> [.., R, W]
+    computing the half-pel sample between each row r and r+1.
+
+    Integer-exact: run on int32 inputs to match the host decoder's
+    native half-pel planes bit for bit."""
+    v = (xh[..., 0:-5, :] - 5 * xh[..., 1:-4, :] + 20 * xh[..., 2:-3, :]
+         + 20 * xh[..., 3:-2, :] - 5 * xh[..., 4:-1, :] + xh[..., 5:, :])
+    return jnp.clip((v + 16) >> 5, 0, 255)

@@ -132,21 +132,68 @@ def transcode_step(y: jax.Array, u: jax.Array, v: jax.Array,
 
 def make_sharded_step(mesh: Mesh, dst_h: int, dst_w: int,
                       qscale: float = 4.0):
-    """Multi-chip transcode step: batch sharded over 'data'; adds a
-    row-sharded deblock-style smoothing pass over 'spatial' with halo
-    exchange (slice-threading analog with real ICI communication)."""
-    from librempeg_tpu.parallel.halo import row_sharded_stencil, vblur3
+    """Multi-chip transcode step: batch sharded over 'data' (DP), plus a
+    row-sharded PRODUCTION stencil over 'spatial' with halo exchange
+    (TP, the slice-threading analog): the H.264/half-pel vertical 6-tap
+    interpolation of the reconstructed luma — the plane the next frame's
+    sub-pel motion search reads (recon.qpel_planes h-plane)."""
+    from librempeg_tpu.parallel.halo import (row_sharded_stencil,
+                                             vfir6_halfpel)
 
     batch_sh = NamedSharding(mesh, P("data", None, None))
-    deblock = row_sharded_stencil(vblur3, halo=1, mesh=mesh)
+    # asymmetric taps: half-pel between rows r,r+1 reads r-2..r+3, so
+    # with a symmetric 3-row halo the filter consumes xh[1:]
+    halfpel = row_sharded_stencil(lambda xh: vfir6_halfpel(xh[..., 1:, :]),
+                                  halo=3, mesh=mesh)
 
     def step(y, u, v, ref_y):
         out = transcode_step(y, u, v, ref_y, dst_h=dst_h, dst_w=dst_w,
                              qscale=qscale)
-        out["y"] = deblock(out["y"])
+        # integer-exact sub-pel plane of the recon (TP across rows)
+        out["y_halfpel"] = halfpel(
+            out["y"].astype(jnp.int32)).astype(jnp.uint8)
         return out
 
     return jax.jit(
         step,
         in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh),
     )
+
+
+def mpeg4_stage_fns(src_h: int, src_w: int, dst_h: int, dst_w: int,
+                    qscale: float = 4.0, n_stages: int = 2):
+    """The real mpeg4-encoder device stages as ring-pipeline stage fns
+    ([N, src_h, src_w] luma batches): scale (GEMM resize) then intra
+    transform coding with in-loop recon. Extra stages (pipeline depth >
+    2) append the half-pel interpolation of the recon."""
+    mv = jnp.asarray(resize_matrix(src_h, dst_h, "bicubic"))
+    mh = jnp.asarray(resize_matrix(src_w, dst_w, "bicubic"))
+
+    def scale_stage(x):
+        x = jnp.einsum("hk,nkw->nhw", mv, x,
+                       precision=jax.lax.Precision.HIGHEST)
+        x = jnp.einsum("nhk,wk->nhw", x, mh,
+                       precision=jax.lax.Precision.HIGHEST)
+        # keep stage I/O shape-stable for the ring: pad back to src dims
+        return jnp.pad(jnp.clip(x, 0.0, 255.0),
+                       ((0, 0), (0, src_h - dst_h), (0, src_w - dst_w)))
+
+    def code_stage(x):
+        sub = x[:, :dst_h, :dst_w]
+        rec = encode_intra_like(sub, qscale)["recon"]
+        return jnp.pad(rec, ((0, 0), (0, src_h - dst_h),
+                             (0, src_w - dst_w)))
+
+    def halfpel_stage(x):
+        from librempeg_tpu.parallel.halo import vfir6_halfpel
+
+        sub = x[:, :dst_h, :dst_w].astype(jnp.int32)
+        pad = jnp.pad(sub, ((0, 0), (2, 3), (0, 0)), mode="edge")
+        hp = vfir6_halfpel(pad).astype(jnp.float32)
+        return jnp.pad(hp, ((0, 0), (0, src_h - dst_h),
+                            (0, src_w - dst_w)))
+
+    stages = [scale_stage, code_stage, halfpel_stage]
+    while len(stages) < n_stages:
+        stages.append(lambda x: x)
+    return stages[:max(2, n_stages)]
