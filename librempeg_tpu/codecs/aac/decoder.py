@@ -316,6 +316,22 @@ class AacFrameDecoder:
                    T.TNS_MAX_BANDS_128[rate_idx])
         return self._raw_data_block(br, swb, swb128, tns_max)
 
+    def decode_raw(self, data: bytes, rate_idx: int, channels: int):
+        """Raw AAC frame (mp4/flv payload: no ADTS header; config comes
+        from the AudioSpecificConfig extradata)."""
+        self.rate = T.SAMPLE_RATES[rate_idx]
+        self.channels = channels
+        br = BitReaderMSB(data)
+        swb = list(T.SWB_OFFSET_1024[rate_idx])
+        if swb[-1] != FRAME:
+            swb = swb + [FRAME]
+        swb128 = list(T.SWB_OFFSET_128[rate_idx])
+        if swb128[-1] != 128:
+            swb128 = swb128 + [128]
+        tns_max = (T.TNS_MAX_BANDS_1024[rate_idx],
+                   T.TNS_MAX_BANDS_128[rate_idx])
+        return self._raw_data_block(br, swb, swb128, tns_max)
+
     def _raw_data_block(self, br: BitReaderMSB, swb, swb128, tns_max):
         specs = []                  # (spec, seq, shape)
 
@@ -475,10 +491,26 @@ class AacDecoder(Decoder):
     def __init__(self, params=None, **opts):
         self._dec = AacFrameDecoder()
         self._pts = 0
+        self._asc = None          # (rate_idx, channels) from extradata
         super().__init__(params, **opts)
 
+    def configure(self, params):
+        asc = bytes(params.extradata or b"")
+        if len(asc) >= 2:
+            obj = asc[0] >> 3
+            rate_idx = ((asc[0] & 7) << 1) | (asc[1] >> 7)
+            channels = (asc[1] >> 3) & 15
+            if obj in (1, 2) and rate_idx < 13:
+                self._asc = (rate_idx, channels or params.nb_channels or 2)
+
     def decode(self, pkt: Packet):
-        pcm = self._dec.decode_adts(bytes(pkt.data))
+        data = bytes(pkt.data)
+        if self._asc is not None and not (
+                len(data) >= 2 and data[0] == 0xFF
+                and (data[1] & 0xF0) == 0xF0):
+            pcm = self._dec.decode_raw(data, *self._asc)
+        else:
+            pcm = self._dec.decode_adts(data)
         f = AudioFrame(
             data=pcm, sample_rate=self._dec.rate, sample_fmt="fltp",
             layout=ChannelLayout.default(pcm.shape[0]),

@@ -176,3 +176,39 @@ class H264Mp4ToAnnexbBsf(BitstreamFilter):
                 data = self._ps + data
             self._sent_ps = True
         return [pkt.replace(data=data)]
+
+
+@register_bsf
+class ExtractExtradataBsf(BitstreamFilter):
+    """Extract SPS/PPS from in-band H.264 annex-B packets into packet
+    side data / filter-level extradata (bsf/extract_extradata.c analog);
+    with remove=1 the parameter sets are stripped from the packet."""
+
+    NAME = "extract_extradata"
+    OPTIONS = OptionTable(
+        Option("remove", int, 0, min=0, max=1,
+               help="strip parameter sets from the packets"),
+    )
+
+    def __init__(self, args: str = "", **kw):
+        super().__init__(args, **kw)
+        self.extradata = b""
+
+    def filter(self, pkt: Packet) -> list[Packet]:
+        from librempeg_tpu.codecs.h264.parse import split_annexb
+
+        data = bytes(pkt.data)
+        ps, rest = [], []
+        for nal in split_annexb(data):
+            if nal and (nal[0] & 0x1F) in (7, 8):
+                ps.append(nal)
+            else:
+                rest.append(nal)
+        if ps:
+            extra = b"".join(b"\x00\x00\x00\x01" + n for n in ps)
+            self.extradata = extra
+            pkt.side_data["new_extradata"] = extra
+            if self.opts["remove"]:
+                pkt = pkt.replace(data=b"".join(
+                    b"\x00\x00\x00\x01" + n for n in rest))
+        return [pkt]

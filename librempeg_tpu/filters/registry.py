@@ -9,4 +9,5 @@ from librempeg_tpu.filters import (  # noqa: F401
     misc,
     misc2,
     biquads,
+    video3,
 )

@@ -28,6 +28,7 @@ _MODULES = (
     "librempeg_tpu.formats.srt",
     "librempeg_tpu.formats.gif",
     "librempeg_tpu.formats.mp3",
+    "librempeg_tpu.formats.flv",
     # protocols with import-time registration
     "librempeg_tpu.formats.http",
 )
