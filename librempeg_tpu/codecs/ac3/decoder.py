@@ -1,0 +1,677 @@
+"""AC-3 (ATSC A/52) decoder: syncframe parse, exponent/bit-allocation,
+coupling, rematrixing, 512-point IMDCT with KBD(5.0) window.
+
+Behavioral reference (not a translation): ISO A/52 §5-7 as realized in
+/root/reference/libavcodec/ac3dec.c / ac3.c / ac3dsp.c; the spec
+constant tables live in tables_data.py (tools/extract_ac3_tables.py).
+Entropy/bit-allocation is host work; the per-block spectra are
+reconstructed as arrays and the IMDCT bank runs through ops/tx (the
+same device transform the AAC decoder uses).
+
+Scope: plain AC-3 (bsid <= 8), all acmods + LFE, channel coupling with
+phase flags, rematrixing, delta bit allocation, long transforms (the
+reference encoder never emits block switching; blksw frames decode via
+the even/odd split). Dither reconstruction for bap-0 mantissas is
+zero-substitution (decoder-side random noise in the reference), so
+comparisons against the reference are SNR-gated rather than bit-exact.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from librempeg_tpu.codecs.ac3 import tables_data as T
+from librempeg_tpu.codecs.api import CodecInfo, Decoder, register_decoder
+from librempeg_tpu.codecs.flac.bitio import BitReaderMSB
+from librempeg_tpu.core.errors import InvalidData, Unsupported
+from librempeg_tpu.core.frame import AudioFrame
+from librempeg_tpu.core.packet import Packet
+from librempeg_tpu.core.rational import NOPTS, Rational
+from librempeg_tpu.core.samplefmt import ChannelLayout
+
+SAMPLE_RATES = (48000, 44100, 32000)
+CHANNELS_PER_MODE = (2, 1, 2, 3, 3, 4, 4, 5)
+# AC-3 native order (L[,C],R,surrounds) -> canonical FL,FR,FC,rears order
+FBW_REORDER = {0: [0, 1], 1: [0], 2: [0, 1], 3: [0, 2, 1],
+               4: [0, 1, 2], 5: [0, 2, 1, 3], 6: [0, 1, 2, 3],
+               7: [0, 2, 1, 3, 4]}
+# LFE inserts after the front channels (FL,FR[,FC]) like the reference
+FRONTS = (2, 1, 2, 3, 2, 3, 2, 3)
+REMATRIX_BANDS = (13, 25, 37, 61, 253)
+QUANT_BITS = (0, 3, 5, 7, 11, 15, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16)
+LEVELS = (0, 3, 7, 15, 31)          # bap 1..4 (bap3 7-level direct)
+
+_UNGROUP3 = np.array([[i // 9, (i % 9) // 3, i % 3] for i in range(27)])
+_UNGROUP5 = np.array([[i // 25, (i % 25) // 5, i % 5] for i in range(128)])
+_UNGROUP11 = np.array([[i // 11, i % 11] for i in range(121)])
+
+
+def _sym(code: int, levels: int) -> float:
+    return (code - (levels >> 1)) / levels
+
+
+class BlockState:
+    """Per-stream state that persists across the 6 audio blocks and
+    across frames (exponents, bit-alloc products, delay buffers)."""
+
+    def __init__(self):
+        self.dexps = {}              # ch -> int8[256]
+        self.bap = {}
+        self.psd = {}
+        self.band_psd = {}
+        self.mask = {}
+        self.delay = {}              # ch -> float[256] overlap
+        self.end_freq = {}
+        self.start_freq = {}
+
+
+# ops/tx.imdct + the /2 overlap convention differ from the reference's
+# imdct_half + 2^-22 output gain by exactly this constant (calibrated:
+# correlation -0.9999998 at gain -512 vs the reference decoder)
+OUTPUT_GAIN = -512.0
+
+
+class Ac3FrameDecoder:
+    def __init__(self):
+        self.st = BlockState()
+        self._window = None
+
+    # ------------------------------------------------------------------
+    def decode_frame(self, data: bytes):
+        if len(data) < 7 or data[0] != 0x0B or data[1] != 0x77:
+            raise InvalidData("ac3: bad sync word")
+        br = BitReaderMSB(data)
+        br.read(16)                              # sync
+        br.read(16)                              # crc1
+        fscod = br.read(2)
+        frmsizecod = br.read(6)
+        if fscod == 3 or frmsizecod > 37:
+            raise InvalidData("ac3: bad fscod/frmsizecod")
+        self.sample_rate = SAMPLE_RATES[fscod]
+        self.sr_code = fscod
+        self.sr_shift = 0                        # bsid > 8 would shift
+        bsid = br.read(5)
+        if bsid > 8:
+            raise Unsupported(f"ac3: bsid {bsid} (E-AC-3 not supported)")
+        br.read(3)                               # bsmod
+        acmod = br.read(3)
+        self.acmod = acmod
+        if (acmod & 1) and acmod != 1:
+            br.read(2)                           # cmixlev
+        if acmod & 4:
+            br.read(2)                           # surmixlev
+        if acmod == 2:
+            br.read(2)                           # dsurmod
+        self.lfeon = br.read(1)
+        br.read(5)                               # dialnorm
+        if br.read(1):
+            br.read(8)                           # compr
+        if br.read(1):
+            br.read(8)                           # langcod
+        if br.read(1):
+            br.read(7)                           # mixlevel + roomtyp
+        if acmod == 0:
+            br.read(5)
+            if br.read(1):
+                br.read(8)
+            if br.read(1):
+                br.read(8)
+            if br.read(1):
+                br.read(7)
+        br.read(2)                               # copyrightb, origbs
+        if br.read(1):
+            br.read(14)                          # timecod1
+        if br.read(1):
+            br.read(14)                          # timecod2
+        if br.read(1):                           # addbsie
+            n = br.read(6) + 1
+            for _ in range(n):
+                br.read(8)
+
+        self.fbw = CHANNELS_PER_MODE[acmod]
+        self.channels = self.fbw + self.lfeon
+        self.lfe_ch = self.fbw + 1 if self.lfeon else -1
+
+        # persistent bit-alloc defaults
+        self._init_frame_state()
+        out = np.zeros((self.channels, 1536), np.float64)
+        for blk in range(6):
+            pcm = self._decode_block(br, blk)
+            out[:, blk * 256:(blk + 1) * 256] = pcm
+        # reorder to the canonical channel layout
+        order = list(FBW_REORDER[self.acmod])
+        if self.lfeon:
+            order.insert(FRONTS[self.acmod], self.fbw)
+        return out[order].astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _init_frame_state(self):
+        self.cpl_in_use = False
+        self.channel_in_cpl = [0] * (self.fbw + 1)      # 1-indexed
+        self.phase_flags_in_use = 0
+        self.phase_flags = [0] * 18
+        self.cpl_coords = {}
+        self.dynrng = 1.0
+        self.exp_strategy = {}
+        self.num_exp_groups = {}
+        self.ba = {"sd": 0, "fd": 0, "sg": 0, "db": 0, "fl": 0,
+                   "cplfl": 0, "cplsl": 0}
+        self.snr_offset = {}
+        self.fast_gain = {}
+        self.dba_mode = {}
+        self.dba = {}
+        self.rematrixing_flags = [0] * 4
+        self.num_rematrixing_bands = 0
+        self.dither_flag = [1] * (self.fbw + 1)
+        self.block_switch = [0] * (self.fbw + 1)
+        self.num_cpl_bands = 0
+        self.cpl_band_sizes = []
+        self.cpl_band_struct = [0] * 18
+
+    # ------------------------------------------------------------------
+    def _decode_block(self, br: BitReaderMSB, blk: int) -> np.ndarray:
+        st = self.st
+        fbw = self.fbw
+        CPL = 0
+        for ch in range(1, fbw + 1):             # blksw
+            self.block_switch[ch] = br.read(1)
+        for ch in range(1, fbw + 1):             # dithflag
+            self.dither_flag[ch] = br.read(1)
+        for _ in range(2 if self.acmod == 0 else 1):    # dynrng
+            if br.read(1):
+                v = br.read(8)
+                e = (v >> 5) - ((v >> 7) << 3) - 5
+                self.dynrng = 2.0 ** e * ((v & 0x1F) | 0x20) / 32.0
+            elif blk == 0:
+                self.dynrng = 1.0
+
+        stages = {}                              # ch -> bit alloc stage
+
+        if br.read(1):                           # cplstre
+            for ch in range(1, fbw + 1):
+                stages[ch] = 3
+            stages[CPL] = 3
+            self.cpl_in_use = bool(br.read(1))
+            if self.cpl_in_use:
+                if self.acmod < 2:
+                    raise InvalidData("ac3: coupling in mono")
+                for ch in range(1, fbw + 1):
+                    self.channel_in_cpl[ch] = br.read(1)
+                if self.acmod == 2:
+                    self.phase_flags_in_use = br.read(1)
+                cpl_start = br.read(4)
+                cpl_end = br.read(4) + 3
+                if cpl_start >= cpl_end:
+                    raise InvalidData("ac3: bad coupling range")
+                st.start_freq[CPL] = cpl_start * 12 + 37
+                st.end_freq[CPL] = cpl_end * 12 + 37
+                # band structure
+                n_sub = cpl_end - cpl_start
+                for sb in range(n_sub - 1):
+                    self.cpl_band_struct[cpl_start + 1 + sb] = br.read(1)
+                sizes = [12]
+                for sb in range(1, n_sub):
+                    if self.cpl_band_struct[cpl_start + sb]:
+                        sizes[-1] += 12
+                    else:
+                        sizes.append(12)
+                self.cpl_band_sizes = sizes
+                self.num_cpl_bands = len(sizes)
+            else:
+                for ch in range(1, fbw + 1):
+                    self.channel_in_cpl[ch] = 0
+                self.phase_flags_in_use = 0
+        elif blk == 0:
+            raise InvalidData("ac3: coupling strategy missing in block 0")
+
+        if self.cpl_in_use:                      # coupling coordinates
+            coords_exist = False
+            for ch in range(1, fbw + 1):
+                if self.channel_in_cpl[ch]:
+                    if br.read(1):
+                        coords_exist = True
+                        master = 3 * br.read(2)
+                        coords = []
+                        for _ in range(self.num_cpl_bands):
+                            cexp = br.read(4)
+                            cmant = br.read(4)
+                            if cexp == 15:
+                                c = cmant / 16.0
+                            else:
+                                c = (cmant + 16) / 32.0 * 2.0 ** -cexp
+                            coords.append(c * 2.0 ** -master)
+                        self.cpl_coords[ch] = coords
+                    elif blk == 0:
+                        raise InvalidData("ac3: missing cpl coords")
+            if self.acmod == 2 and coords_exist:
+                for bnd in range(self.num_cpl_bands):
+                    self.phase_flags[bnd] = (br.read(1)
+                                             if self.phase_flags_in_use
+                                             else 0)
+
+        if self.acmod == 2:                      # rematrixing
+            if br.read(1):
+                nb = 4
+                if self.cpl_in_use and st.start_freq[CPL] <= 61:
+                    nb -= 1 + (st.start_freq[CPL] == 37)
+                self.num_rematrixing_bands = nb
+                for bnd in range(nb):
+                    self.rematrixing_flags[bnd] = br.read(1)
+            elif blk == 0:
+                self.num_rematrixing_bands = 0
+
+        # exponent strategies
+        chans = ([CPL] if self.cpl_in_use else []) + \
+            list(range(1, self.channels + 1))
+        for ch in chans:
+            bits = 1 if ch == self.lfe_ch else 2
+            self.exp_strategy[ch] = br.read(bits)
+            if self.exp_strategy[ch] != 0:       # != REUSE
+                stages[ch] = 3
+
+        # channel bandwidth codes
+        for ch in range(1, fbw + 1):
+            st.start_freq[ch] = 0
+            if self.exp_strategy[ch] != 0:
+                prev = st.end_freq.get(ch)
+                if self.channel_in_cpl[ch]:
+                    st.end_freq[ch] = st.start_freq[CPL]
+                else:
+                    bwcod = br.read(6)
+                    if bwcod > 60:
+                        raise InvalidData("ac3: bandwidth code > 60")
+                    st.end_freq[ch] = bwcod * 3 + 73
+                gs = 3 << (self.exp_strategy[ch] - 1)
+                self.num_exp_groups[ch] = (st.end_freq[ch] + gs - 4) // gs
+                if blk > 0 and st.end_freq[ch] != prev:
+                    for c2 in chans:
+                        stages[c2] = 3
+        if self.cpl_in_use and self.exp_strategy[CPL] != 0:
+            gs = 3 << (self.exp_strategy[CPL] - 1)
+            self.num_exp_groups[CPL] = (st.end_freq[CPL]
+                                        - st.start_freq[CPL]) // gs
+        if self.lfeon:
+            st.start_freq[self.lfe_ch] = 0
+            st.end_freq[self.lfe_ch] = 7
+            self.num_exp_groups[self.lfe_ch] = 2
+
+        # exponents
+        for ch in chans:
+            if self.exp_strategy[ch] != 0:
+                dexps = st.dexps.setdefault(ch, np.zeros(260, np.int8))
+                absexp = br.read(4) << (1 if ch == CPL else 0)
+                start = st.start_freq[ch]
+                if ch != CPL:
+                    dexps[0] = absexp
+                self._decode_exponents(
+                    br, self.exp_strategy[ch], self.num_exp_groups[ch],
+                    absexp, dexps, start + (0 if ch == CPL else 1))
+                if ch != CPL and ch != self.lfe_ch:
+                    br.read(2)                   # gainrng
+
+        # bit allocation info
+        if br.read(1):
+            self.ba["sd"] = T.SLOW_DECAY_TAB[br.read(2)] >> self.sr_shift
+            self.ba["fd"] = T.FAST_DECAY_TAB[br.read(2)] >> self.sr_shift
+            self.ba["sg"] = T.SLOW_GAIN_TAB[br.read(2)]
+            self.ba["db"] = T.DB_PER_BIT_TAB[br.read(2)]
+            self.ba["fl"] = T.FLOOR_TAB[br.read(3)]
+            for ch in chans:
+                stages[ch] = max(stages.get(ch, 0), 2)
+        elif blk == 0:
+            raise InvalidData("ac3: missing bit alloc info in block 0")
+
+        if br.read(1):                           # snroffste
+            csnr = (br.read(6) - 15) << 4
+            for ch in chans:
+                snr = (csnr + br.read(4)) << 2
+                if blk and self.snr_offset.get(ch) != snr:
+                    stages[ch] = max(stages.get(ch, 0), 1)
+                self.snr_offset[ch] = snr
+                prev = self.fast_gain.get(ch)
+                self.fast_gain[ch] = T.FAST_GAIN_TAB[br.read(3)]
+                if blk and prev != self.fast_gain[ch]:
+                    stages[ch] = max(stages.get(ch, 0), 2)
+        elif blk == 0:
+            raise InvalidData("ac3: missing snr offsets in block 0")
+
+        if self.cpl_in_use:                      # coupling leak
+            if br.read(1):
+                fl = br.read(3)
+                sl = br.read(3)
+                if blk and (fl != self.ba["cplfl"]
+                            or sl != self.ba["cplsl"]):
+                    stages[CPL] = max(stages.get(CPL, 0), 2)
+                self.ba["cplfl"] = fl
+                self.ba["cplsl"] = sl
+            elif blk == 0:
+                raise InvalidData("ac3: missing coupling leak info")
+
+        if br.read(1):                           # deltbaie
+            for ch in chans:
+                if ch == self.lfe_ch:
+                    continue
+                self.dba_mode[ch] = br.read(2)
+                if self.dba_mode[ch] == 3:
+                    raise InvalidData("ac3: reserved dba strategy")
+                stages[ch] = max(stages.get(ch, 0), 2)
+            for ch in chans:
+                if ch == self.lfe_ch:
+                    continue
+                if self.dba_mode[ch] == 2:       # NEW
+                    nseg = br.read(3) + 1
+                    segs = []
+                    for _ in range(nseg):
+                        segs.append((br.read(5), br.read(4), br.read(3)))
+                    self.dba[ch] = segs
+        elif blk == 0:
+            for ch in chans:
+                self.dba_mode[ch] = 0
+
+        # bit allocation computation
+        for ch in chans:
+            stage = stages.get(ch, 0)
+            if stage > 2:
+                self._calc_psd(ch)
+            if stage > 1:
+                self._calc_mask(ch)
+            if stage > 0:
+                self._calc_bap(ch)
+
+        if br.read(1):                           # skiple
+            skipl = br.read(9)
+            for _ in range(skipl):
+                br.read(8)
+
+        # mantissas
+        coeffs = np.zeros((self.channels + 1, 256), np.float64)
+        m = {"b1": [], "b2": [], "b4": []}
+        got_cpl = False
+        for ch in range(1, self.channels + 1):
+            self._decode_mantissas(br, ch, coeffs[ch], m)
+            if ch <= fbw and self.channel_in_cpl[ch]:
+                if not got_cpl:
+                    cplc = np.zeros(256, np.float64)
+                    self._decode_mantissas(br, CPL, cplc, m)
+                    got_cpl = True
+                # uncouple
+                bin0 = st.start_freq[CPL]
+                for bnd, size in enumerate(self.cpl_band_sizes):
+                    co = self.cpl_coords.get(ch, [0] * 18)[bnd] * 8.0
+                    coeffs[ch][bin0:bin0 + size] = \
+                        cplc[bin0:bin0 + size] * co
+                    if ch == 2 and self.phase_flags[bnd]:
+                        coeffs[ch][bin0:bin0 + size] *= -1.0
+                    bin0 += size
+                # zero bap-0 coupled bins for non-dithered channels
+                if not self.dither_flag[ch]:
+                    bap = st.bap[CPL]
+                    sl = slice(st.start_freq[CPL], st.end_freq[CPL])
+                    coeffs[ch][sl][bap[sl] == 0] = 0.0
+
+        # rematrixing
+        if self.acmod == 2:
+            end = min(st.end_freq[1], st.end_freq[2])
+            for bnd in range(self.num_rematrixing_bands):
+                if self.rematrixing_flags[bnd]:
+                    b0 = REMATRIX_BANDS[bnd]
+                    b1 = min(end, REMATRIX_BANDS[bnd + 1])
+                    t0 = coeffs[1][b0:b1].copy()
+                    coeffs[1][b0:b1] = t0 + coeffs[2][b0:b1]
+                    coeffs[2][b0:b1] = t0 - coeffs[2][b0:b1]
+
+        # IMDCT + window + overlap-add
+        return self._imdct_blocks(coeffs)
+
+    # ------------------------------------------------------------------
+    def _decode_exponents(self, br, strat, ngrps, absexp, dexps, j):
+        gsize = strat + (1 if strat == 3 else 0)
+        prev = absexp
+        for _ in range(ngrps):
+            expacc = br.read(7)
+            if expacc >= 125:
+                raise InvalidData("ac3: expacc out of range")
+            for d in _UNGROUP5[expacc]:
+                prev += int(d) - 2
+                if not 0 <= prev <= 24:
+                    raise InvalidData("ac3: exponent out of range")
+                for _ in range(gsize):
+                    dexps[j] = prev
+                    j += 1
+
+    def _calc_psd(self, ch):
+        st = self.st
+        start, end = st.start_freq[ch], st.end_freq[ch]
+        dexps = st.dexps[ch]
+        psd = st.psd.setdefault(ch, np.zeros(256, np.int32))
+        band_psd = st.band_psd.setdefault(ch, np.zeros(50, np.int32))
+        psd[start:end] = 3072 - (dexps[start:end].astype(np.int32) << 7)
+        b = start
+        band = T.BIN_TO_BAND_TAB[start]
+        while True:
+            v = int(psd[b])
+            b += 1
+            band_end = min(T.BAND_START_TAB[band + 1], end)
+            while b < band_end:
+                mx = max(v, int(psd[b]))
+                adr = min(mx - ((v + int(psd[b]) + 1) >> 1), 255)
+                v = mx + T.LOG_ADD_TAB[adr]
+                b += 1
+            band_psd[band] = v
+            band += 1
+            if end <= T.BAND_START_TAB[band]:
+                break
+
+    def _calc_mask(self, ch):
+        st = self.st
+        start, end = st.start_freq[ch], st.end_freq[ch]
+        bp = st.band_psd[ch]
+        mask = st.mask.setdefault(ch, np.zeros(50, np.int32))
+        excite = np.zeros(50, np.int32)
+        bs = T.BIN_TO_BAND_TAB[start]
+        be = T.BIN_TO_BAND_TAB[end - 1] + 1
+        fg = self.fast_gain[ch]
+        sd, fd, sg, db = (self.ba["sd"], self.ba["fd"], self.ba["sg"],
+                          self.ba["db"])
+        is_lfe = ch == self.lfe_ch
+
+        def lowcomp1(a, b0, b1, c):
+            if b0 + 256 == b1:
+                return c
+            if b0 > b1:
+                return max(a - 64, 0)
+            return a
+
+        def lowcomp(a, b0, b1, binn):
+            if binn < 7:
+                return lowcomp1(a, b0, b1, 384)
+            if binn < 20:
+                return lowcomp1(a, b0, b1, 320)
+            return max(a - 128, 0)
+
+        if bs == 0:
+            lc = lowcomp1(0, bp[0], bp[1], 384)
+            excite[0] = bp[0] - fg - lc
+            lc = lowcomp1(lc, bp[1], bp[2], 384)
+            excite[1] = bp[1] - fg - lc
+            begin = 7
+            fastleak = slowleak = 0
+            for band in range(2, 7):
+                if not (is_lfe and band == 6):
+                    lc = lowcomp1(lc, bp[band], bp[band + 1], 384)
+                fastleak = int(bp[band]) - fg
+                slowleak = int(bp[band]) - sg
+                excite[band] = fastleak - lc
+                if not (is_lfe and band == 6):
+                    if bp[band] <= bp[band + 1]:
+                        begin = band + 1
+                        break
+            for band in range(begin, min(be, 22)):
+                if not (is_lfe and band == 6):
+                    lc = lowcomp(lc, bp[band], bp[band + 1], band)
+                fastleak = max(fastleak - fd, int(bp[band]) - fg)
+                slowleak = max(slowleak - sd, int(bp[band]) - sg)
+                excite[band] = max(fastleak - lc, slowleak)
+            begin = 22
+        else:
+            begin = bs
+            fastleak = (self.ba["cplfl"] << 8) + 768
+            slowleak = (self.ba["cplsl"] << 8) + 768
+
+        for band in range(begin, be):
+            fastleak = max(fastleak - fd, int(bp[band]) - fg)
+            slowleak = max(slowleak - sd, int(bp[band]) - sg)
+            excite[band] = max(fastleak, slowleak)
+
+        for band in range(bs, be):
+            tmp = db - int(bp[band])
+            if tmp > 0:
+                excite[band] += tmp >> 2
+            hth = T.HEARING_THRESHOLD_TAB[band >> self.sr_shift][
+                self.sr_code]
+            mask[band] = max(hth, int(excite[band]))
+
+        if self.dba_mode.get(ch, 0) in (1, 2) and ch in self.dba:
+            band = bs
+            for off, length, val in self.dba[ch]:
+                band += off
+                delta = (val - 3) * 128 if val >= 4 else (val - 4) * 128
+                for _ in range(length):
+                    if band >= 50:
+                        raise InvalidData("ac3: dba band overflow")
+                    mask[band] += delta
+                    band += 1
+
+    def _calc_bap(self, ch):
+        st = self.st
+        start, end = st.start_freq[ch], st.end_freq[ch]
+        snr = self.snr_offset[ch]
+        floor = self.ba["fl"]
+        bap = st.bap.setdefault(ch, np.zeros(256, np.uint8))
+        if snr == -960:
+            bap[:] = 0
+            return
+        psd = st.psd[ch]
+        mask = st.mask[ch]
+        b = start
+        band = T.BIN_TO_BAND_TAB[start]
+        while True:
+            mval = (max(int(mask[band]) - snr - floor, 0) & 0x1FE0) + floor
+            band += 1
+            band_end = min(T.BAND_START_TAB[band], end)
+            while b < band_end:
+                addr = min(max((int(psd[b]) - mval) >> 5, 0), 63)
+                bap[b] = T.BAP_TAB[addr]
+                b += 1
+            if end <= band_end:
+                break
+
+    def _decode_mantissas(self, br, ch, out, m):
+        st = self.st
+        start, end = st.start_freq[ch], st.end_freq[ch]
+        bap = st.bap[ch]
+        exps = st.dexps[ch]
+        for f in range(start, end):
+            b = int(bap[f])
+            if b == 0:
+                mant = 0.0                       # dither omitted
+            elif b == 1:
+                if m["b1"]:
+                    mant = m["b1"].pop()
+                else:
+                    g = _UNGROUP3[br.read(5)]
+                    mant = _sym(int(g[0]), 3)
+                    m["b1"] = [_sym(int(g[2]), 3), _sym(int(g[1]), 3)]
+            elif b == 2:
+                if m["b2"]:
+                    mant = m["b2"].pop()
+                else:
+                    g = _UNGROUP5[br.read(7)]
+                    mant = _sym(int(g[0]), 5)
+                    m["b2"] = [_sym(int(g[2]), 5), _sym(int(g[1]), 5)]
+            elif b == 3:
+                mant = _sym(br.read(3), 7)
+            elif b == 4:
+                if m["b4"]:
+                    mant = m["b4"].pop()
+                else:
+                    g = _UNGROUP11[br.read(7)]
+                    mant = _sym(int(g[0]), 11)
+                    m["b4"] = [_sym(int(g[1]), 11)]
+            elif b == 5:
+                mant = _sym(br.read(4), 15)
+            else:
+                qb = QUANT_BITS[b]
+                v = br.read(qb)
+                if v >= 1 << (qb - 1):
+                    v -= 1 << qb
+                mant = v / (1 << qb) * 2.0
+            out[f] = mant * 2.0 ** (-int(exps[f]))
+
+    # ------------------------------------------------------------------
+    def _imdct_blocks(self, coeffs) -> np.ndarray:
+        from librempeg_tpu.ops import tx
+        import jax.numpy as jnp
+
+        if self._window is None:
+            w = tx.kbd_window(256, 5.0)
+            self._window = np.concatenate([w, w[::-1]])
+        out = np.zeros((self.channels, 256), np.float64)
+        for ch in range(1, self.channels + 1):
+            spec = coeffs[ch] * self.dynrng
+            if ch <= self.fbw and self.block_switch[ch]:
+                # blksw: two 128-coefficient transforms (even/odd)
+                t1 = np.asarray(tx.imdct(jnp.asarray(
+                    spec[0::2][None], jnp.float32)))[0].astype(np.float64)
+                t2 = np.asarray(tx.imdct(jnp.asarray(
+                    spec[1::2][None], jnp.float32)))[0].astype(np.float64)
+                seg = np.concatenate([t1, t2]) * \
+                    np.concatenate([self._window[:256], self._window[256:]])
+            else:
+                t = np.asarray(tx.imdct(jnp.asarray(
+                    spec[None], jnp.float32)))[0].astype(np.float64)
+                seg = t * self._window
+            prev = self.st.delay.get(ch, np.zeros(256))
+            out[ch - 1] = (prev + seg[:256]) * (OUTPUT_GAIN / 2.0)
+            self.st.delay[ch] = seg[256:]
+        return out
+
+
+@register_decoder
+class Ac3Decoder(Decoder):
+    INFO = CodecInfo(name="ac3", long_name="ATSC A/52A (AC-3)",
+                     codec_type="audio")
+
+    def __init__(self, params=None, **opts):
+        self._dec = Ac3FrameDecoder()
+        self._pts = 0
+        super().__init__(params, **opts)
+
+    def decode(self, pkt: Packet):
+        data = bytes(pkt.data)
+        frames = []
+        pos = 0
+        while pos + 8 <= len(data):
+            if data[pos] != 0x0B or data[pos + 1] != 0x77:
+                pos += 1
+                continue
+            frmsizecod = data[pos + 4] & 0x3F
+            fscod = data[pos + 4] >> 6
+            if fscod == 3 or frmsizecod > 37:
+                pos += 1
+                continue
+            size = T.FRAME_SIZE_TAB[frmsizecod][fscod] * 2
+            chunk = data[pos:pos + size]
+            if len(chunk) < size:
+                break
+            pcm = self._dec.decode_frame(chunk)
+            f = AudioFrame(
+                data=pcm, sample_rate=self._dec.sample_rate,
+                sample_fmt="fltp",
+                layout=ChannelLayout.default(pcm.shape[0]),
+                pts=pkt.pts if pkt.pts != NOPTS and not frames
+                else self._pts,
+                time_base=Rational(1, self._dec.sample_rate))
+            self._pts = (f.pts if f.pts != NOPTS else self._pts) + 1536
+            frames.append(f)
+            pos += size
+        return frames

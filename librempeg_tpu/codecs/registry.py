@@ -14,6 +14,7 @@ _LENIENT = _os.environ.get("LIBREMPEG_TPU_LENIENT_REGISTRY") == "1"
 _MODULES = (
     "librempeg_tpu.codecs.pcm",
     "librempeg_tpu.codecs.adpcm",
+    "librempeg_tpu.codecs.ac3.decoder",
     "librempeg_tpu.codecs.rawvideo",
     "librempeg_tpu.codecs.gif",
     "librempeg_tpu.codecs.jpeg.decoder",

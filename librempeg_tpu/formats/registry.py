@@ -29,6 +29,7 @@ _MODULES = (
     "librempeg_tpu.formats.gif",
     "librempeg_tpu.formats.mp3",
     "librempeg_tpu.formats.flv",
+    "librempeg_tpu.formats.ac3",
     # protocols with import-time registration
     "librempeg_tpu.formats.http",
 )

@@ -1,0 +1,100 @@
+"""AC-3 decoder cross-validation vs the reference decoder at multiple
+channel modes, sample rates, and bitrates (coupling/rematrixing
+variations). Comparison is SNR-gated: our bap-0 dither substitution is
+zero while the reference injects decoder-side random noise."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from librempeg_tpu.codecs.api import decoders
+from librempeg_tpu.core.packet import Packet
+from librempeg_tpu.formats.api import CodecParameters, open_input
+
+REF = os.path.join(os.path.dirname(__file__), "..", ".refbuild", "ffmpeg")
+
+
+def ref_has_ac3():
+    if not os.path.exists(REF):
+        return False
+    out = subprocess.run([REF, "-hide_banner", "-encoders"],
+                         capture_output=True, text=True).stdout
+    return " ac3 " in out
+
+
+needs_ac3 = pytest.mark.skipif(not ref_has_ac3(),
+                               reason="reference lacks ac3")
+
+
+def make_ac3(tmp_path, ch=2, rate=44100, bitrate="192k", seconds=1.0):
+    pcm = tmp_path / "in.pcm"
+    t = np.arange(int(rate * seconds)) / rate
+    chans = [np.sin(2 * np.pi * (300 + 160 * c) * t)
+             * (0.4 - 0.05 * c) for c in range(ch)]
+    sig = (np.stack(chans, 1).reshape(-1) * 32767).astype(np.int16)
+    pcm.write_bytes(sig.tobytes())
+    out = tmp_path / "t.ac3"
+    subprocess.run([REF, "-v", "error", "-f", "s16le", "-ar", str(rate),
+                    "-ac", str(ch), "-i", str(pcm), "-c:a", "ac3",
+                    "-b:a", bitrate, "-f", "ac3", str(out), "-y"],
+                   check=True)
+    return out
+
+
+def our_decode(path):
+    d = open_input(str(path))
+    par = d.streams[0].codecpar
+    dec = decoders()["ac3"](par)
+    outs = []
+    for p in d.packets():
+        outs += dec.decode(p)
+    return np.concatenate([np.asarray(f.data) for f in outs], axis=1), par
+
+
+def ref_decode(path, tmp_path):
+    out = tmp_path / "ref.s16"
+    subprocess.run([REF, "-v", "error", "-i", str(path), "-f", "s16le",
+                    str(out), "-y"], check=True)
+    return np.frombuffer(out.read_bytes(), np.int16)
+
+
+def snr_check(tmp_path, ch, rate, bitrate, min_snr=40.0):
+    path = make_ac3(tmp_path, ch=ch, rate=rate, bitrate=bitrate)
+    ours, par = our_decode(path)
+    assert par.sample_rate == rate
+    ref = ref_decode(path, tmp_path).reshape(-1, ours.shape[0]).T \
+        .astype(np.float32) / 32768.0
+    n = min(ours.shape[1], ref.shape[1])
+    for c in range(ours.shape[0]):
+        err = ours[c, :n] - ref[c, :n]
+        p_ref = float((ref[c, :n] ** 2).mean())
+        snr = 10 * np.log10(p_ref / max(float((err ** 2).mean()), 1e-12))
+        assert snr > min_snr, f"ch {c}: {snr:.1f} dB"
+
+
+@needs_ac3
+class TestAc3Decoder:
+    def test_stereo_44k_192k(self, tmp_path):
+        snr_check(tmp_path, 2, 44100, "192k")
+
+    def test_stereo_48k_256k(self, tmp_path):
+        snr_check(tmp_path, 2, 48000, "256k")
+
+    def test_stereo_lowrate_coupling(self, tmp_path):
+        """96k stereo forces aggressive coupling."""
+        snr_check(tmp_path, 2, 44100, "96k", min_snr=25.0)
+
+    def test_mono(self, tmp_path):
+        snr_check(tmp_path, 1, 48000, "128k")
+
+    def test_5_1_with_lfe(self, tmp_path):
+        snr_check(tmp_path, 6, 48000, "448k", min_snr=30.0)
+
+    def test_demuxer_probe_and_packets(self, tmp_path):
+        path = make_ac3(tmp_path)
+        d = open_input(str(path))
+        assert d.NAME == "ac3"
+        pkts = list(d.packets())
+        assert len(pkts) >= 25
+        assert pkts[1].pts - pkts[0].pts == 1536
