@@ -126,9 +126,10 @@ class _ChannelCoder:
     """Per-channel spectral coding state for one frame."""
 
     def __init__(self, spec: np.ndarray, swb_offsets: list[int],
-                 quality: float):
+                 quality: float, bw_frac: float = 1.0):
         self.offsets = swb_offsets
         nbands = len(swb_offsets) - 1
+        keep = max(4, int(round(nbands * bw_frac)))
         self.sfs = np.zeros(nbands, np.int32)
         self.cbs = np.zeros(nbands, np.int32)
         self.quant: list[np.ndarray] = []
@@ -136,7 +137,7 @@ class _ChannelCoder:
             lo, hi = swb_offsets[b], swb_offsets[b + 1]
             band = spec[lo:hi]
             amax = float(np.max(np.abs(band))) if hi > lo else 0.0
-            if amax < 1e-3:
+            if amax < 1e-3 or b >= keep:
                 self.sfs[b] = SF_OFFSET
                 self.cbs[b] = 0
                 self.quant.append(np.zeros(hi - lo, np.int32))
@@ -223,6 +224,8 @@ class AacEncoder(Encoder):
     OPTIONS = OptionTable(
         Option("aac_quality", float, 14.0, min=1.0, max=60.0,
                help="per-band max quantized magnitude target"),
+        Option("bit_rate", int, 0, alias="b", min=0, max=1 << 26,
+               help="target bitrate (bits/s); 0 = constant quality"),
         Option("adts", bool, True, help="emit ADTS frames (vs raw)"),
     )
 
@@ -243,6 +246,10 @@ class AacEncoder(Encoder):
         self.swb = swb
         self.max_sfb = len(swb) - 1
         self._win = tx.sine_window(2 * FRAME).astype(np.float32)
+        # reactive rate control (ratecontrol.c one-pass role): the
+        # quality knob (max quantized magnitude) drives bits/frame
+        self._rc_q = float(self.opts["aac_quality"])
+        self._rc_buffer = 0.0
 
     def codec_parameters(self):
         from librempeg_tpu.formats.api import CodecParameters
@@ -289,8 +296,15 @@ class AacEncoder(Encoder):
         spec = np.asarray(tx.mdct(jnp.asarray(windowed)))  # [ch, 1024]
 
         bw = BitWriterMSB()
-        q = self.opts["aac_quality"]
-        coders = [_ChannelCoder(spec[c], self.swb, q)
+        if self.opts["bit_rate"] > 0:
+            q = self._rc_q
+        else:
+            q = self.opts["aac_quality"]
+        # below quality 2 the knob saturates: trade bandwidth for rate
+        # instead (what low-bitrate encoders do)
+        bw_frac = 1.0 if q >= 2.0 else max(0.25, q / 2.0)
+        q = max(q, 1.0)
+        coders = [_ChannelCoder(spec[c], self.swb, q, bw_frac)
                   for c in range(self.channels)]
         if self.channels == 2:
             bw.write(1, 3)          # CPE
@@ -310,6 +324,17 @@ class AacEncoder(Encoder):
         bw.write(7, 3)              # END
         bw.align()
         raw = bw.bytes()
+        if self.opts["bit_rate"] > 0:
+            target = self.opts["bit_rate"] * FRAME / self.sample_rate
+            bits = len(raw) * 8
+            self._rc_buffer += bits - target
+            # proportional + integral correction of the quality knob
+            # (quality ~ max magnitude; bits grow ~ log of it)
+            ratio = bits / max(target, 1.0)
+            corr = 1.0 + max(-0.4, min(0.4,
+                                       self._rc_buffer / (8 * target)))
+            self._rc_q = float(np.clip(
+                self._rc_q * (ratio * corr) ** -0.5, 0.3, 60.0))
         data = self._adts(raw) + raw if self.opts["adts"] else raw
         pts = self._frame_no * FRAME
         self._frame_no += 1
