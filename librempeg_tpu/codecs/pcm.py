@@ -159,7 +159,18 @@ def _make_encoder(codec_name: str):
             )
 
         def encode(self, frame: AudioFrame):
-            data = _encode_array(codec_name, np.asarray(frame.data))
+            x = np.asarray(frame.data)
+            spec = _PCM_SPECS[codec_name]
+            if np.issubdtype(x.dtype, np.floating) and not np.issubdtype(
+                    np.dtype(spec["dtype"]), np.floating):
+                # float [-1,1) planar -> integer target (swr semantics);
+                # astype() alone would truncate everything to silence
+                x = from_float(x.astype(np.float32),
+               codec_name[4:].replace("le", "").replace("be", ""))
+            elif (np.issubdtype(np.dtype(spec["dtype"]), np.floating)
+                    and not np.issubdtype(x.dtype, np.floating)):
+                x = to_float(x, frame.sample_fmt)
+            data = _encode_array(codec_name, x)
             pts = frame.pts if frame.pts != NOPTS else self._next_pts
             self._next_pts = pts + frame.nb_samples
             return [Packet(
