@@ -119,11 +119,14 @@ def _bench_e2e(warm: int = 4, measured: int = 12) -> float:
                         width=1280, height=720))
     tc = Transcoder(spec)
     it = tc.demux.packets()
+    chain = tc.chains[0]
     for _ in range(warm):                      # compile + cache warm
-        tc.chains[0].send_packet(next(it), tc.mux)
+        chain.send_packet(next(it), tc.mux)
+    chain.sync()
     t0 = time.perf_counter()
     for _ in range(measured):
-        tc.chains[0].send_packet(next(it), tc.mux)
+        chain.send_packet(next(it), tc.mux)
+    chain.sync()                               # include in-flight encodes
     dt = time.perf_counter() - t0
     return measured / dt
 

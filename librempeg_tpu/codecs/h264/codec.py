@@ -198,10 +198,13 @@ class H264Decoder(Decoder):
 
         res = self._cur
         self._cur = None
-        ref_list = [planes for _, planes in self._dpb]
-        y, u, v = R.reconstruct_frame(res, mb_w, mb_h,
-                                      self.pps.chroma_qp_index_offset,
-                                      ref_list)
+        # lazily build (and cache) each DPB entry's padded MC planes
+        for ent in self._dpb:
+            if ent[2] is None:
+                ent[2] = R.RefPack(*ent[1])
+        y, u, v = R.reconstruct_frame_native(
+            res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
+            [ent[2] for ent in self._dpb])
         if (not self.pps.deblocking_filter_control_present
                 or sh.disable_deblock != 1):
             y = np.ascontiguousarray(y)
@@ -212,7 +215,7 @@ class H264Decoder(Decoder):
                 res["ncoef"], mb_w, mb_h, sh.alpha_off, sh.beta_off,
                 self.pps.chroma_qp_index_offset)
         if nal.ref_idc:
-            self._dpb.insert(0, (sh.frame_num, (y, u, v)))
+            self._dpb.insert(0, [sh.frame_num, (y, u, v), None])
             del self._dpb[max(1, self.sps.max_num_ref_frames):]
 
         w, h = self.sps.width, self.sps.height

@@ -395,6 +395,42 @@ def pred4x4(rec: np.ndarray, gy: int, gx: int, mode: int,
 # frame reconstruction driver
 # ---------------------------------------------------------------------------
 
+class RefPack:
+    """Padded MC planes for one reference frame (full-pel + the three
+    half-pel FIR planes, §8.4.2.2.1; edge-padded chroma). Built once per
+    DPB entry and reused by every frame that references it."""
+
+    __slots__ = ("E", "B", "Hm", "J", "U", "V")
+
+    def __init__(self, y, u, v):
+        e, b, h, j = qpel_planes(np.asarray(y))
+        self.E, self.B, self.Hm, self.J = e, b, h, j
+        self.U = np.pad(np.asarray(u, np.uint8), PADC, mode="edge")
+        self.V = np.pad(np.asarray(v, np.uint8), PADC, mode="edge")
+
+
+def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
+                             chroma_qp_off: int,
+                             ref_packs: list) -> tuple:
+    """Host fast path: the whole reconstruction in one native call
+    (dequant + IDCT + inter MC + intra assembly). Bit-identical to the
+    array path below (asserted in tests/test_h264_inter.py)."""
+    from librempeg_tpu.native import build as native
+
+    W, H = mb_w * 16, mb_h * 16
+    kind = res["kind"]
+    if np.any(kind >= 4):
+        raise InvalidData("h264: unsupported mb kind (I_PCM)")
+    if not ref_packs and np.any((kind == 0) | (kind == 1)):
+        raise InvalidData("h264: P slice without reference frame")
+    y = np.zeros((H, W), np.uint8)
+    u = np.zeros((H // 2, W // 2), np.uint8)
+    v = np.zeros((H // 2, W // 2), np.uint8)
+    native.h264_recon_frame(y, u, v, res, mb_w, mb_h, chroma_qp_off,
+                            ref_packs)
+    return y, u, v
+
+
 def reconstruct_frame(res: dict, mb_w: int, mb_h: int,
                       chroma_qp_off: int,
                       ref_list: list) -> tuple:

@@ -125,6 +125,44 @@ def _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma):
     return out
 
 
+def _sparsify(zz_flat, cap):
+    """Compact nonzero coefficients: the device->host tunnel is
+    bandwidth-bound (~25 MB/s), so fetch (index, value) pairs instead of
+    the ~95%-zero dense zigzag tensor. Returns int16 parts
+    [idx_as_2xi16 (2*cap), vals (cap), count (1 padded to 2)]."""
+    cnt = jnp.count_nonzero(zz_flat)
+    idx = jnp.flatnonzero(zz_flat, size=cap, fill_value=0).astype(jnp.int32)
+    vals = zz_flat[idx].astype(jnp.int16)
+    idx16 = jax.lax.bitcast_convert_type(idx, jnp.int16).ravel()
+    cnt16 = jax.lax.bitcast_convert_type(
+        cnt.astype(jnp.int32)[None], jnp.int16).ravel()
+    return [idx16, vals, cnt16]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap):
+    """I-VOP pass returning (packed int16, device recon planes): all the
+    host-side data (sparse zz coefficients + dc levels) in ONE array so
+    the tunnel round-trip is a single small fetch per frame."""
+    out = _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma)
+    zz_flat = jnp.concatenate([out[k][1].ravel() for k in ("y", "u", "v")])
+    parts = _sparsify(zz_flat, cap)
+    parts += [out[k][0].ravel().astype(jnp.int16) for k in ("y", "u", "v")]
+    packed = jnp.concatenate(parts)
+    return packed, (out["y"][2], out["u"][2], out["v"][2])
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "cap"))
+def _encode_p_packed(y, u, v, ry, ru, rv, qscale, search_range, cap):
+    out = _encode_p_device(y, u, v, ry, ru, rv, qscale, search_range)
+    zz_flat = jnp.concatenate([out["y"][0].ravel(), out["u"][0].ravel(),
+                               out["v"][0].ravel()])
+    parts = _sparsify(zz_flat, cap)
+    parts += [out["mv"].ravel().astype(jnp.int16)]
+    packed = jnp.concatenate(parts)
+    return packed, (out["y"][1], out["u"][1], out["v"][1])
+
+
 @functools.partial(jax.jit, static_argnames=("search_range",))
 def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
                      search_range: int = 8):
@@ -394,6 +432,12 @@ class Mpeg4Encoder(Encoder):
 
     # -- encoding -----------------------------------------------------
     def encode(self, frame: VideoFrame):
+        return self.encode_finish(self.encode_async(frame))
+
+    def encode_async(self, frame: VideoFrame) -> dict:
+        """Dispatch the device pass for one frame (non-blocking: XLA
+        execution and the result transfer proceed asynchronously) and
+        return a handle for encode_finish."""
         if frame.format not in ("yuv420p", "yuvj420p"):
             raise Unsupported(f"mpeg4: input must be yuv420p, got "
                               f"{frame.format}")
@@ -410,13 +454,18 @@ class Mpeg4Encoder(Encoder):
         if self._packer is None:
             self._packer = _Mpeg4Packer(self.width, self.height,
                                         self.framerate, q)
-        y, u, v = (np.asarray(p) for p in frame.planes)
+        # keep planes wherever they live (device arrays flow straight
+        # into the jitted pass -- no host fetch of filter-graph output)
+        y, u, v = frame.planes
         if self._pad_w or self._pad_h:
-            y = np.pad(y, ((0, self._pad_h), (0, self._pad_w)), mode="edge")
-            u = np.pad(u, ((0, self._pad_h // 2), (0, self._pad_w // 2)),
-                       mode="edge")
-            v = np.pad(v, ((0, self._pad_h // 2), (0, self._pad_w // 2)),
-                       mode="edge")
+            y = jnp.pad(jnp.asarray(y), ((0, self._pad_h), (0, self._pad_w)),
+                        mode="edge")
+            u = jnp.pad(jnp.asarray(u),
+                        ((0, self._pad_h // 2), (0, self._pad_w // 2)),
+                        mode="edge")
+            v = jnp.pad(jnp.asarray(v),
+                        ((0, self._pad_h // 2), (0, self._pad_w // 2)),
+                        mode="edge")
 
         is_i = (self._frame_idx % self.opts["gop_size"] == 0
                 or self._ref is None)
@@ -426,45 +475,113 @@ class Mpeg4Encoder(Encoder):
         else:
             data0 = b""
 
+        refs = self._ref
         if is_i:
-            self._encode_i(bw, y, u, v, q)
+            packed, recon = _encode_i_packed(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.int32(q), jnp.int32(T.dc_scaler(q, False)),
+                jnp.int32(T.dc_scaler(q, True)), self._cap())
         else:
-            self._encode_p(bw, y, u, v, q)
-        bw.align_stuffing()
-        payload = data0 + bw.bytes()
+            packed, recon = _encode_p_packed(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *refs,
+                jnp.int32(q), self.opts["search_range"], self._cap())
+        self._ref = recon
+        self._packer.vop(bw, 0 if is_i else 1, self._frame_idx, q)
 
         pts = frame.pts if frame.pts != NOPTS else self._next_pts
         self._next_pts = pts + 1
-        pkt = Packet(data=payload, pts=pts, dts=pts, duration=1,
+        handle = {"bw": bw, "data0": data0, "q": q, "is_i": is_i,
+                  "packed": packed, "planes": (y, u, v), "refs": refs,
+                  "pts": pts, "cap": self._sp_cap}
+        self._frame_idx += 1
+        return handle
+
+    def encode_finish(self, h: dict):
+        """Fetch the device results for a dispatched frame and pack the
+        bitstream. Separated from encode_async so a pipeline can overlap
+        the tunnel transfer + host VLC with the next frame's decode."""
+        q, is_i = h["q"], h["is_i"]
+        while True:
+            flat, tail = self._unsparsify(np.asarray(h["packed"]),
+                                          h["cap"])
+            if flat is not None:
+                break
+            # sparse overflow: re-dispatch this frame with a larger cap
+            self._sp_cap = min(self._sp_total, self._sp_cap * 4)
+            h["cap"] = self._sp_cap
+            y, u, v = h["planes"]
+            # NOTE: recon is identical to the original dispatch (same
+            # inputs, only the fetch capacity differs) -- self._ref is
+            # left alone so a pipelined next-frame dispatch stays valid.
+            if is_i:
+                h["packed"], _ = _encode_i_packed(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    jnp.int32(q), jnp.int32(T.dc_scaler(q, False)),
+                    jnp.int32(T.dc_scaler(q, True)), self._sp_cap)
+            else:
+                h["packed"], _ = _encode_p_packed(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    *h["refs"], jnp.int32(q), self.opts["search_range"],
+                    self._sp_cap)
+        bw = h["bw"]
+        if is_i:
+            body = self._pack_i(bw, flat, tail, q)
+        else:
+            body = self._pack_p(bw, flat, tail)
+        payload = h["data0"] + body
+        pkt = Packet(data=payload, pts=h["pts"], dts=h["pts"], duration=1,
                      flags=PktFlags.KEY if is_i else 0,
                      time_base=self.time_base)
         if self._rc is not None:
             self._rc.update(len(payload) * 8, is_i)
-        self._frame_idx += 1
         return [pkt]
 
-    def _encode_i(self, bw: BitWriter, y, u, v, q: int) -> None:
-        dev = _encode_i_device(jnp.asarray(y), jnp.asarray(u),
-                               jnp.asarray(v), jnp.int32(q),
-                               jnp.int32(T.dc_scaler(q, False)),
-                               jnp.int32(T.dc_scaler(q, True)))
-        dc_y, zz_y, rec_y = dev["y"]
-        dc_u, zz_u, rec_u = dev["u"]
-        dc_v, zz_v, rec_v = dev["v"]
-        self._ref = (rec_y, rec_u, rec_v)
-        dc_y = np.asarray(dc_y)
-        zz_y = np.asarray(zz_y)
-        dc_u = np.asarray(dc_u)
-        zz_u = np.asarray(zz_u)
-        dc_v = np.asarray(dc_v)
-        zz_v = np.asarray(zz_v)
+    def _cap(self) -> int:
+        """Sparse-fetch capacity: grows on overflow (recompile per cap)."""
+        if not hasattr(self, "_sp_cap"):
+            total = ((self.ch // 8) * (self.cw // 8)
+                     + 2 * (self.ch // 16) * (self.cw // 16)) * 64
+            self._sp_cap = max(4096, total // 12)
+            self._sp_total = total
+        return self._sp_cap
+
+    def _unsparsify(self, packed: np.ndarray, cap: int):
+        """Parse [idx16(2*cap), vals(cap), cnt(2), tail...] -> dense
+        flat zz int16 [total]; returns (flat, tail) or (None, None) on
+        overflow (caller grows cap and retries)."""
+        self._cap()                               # ensure _sp_total
+        idx = packed[:2 * cap].view(np.int32)
+        vals = packed[2 * cap:3 * cap]
+        cnt = int(packed[3 * cap:3 * cap + 2].view(np.int32)[0])
+        if cnt > cap:
+            return None, None
+        flat = np.zeros(self._sp_total, np.int16)
+        flat[idx[:cnt]] = vals[:cnt]
+        return flat, packed[3 * cap + 2:]
+
+    def _pack_i(self, bw: BitWriter, flat, tail, q: int) -> bytes:
+        H, W = self.ch, self.cw
+        nby = (H // 8) * (W // 8)
+        nbc = (H // 16) * (W // 16)
+        zz_y = flat[:nby * 64].reshape(nby, 64)
+        zz_u = flat[nby * 64:(nby + nbc) * 64].reshape(nbc, 64)
+        zz_v = flat[(nby + nbc) * 64:].reshape(nbc, 64)
+        o = 0
+        dc_y = tail[o:o + nby].reshape(H // 8, W // 8); o += nby
+        dc_u = tail[o:o + nbc].reshape(H // 16, W // 16); o += nbc
+        dc_v = tail[o:o + nbc].reshape(H // 16, W // 16)
 
         diff_y = _dc_predict(dc_y, T.dc_scaler(q, False))
         diff_u = _dc_predict(dc_u, T.dc_scaler(q, True))
         diff_v = _dc_predict(dc_v, T.dc_scaler(q, True))
 
-        self._packer.vop(bw, 0, self._frame_idx, q)
         mb_w, mb_h = self.cw // 16, self.ch // 16
+        from librempeg_tpu.native import build as native
+
+        if native.available():
+            return native.mpeg4_pack_frame(
+                bw, True, mb_w, mb_h, diff_y, diff_u, diff_v,
+                zz_y, zz_u, zz_v, None)
         nbx = mb_w * 2
         for my in range(mb_h):
             for mx in range(mb_w):
@@ -495,26 +612,29 @@ class Mpeg4Encoder(Encoder):
                 _put_dc(bw, int(diff_v[my, mx]), chroma=True)
                 if cbpc & 1:
                     _put_coeffs(bw, ac_v, 1, intra=True)
+        bw.align_stuffing()
+        return bw.bytes()
 
-    def _encode_p(self, bw: BitWriter, y, u, v, q: int) -> None:
-        ry, ru, rv = self._ref
-        dev = _encode_p_device(jnp.asarray(y), jnp.asarray(u),
-                               jnp.asarray(v), ry, ru, rv, jnp.int32(q),
-                               self.opts["search_range"])
-        mv = np.asarray(dev["mv"])                 # [bh, bw, 2] (dy, dx)
-        zz_y, rec_y = dev["y"]
-        zz_u, rec_u = dev["u"]
-        zz_v, rec_v = dev["v"]
-        self._ref = (rec_y, rec_u, rec_v)
-        zz_y = np.asarray(zz_y)
-        zz_u = np.asarray(zz_u)
-        zz_v = np.asarray(zz_v)
+    def _pack_p(self, bw: BitWriter, flat, tail) -> bytes:
+        H, W = self.ch, self.cw
+        nby = (H // 8) * (W // 8)
+        nbc = (H // 16) * (W // 16)
+        bh, bwd = H // 16, W // 16
+        zz_y = flat[:nby * 64].reshape(nby, 64)
+        zz_u = flat[nby * 64:(nby + nbc) * 64].reshape(nbc, 64)
+        zz_v = flat[(nby + nbc) * 64:].reshape(nbc, 64)
+        mv = tail[:bh * bwd * 2].reshape(bh, bwd, 2).astype(np.int32)
 
-        self._packer.vop(bw, 1, self._frame_idx, q)
         mb_w, mb_h = self.cw // 16, self.ch // 16
-        nbx = mb_w * 2
         # MV prediction: median of left/top/top-right in half-pel units
         mvh = mv * 2                               # halfpel
+        from librempeg_tpu.native import build as native
+
+        if native.available():
+            return native.mpeg4_pack_frame(
+                bw, False, mb_w, mb_h, None, None, None,
+                zz_y, zz_u, zz_v, mvh)
+        nbx = mb_w * 2
         for my in range(mb_h):
             for mx in range(mb_w):
                 lblk = [(2 * my, 2 * mx), (2 * my, 2 * mx + 1),
@@ -548,6 +668,8 @@ class Mpeg4Encoder(Encoder):
                     _put_coeffs(bw, ac_u, 0, intra=False)
                 if cbpc & 1:
                     _put_coeffs(bw, ac_v, 0, intra=False)
+        bw.align_stuffing()
+        return bw.bytes()
 
     @staticmethod
     def _mv_pred(mvh: np.ndarray, my: int, mx: int, mb_w: int):

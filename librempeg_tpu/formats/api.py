@@ -140,6 +140,9 @@ class Muxer:
         self._queue: list[tuple[Any, int, Packet]] = []  # (key, seq, pkt)
         self._seq = 0
         self._header_written = False
+        import threading
+
+        self._wlock = threading.RLock()
 
     def add_stream(self, codecpar: CodecParameters,
                    time_base: Rational | None = None) -> Stream:
@@ -161,17 +164,20 @@ class Muxer:
     # public ----------------------------------------------------------
     def write(self, pkt: Packet) -> None:
         """Submit a packet; interleaved delivery by dts (av_interleaved_
-        write_frame). Packets within a stream must have monotonic dts."""
-        if not self._header_written:
-            self.write_header()
-        if not self.INTERLEAVE or len(self.streams) <= 1:
-            self.write_packet(pkt)
-            return
-        self._queue.append((self._seq, pkt))
-        self._seq += 1
-        # flush every packet that can no longer be preempted: all streams
-        # have something queued, emit smallest dts first
-        self._drain(final=False)
+        write_frame). Packets within a stream must have monotonic dts.
+        Thread-safe: the transcode pipeline's fetch/pack worker and the
+        main loop may both submit."""
+        with self._wlock:
+            if not self._header_written:
+                self.write_header()
+            if not self.INTERLEAVE or len(self.streams) <= 1:
+                self.write_packet(pkt)
+                return
+            self._queue.append((self._seq, pkt))
+            self._seq += 1
+            # flush every packet that can no longer be preempted: all
+            # streams have something queued, emit smallest dts first
+            self._drain(final=False)
 
     def _drain(self, final: bool) -> None:
         while self._queue:

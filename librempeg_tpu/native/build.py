@@ -15,8 +15,10 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "bitstream.cpp")
-_SRCS = [os.path.join(_DIR, f) for f in ("bitstream.cpp", "h264.cpp")]
-_HDRS = [os.path.join(_DIR, "h264_tables.h")]
+_SRCS = [os.path.join(_DIR, f)
+         for f in ("bitstream.cpp", "h264.cpp", "mpeg4.cpp")]
+_HDRS = [os.path.join(_DIR, f)
+         for f in ("h264_tables.h", "mpeg4_tables.h")]
 _LIB = os.path.join(_DIR, "_bitstream.so")
 
 _lock = threading.Lock()
@@ -89,6 +91,20 @@ def get() -> ctypes.CDLL | None:
         lib.h264_qpel_planes.restype = None
         lib.h264_qpel_planes.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p]
+        lib.mpeg4_pack_frame.restype = ctypes.c_long
+        lib.mpeg4_pack_frame.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, i16p, i16p, i16p, i32p,
+            u8p, ctypes.c_long]
+        u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
+        lib.h264_recon_frame.restype = ctypes.c_int
+        lib.h264_recon_frame.argtypes = [
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i8p, i16p, i8p, i32p, i16p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            u8pp, u8pp, u8pp, u8pp, u8pp, u8pp]
         lib.h264_intra_recon.restype = None
         lib.h264_intra_recon.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -341,3 +357,76 @@ def h264_qpel_planes(epad: np.ndarray):
     j = np.zeros((hp, wp), np.uint8)
     lib.h264_qpel_planes(_u8(epad), hp, wp, _u8(b), _u8(h), _u8(j))
     return b, h, j
+
+
+def mpeg4_pack_frame(hdr_bw, is_i: bool, mb_w: int, mb_h: int,
+                     dc_diff_y, dc_diff_u, dc_diff_v,
+                     zz_y: np.ndarray, zz_u: np.ndarray, zz_v: np.ndarray,
+                     mvh) -> bytes:
+    """Pack one VOP: header bits from `hdr_bw` (a mpeg4.bits.BitWriter,
+    consumed) + the MB layer + stuffing alignment. Returns full bytes."""
+    lib = get()
+    assert lib is not None
+    hdr_bytes = np.frombuffer(bytes(hdr_bw._buf), np.uint8)
+    zz_y = np.ascontiguousarray(zz_y, np.int16)
+    zz_u = np.ascontiguousarray(zz_u, np.int16)
+    zz_v = np.ascontiguousarray(zz_v, np.int16)
+    zero32 = np.zeros(1, np.int32)
+    if is_i:
+        d_y = np.ascontiguousarray(dc_diff_y, np.int32)
+        d_u = np.ascontiguousarray(dc_diff_u, np.int32)
+        d_v = np.ascontiguousarray(dc_diff_v, np.int32)
+        mv_a = zero32
+    else:
+        d_y = d_u = d_v = zero32
+        mv_a = np.ascontiguousarray(mvh, np.int32)
+    cap = int(zz_y.size + zz_u.size + zz_v.size) * 4 + len(hdr_bytes) + 4096
+    out = np.zeros(cap, np.uint8)
+    n = lib.mpeg4_pack_frame(
+        _u8(hdr_bytes), len(hdr_bytes),
+        ctypes.c_uint32(hdr_bw._acc & 0xFFFFFFFF), hdr_bw._nbits,
+        1 if is_i else 0, mb_w, mb_h,
+        _i32(d_y), _i32(d_u), _i32(d_v),
+        _i16(zz_y), _i16(zz_u), _i16(zz_v), _i32(mv_a),
+        _u8(out), cap)
+    if n < 0:
+        raise RuntimeError("mpeg4_pack_frame overflow")
+    return out[:n].tobytes()
+
+
+def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     res: dict, mb_w: int, mb_h: int,
+                     chroma_qp_off: int, ref_packs) -> None:
+    """Full in-place frame reconstruction (residuals + inter MC + intra)
+    from per-MB entropy tensors; ref_packs are recon.RefPack objects."""
+    lib = get()
+    assert lib is not None
+    n = len(ref_packs)
+    PP = ctypes.POINTER(ctypes.c_uint8) * max(1, n)
+    pE, pB, pH, pJ, pU, pV = (PP() for _ in range(6))
+    if n:
+        hp, wp = ref_packs[0].E.shape
+        hc, wc = ref_packs[0].U.shape
+        for i, rp in enumerate(ref_packs):
+            pE[i] = _u8(rp.E)
+            pB[i] = _u8(rp.B)
+            pH[i] = _u8(rp.Hm)
+            pJ[i] = _u8(rp.J)
+            pU[i] = _u8(rp.U)
+            pV[i] = _u8(rp.V)
+    else:
+        hp = wp = hc = wc = 0
+    r = lib.h264_recon_frame(
+        _u8(y), _u8(u), _u8(v), mb_w, mb_h, chroma_qp_off,
+        _i32(np.ascontiguousarray(res["kind"], np.int32)),
+        _i32(np.ascontiguousarray(res["info"], np.int32)),
+        _i8(np.ascontiguousarray(res["i4modes"], np.int8)),
+        _i16(np.ascontiguousarray(res["mv"], np.int16)),
+        _i8(np.ascontiguousarray(res["ref"], np.int8)),
+        _i32(np.ascontiguousarray(res["qp"], np.int32)),
+        _i16(np.ascontiguousarray(res["coeffs"], np.int16)),
+        n, hp, wp, hc, wc, pE, pB, pH, pJ, pU, pV)
+    if r < 0:
+        from librempeg_tpu.core.errors import InvalidData
+
+        raise InvalidData("h264: ref idx out of range")

@@ -1311,3 +1311,251 @@ extern "C" void h264_qpel_planes(
     }
     free(b1);
 }
+
+// ---------------------------------------------------------------------------
+// Full-frame reconstruction: dequant + inverse transform + inter MC +
+// intra assembly, from the per-MB entropy tensors. Spec §8.4.2.2
+// (fractional MC), §8.5 (transforms). This is the host fast path of
+// codecs/h264/recon.py (bit-identical; asserted in tests) — used on the
+// latency-bound decode side where per-frame device round-trips over the
+// TPU tunnel would dominate; the batched device path remains for
+// throughput workloads.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// dequant V table (§8.5.9) by qp%6 and position class (0:corner-even,
+// 1:odd-odd, 2:mixed)
+static const int VTAB[6][3] = {{10, 16, 13}, {11, 18, 14}, {13, 20, 16},
+                               {14, 23, 18}, {16, 25, 20}, {18, 29, 23}};
+static const int POSCLS[16] = {0, 2, 0, 2, 2, 1, 2, 1,
+                               0, 2, 0, 2, 2, 1, 2, 1};
+static const int ZZ4[16] = {0, 1, 4, 8, 5, 2, 3, 6,
+                            9, 12, 13, 10, 7, 11, 14, 15};
+static const int CHROMA_QP_TAB[52] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 29, 30, 31, 32, 32, 33,
+    34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39};
+
+// inverse 4x4 core transform (§8.5.12.2) on raster d[16] -> r[16]
+inline void itrans4(const int* d, int* r) {
+    int h[16];
+    for (int i = 0; i < 4; i++) {
+        const int* x = d + 4 * i;
+        int e0 = x[0] + x[2], e1 = x[0] - x[2];
+        int e2 = (x[1] >> 1) - x[3], e3 = x[1] + (x[3] >> 1);
+        h[4 * i + 0] = e0 + e3;
+        h[4 * i + 1] = e1 + e2;
+        h[4 * i + 2] = e1 - e2;
+        h[4 * i + 3] = e0 - e3;
+    }
+    for (int j = 0; j < 4; j++) {
+        int e0 = h[j] + h[8 + j], e1 = h[j] - h[8 + j];
+        int e2 = (h[4 + j] >> 1) - h[12 + j];
+        int e3 = h[4 + j] + (h[12 + j] >> 1);
+        r[j] = (e0 + e3 + 32) >> 6;
+        r[4 + j] = (e1 + e2 + 32) >> 6;
+        r[8 + j] = (e1 - e2 + 32) >> 6;
+        r[12 + j] = (e0 - e3 + 32) >> 6;
+    }
+}
+
+// dezigzag + AC dequant one 4x4 block (levels in zigzag order)
+inline void deq4(const int16_t* zz, int qp, int* out, int skip_dc) {
+    const int* V = VTAB[qp % 6];
+    const int sh = qp / 6;
+    for (int i = 0; i < 16; i++) out[i] = 0;
+    for (int i = skip_dc; i < 16; i++) {
+        int pos = ZZ4[i];
+        out[pos] = ((int)zz[i] * V[POSCLS[pos]]) << sh;
+    }
+}
+
+// qpel plane-pair selection (recon.py _QPEL_MAP): for (fx, fy) gives
+// plane indices 0=E 1=b 2=h 3=j and the (dy,dx) offset of the second tap
+struct QM { int8_t p1, d1y, d1x, p2, d2y, d2x; };
+static const QM QMAP[4][4] = {
+    // [fx][fy]
+    {{0,0,0, 0,0,0}, {0,0,0, 2,0,0}, {2,0,0, 2,0,0}, {2,0,0, 0,1,0}},
+    {{0,0,0, 1,0,0}, {1,0,0, 2,0,0}, {2,0,0, 3,0,0}, {2,0,0, 1,1,0}},
+    {{1,0,0, 1,0,0}, {1,0,0, 3,0,0}, {3,0,0, 3,0,0}, {3,0,0, 1,1,0}},
+    {{1,0,0, 0,0,1}, {1,0,0, 2,0,1}, {3,0,0, 2,0,1}, {2,0,1, 1,1,0}},
+};
+
+}  // namespace
+
+// Reconstruct one frame in place. Planes Y/U/V are outputs (fully
+// overwritten for decoded MBs). Reference planes come as per-ref
+// pointer arrays: refE/B/H/J point at [hp][wp] padded luma planes
+// (PAD=32), refU/refV at [hc][wc] padded chroma (PADC=16) — built once
+// per DPB entry and reused across frames. Returns 0, or -1 on
+// out-of-range ref idx.
+extern "C" int h264_recon_frame(
+    uint8_t* Y, uint8_t* U, uint8_t* V,
+    int mb_w, int mb_h, int chroma_qp_off,
+    const int32_t* kind, const int32_t* info, const int8_t* i4modes,
+    const int16_t* mv,          // [nMB][16][2] (x, y) qpel
+    const int8_t* ref,          // [nMB][4]
+    const int32_t* qp,          // [nMB]
+    const int16_t* coeffs,     // [nMB][27][16] zigzag levels
+    int n_ref, int hp, int wp, int hc, int wc,
+    const uint8_t* const* refE, const uint8_t* const* refB,
+    const uint8_t* const* refH, const uint8_t* const* refJ,
+    const uint8_t* const* refU, const uint8_t* const* refV)
+{
+    const int W = mb_w * 16, H = mb_h * 16;
+    const int cw = W / 2;
+    const int nmb = mb_w * mb_h;
+    const int PADL = 32, PADC2 = 16;
+    int16_t* resid_y = (int16_t*)malloc((size_t)nmb * 256 * 2);
+    int16_t* resid_c = (int16_t*)malloc((size_t)nmb * 128 * 2);
+    int have_intra = 0;
+
+    // ---- residuals for every decoded MB ----
+    for (int mb = 0; mb < nmb; mb++) {
+        const int k = kind[mb];
+        int16_t* ry = resid_y + (size_t)mb * 256;
+        int16_t* rc = resid_c + (size_t)mb * 128;
+        if (k < 0) { continue; }
+        if (k >= 2) have_intra = 1;
+        const int mqp = qp[mb];
+        const int cqp = CHROMA_QP_TAB[iclip(mqp + chroma_qp_off, 0, 51)];
+        const int16_t* cf = coeffs + (size_t)mb * 27 * 16;
+        // luma: 16 blocks in raster (by,bx) order at rows 1..17
+        int dcd[16];
+        if (k == 3) {               // I_16x16: hadamard + DC dequant
+            int d[16], f[16];
+            for (int i = 0; i < 16; i++) d[ZZ4[i]] = cf[i];
+            // f = H4 d H4 with H4 rows {1,1,1,1},{1,1,-1,-1},{1,-1,-1,1},{1,-1,1,-1}
+            static const int H4[4][4] = {{1, 1, 1, 1}, {1, 1, -1, -1},
+                                         {1, -1, -1, 1}, {1, -1, 1, -1}};
+            int t[16];
+            for (int i = 0; i < 4; i++)
+                for (int j = 0; j < 4; j++) {
+                    int s = 0;
+                    for (int kk = 0; kk < 4; kk++)
+                        s += H4[i][kk] * d[4 * kk + j];
+                    t[4 * i + j] = s;
+                }
+            for (int i = 0; i < 4; i++)
+                for (int j = 0; j < 4; j++) {
+                    int s = 0;
+                    for (int kk = 0; kk < 4; kk++)
+                        s += t[4 * i + kk] * H4[j][kk];
+                    f[4 * i + j] = s;
+                }
+            const int v0 = VTAB[mqp % 6][0];
+            for (int i = 0; i < 16; i++) {
+                long long fv = (long long)f[i] * v0;
+                if (mqp >= 12) dcd[i] = (int)(fv << (mqp / 6 - 2));
+                else dcd[i] = (int)((fv + (1ll << (1 - mqp / 6)))
+                                    >> (2 - mqp / 6));
+            }
+        }
+        for (int blk = 0; blk < 16; blk++) {
+            int d[16], r[16];
+            deq4(cf + 16 * (1 + blk), mqp, d, k == 3 ? 1 : 0);
+            if (k == 3) d[0] = dcd[(blk / 4) * 4 + (blk % 4)];
+            itrans4(d, r);
+            const int by = blk / 4, bx = blk % 4;
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    ry[(by * 4 + y) * 16 + bx * 4 + x] =
+                        (int16_t)r[4 * y + x];
+        }
+        // chroma: DC rows 17,18 (first 4 coeffs, 2x2 raster); AC 19..27
+        for (int pl = 0; pl < 2; pl++) {
+            int cdc[4];
+            const int16_t* cdcz = cf + 16 * (17 + pl);
+            // f = H2 dc H2
+            int a = cdcz[0], b = cdcz[1], c = cdcz[2], dd = cdcz[3];
+            int f0 = a + b + c + dd, f1 = a - b + c - dd;
+            int f2 = a + b - c - dd, f3 = a - b - c + dd;
+            const int v0 = VTAB[cqp % 6][0];
+            cdc[0] = ((f0 * v0) << (cqp / 6)) >> 1;
+            cdc[1] = ((f1 * v0) << (cqp / 6)) >> 1;
+            cdc[2] = ((f2 * v0) << (cqp / 6)) >> 1;
+            cdc[3] = ((f3 * v0) << (cqp / 6)) >> 1;
+            for (int blk = 0; blk < 4; blk++) {
+                int d[16], r[16];
+                deq4(cf + 16 * (19 + pl * 4 + blk), cqp, d, 1);
+                d[0] = cdc[blk];
+                itrans4(d, r);
+                const int by = blk / 2, bx = blk % 2;
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++)
+                        rc[pl * 64 + (by * 4 + y) * 8 + bx * 4 + x] =
+                            (int16_t)r[4 * y + x];
+            }
+        }
+    }
+
+    // ---- inter MBs: qpel MC + residual ----
+    for (int my = 0; my < mb_h; my++)
+    for (int mx = 0; mx < mb_w; mx++) {
+        const int mb = my * mb_w + mx;
+        const int k = kind[mb];
+        if (k != 0 && k != 1) continue;
+        const int16_t* ry = resid_y + (size_t)mb * 256;
+        const int16_t* rc = resid_c + (size_t)mb * 128;
+        for (int blk = 0; blk < 16; blk++) {
+            const int by = blk / 4, bx = blk % 4;
+            const int y0 = my * 16 + by * 4, x0 = mx * 16 + bx * 4;
+            const int mvx = mv[((size_t)mb * 16 + blk) * 2];
+            const int mvy = mv[((size_t)mb * 16 + blk) * 2 + 1];
+            const int r8 = ref[mb * 4 + (by / 2) * 2 + bx / 2];
+            if (r8 < 0 || r8 >= n_ref) { free(resid_y); free(resid_c);
+                                         return -1; }
+            const uint8_t* planes[4] = {refE[r8], refB[r8], refH[r8],
+                                        refJ[r8]};
+            const int fx = mvx & 3, fy = mvy & 3;
+            const QM& q = QMAP[fx][fy];
+            int iy = iclip(y0 + (mvy >> 2) + PADL, 3, hp - 8);
+            int ix = iclip(x0 + (mvx >> 2) + PADL, 3, wp - 8);
+            const uint8_t* p1 = planes[q.p1]
+                + (size_t)(iy + q.d1y) * wp + ix + q.d1x;
+            const uint8_t* p2 = planes[q.p2]
+                + (size_t)(iy + q.d2y) * wp + ix + q.d2x;
+            for (int y = 0; y < 4; y++) {
+                uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
+                const uint8_t* a = p1 + (size_t)y * wp;
+                const uint8_t* b = p2 + (size_t)y * wp;
+                const int16_t* rr = ry + (by * 4 + y) * 16 + bx * 4;
+                for (int x = 0; x < 4; x++)
+                    orow[x] = clip255(((a[x] + b[x] + 1) >> 1) + rr[x]);
+            }
+            // chroma 2x2 for this 4x4 (eighth-pel bilinear)
+            const int cy0 = y0 / 2, cx0 = x0 / 2;
+            const int dx = mvx & 7, dy = mvy & 7;
+            int ciy = iclip(cy0 + (mvy >> 3) + PADC2, 0, hc - 4);
+            int cix = iclip(cx0 + (mvx >> 3) + PADC2, 0, wc - 4);
+            for (int pl = 0; pl < 2; pl++) {
+                const uint8_t* C = (pl ? refV : refU)[r8];
+                uint8_t* O = pl ? V : U;
+                const int16_t* rr = rc + pl * 64;
+                for (int y = 0; y < 2; y++) {
+                    const uint8_t* r0 = C + (size_t)(ciy + y) * wc + cix;
+                    const uint8_t* r1 = r0 + wc;
+                    uint8_t* orow = O + (size_t)(cy0 + y) * cw + cx0;
+                    for (int x = 0; x < 2; x++) {
+                        int p = ((8 - dx) * (8 - dy) * r0[x]
+                                 + dx * (8 - dy) * r0[x + 1]
+                                 + (8 - dx) * dy * r1[x]
+                                 + dx * dy * r1[x + 1] + 32) >> 6;
+                        orow[x] = clip255(
+                            p + rr[((cy0 - my * 8 + y)) * 8
+                                   + (cx0 - mx * 8 + x)]);
+                    }
+                }
+            }
+        }
+    }
+
+    // ---- intra MBs (raster order, §8.3 dependency order) ----
+    if (have_intra)
+        h264_intra_recon(Y, U, V, W, H, kind, info, i4modes,
+                         resid_y, resid_c, mb_w, mb_h);
+    free(resid_y);
+    free(resid_c);
+    return 0;
+}

@@ -141,6 +141,53 @@ class _StreamChain:
         self.out_stream = out_mux.add_stream(
             self.encoder.codec_parameters(), tb)
 
+        # pipelined encode: when the encoder exposes the two-phase
+        # dispatch/finish API, a worker thread overlaps the device
+        # result transfer + host VLC packing of frame i with the decode
+        # of frame i+1 (the role of the reference scheduler's per-node
+        # threads, ffmpeg_sched.h:31-87, collapsed to the one boundary
+        # that matters on a TPU tunnel)
+        self._pipelined = hasattr(self.encoder, "encode_async")
+        if self._pipelined:
+            import queue
+            import threading
+
+            self._pq: Any = queue.Queue(maxsize=2)
+            self._perr: Exception | None = None
+            self._pworker = threading.Thread(
+                target=self._drain_encodes, daemon=True)
+            self._pworker.start()
+
+    def _drain_encodes(self) -> None:
+        while True:
+            item = self._pq.get()
+            if item is None:
+                self._pq.task_done()
+                return
+            handle, mux = item
+            try:
+                for pkt in self.encoder.encode_finish(handle):
+                    mux.write(pkt.replace(
+                        stream_index=self.out_stream.index))
+            except Exception as e:              # propagated on next call
+                self._perr = e
+            finally:
+                self._pq.task_done()
+
+    def sync(self) -> None:
+        """Block until every dispatched frame is packed and muxed."""
+        if getattr(self, "_pipelined", False):
+            self._pq.join()
+        self._perr_check()
+
+    def _join_encodes(self) -> None:
+        if getattr(self, "_pipelined", False) and self._pworker.is_alive():
+            self._pq.put(None)
+            self._pworker.join()
+        if getattr(self, "_perr", None) is not None:
+            err, self._perr = self._perr, None
+            raise err
+
     @staticmethod
     def _translate_codec_opts(enc_cls, codec_opts: dict) -> dict:
         """Map CLI-level options onto what the encoder declares
@@ -180,15 +227,30 @@ class _StreamChain:
                 self.eof = True
                 return
             self.frames_done += 1
-            for pkt in self.encoder.encode(f):
-                mux.write(pkt.replace(stream_index=self.out_stream.index))
+            if self._perr_check():
+                return
+            if self._pipelined:
+                self._pq.put((self.encoder.encode_async(f), mux))
+            else:
+                for pkt in self.encoder.encode(f):
+                    mux.write(pkt.replace(
+                        stream_index=self.out_stream.index))
+
+    def _perr_check(self) -> bool:
+        if getattr(self, "_perr", None) is not None:
+            err, self._perr = self._perr, None
+            raise err
+        return False
 
     def finish(self, mux) -> None:
         if self.copy or self.eof:
+            if not self.copy:
+                self._join_encodes()
             return
         for frame in self.decoder.flush():
             self._through_graph(frame, mux)
         self._through_graph(None, mux, flush=True)
+        self._join_encodes()
         for pkt in self.encoder.flush():
             mux.write(pkt.replace(stream_index=self.out_stream.index))
 

@@ -242,3 +242,60 @@ class TestIntra16Modes:
             np.asarray(f.planes[2]),
             np.frombuffer(r.stdout[n + n // 4:n + n // 2],
                           np.uint8).reshape(48, 64))
+
+
+def test_native_recon_matches_numpy():
+    """native/h264.cpp h264_recon_frame (the host fast path: residuals +
+    inter MC + intra in one call) is bit-identical to the numpy
+    reconstruction across all MB shapes (variety mode, I+P GOPs)."""
+    import numpy as np
+
+    from librempeg_tpu.codecs.h264 import recon as R
+    from librempeg_tpu.codecs.h264.codec import H264Decoder, H264Encoder
+    from librempeg_tpu.core.frame import VideoFrame
+    from librempeg_tpu.core.rational import Rational
+    from librempeg_tpu.native import build as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(3)
+    W, H = 96, 64
+    base = rng.integers(0, 256, (H * 2, W * 2)).astype(np.uint8)
+    frames = []
+    for i in range(8):
+        y = base[i:H + i, i * 2:W + i * 2]
+        y = (y * 0.6 + 50 + rng.integers(0, 40, (H, W))) \
+            .clip(0, 255).astype(np.uint8)
+        u = rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                 width=W, height=H, pts=i,
+                                 time_base=Rational(1, 25)))
+    enc = H264Encoder(width=W, height=H, qp=28, g=4, variety=1)
+    pkts = [enc.encode(f)[0] for f in frames]
+
+    dec = H264Decoder(enc.codec_parameters())
+    fast = [f for p in pkts for f in dec.decode(p)]
+
+    orig = R.reconstruct_frame_native
+
+    def slowpath(res, mb_w, mb_h, off, ref_packs):
+        refl = [(rp.E[R.PAD:-R.PAD, R.PAD:-R.PAD],
+                 rp.U[R.PADC:-R.PADC, R.PADC:-R.PADC],
+                 rp.V[R.PADC:-R.PADC, R.PADC:-R.PADC])
+                for rp in ref_packs]
+        return R.reconstruct_frame(res, mb_w, mb_h, off, refl)
+
+    R.reconstruct_frame_native = slowpath
+    try:
+        dec2 = H264Decoder(enc.codec_parameters())
+        slow = [f for p in pkts for f in dec2.decode(p)]
+    finally:
+        R.reconstruct_frame_native = orig
+
+    assert len(fast) == len(slow) == len(frames)
+    for a, b in zip(fast, slow):
+        for pa, pb in zip(a.planes, b.planes):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))

@@ -106,3 +106,46 @@ class TestMpeg4GOP:
         for i in range(6):
             p = psnr(frames[i], recons[i])
             assert p > 40, f"frame {i}: recon drift PSNR {p:.1f}"
+
+
+def test_native_pack_matches_python():
+    """C++ VLC packer (native/mpeg4.cpp) is bit-exact with the Python
+    MB-layer packer across I/P frames, skip MBs, and escape levels."""
+    import numpy as np
+
+    from librempeg_tpu.codecs.mpeg4.encoder import Mpeg4Encoder
+    from librempeg_tpu.core.frame import VideoFrame
+    from librempeg_tpu.core.rational import Rational
+    from librempeg_tpu.native import build as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(7)
+    W, H = 96, 64
+    base = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    frames = []
+    for i in range(6):
+        y = np.roll(base, (i * 2, i * 3), axis=(0, 1))
+        y = (y * 0.7 + 40 + rng.integers(0, 30, (H, W))) \
+            .clip(0, 255).astype(np.uint8)
+        u = rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(100, 156, (H // 2, W // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                 width=W, height=H, pts=i,
+                                 time_base=Rational(1, 25)))
+
+    def run(use_native):
+        orig = native.available
+        if not use_native:
+            native.available = lambda: False
+        try:
+            enc = Mpeg4Encoder(width=W, height=H,
+                               framerate=Rational(25, 1), qscale=5,
+                               gop_size=3)
+            return [bytes(enc.encode(f)[0].data) for f in frames]
+        finally:
+            native.available = orig
+
+    assert run(True) == run(False)
