@@ -1409,22 +1409,28 @@ extern "C" int h264_recon_frame(
     const int PADL = 32, PADC2 = 16;
     int16_t* resid_y = (int16_t*)malloc((size_t)nmb * 256 * 2);
     int16_t* resid_c = (int16_t*)malloc((size_t)nmb * 128 * 2);
+    // per-MB nonzero-residual masks: bit b of lmask = luma 4x4 block b
+    // (raster) has residual; cmask bits 0-3 = U 4x4s, 4-7 = V 4x4s
+    uint16_t* lmask = (uint16_t*)calloc(nmb, 2);
+    uint8_t* cmask = (uint8_t*)calloc(nmb, 1);
     int have_intra = 0;
 
-    // ---- residuals for every decoded MB ----
+    // ---- residuals for every decoded MB (empty blocks skipped) ----
     for (int mb = 0; mb < nmb; mb++) {
         const int k = kind[mb];
         int16_t* ry = resid_y + (size_t)mb * 256;
         int16_t* rc = resid_c + (size_t)mb * 128;
         if (k < 0) { continue; }
-        if (k >= 2) have_intra = 1;
+        const int intra = k >= 2;
+        if (intra) have_intra = 1;
         const int mqp = qp[mb];
         const int cqp = CHROMA_QP_TAB[iclip(mqp + chroma_qp_off, 0, 51)];
         const int16_t* cf = coeffs + (size_t)mb * 27 * 16;
         // luma: 16 blocks in raster (by,bx) order at rows 1..17
         int dcd[16];
+        int have_ldc = 0;
         if (k == 3) {               // I_16x16: hadamard + DC dequant
-            int d[16], f[16];
+            int d[16] = {0}, f[16];
             for (int i = 0; i < 16; i++) d[ZZ4[i]] = cf[i];
             // f = H4 d H4 with H4 rows {1,1,1,1},{1,1,-1,-1},{1,-1,-1,1},{1,-1,1,-1}
             static const int H4[4][4] = {{1, 1, 1, 1}, {1, 1, -1, -1},
@@ -1450,18 +1456,29 @@ extern "C" int h264_recon_frame(
                 if (mqp >= 12) dcd[i] = (int)(fv << (mqp / 6 - 2));
                 else dcd[i] = (int)((fv + (1ll << (1 - mqp / 6)))
                                     >> (2 - mqp / 6));
+                have_ldc |= dcd[i] != 0;
             }
         }
         for (int blk = 0; blk < 16; blk++) {
+            const int16_t* row = cf + 16 * (1 + blk);
+            int any = (k == 3) ? (dcd[blk] != 0) : 0;
+            for (int i = (k == 3) ? 1 : 0; i < 16 && !any; i++)
+                any |= row[i] != 0;
+            const int by = blk / 4, bx = blk % 4;
+            int16_t* dst = ry + (by * 4) * 16 + bx * 4;
+            if (!any) {
+                for (int y = 0; y < 4; y++)
+                    memset(dst + y * 16, 0, 8);
+                continue;
+            }
+            lmask[mb] |= (uint16_t)(1u << blk);
             int d[16], r[16];
-            deq4(cf + 16 * (1 + blk), mqp, d, k == 3 ? 1 : 0);
+            deq4(row, mqp, d, k == 3 ? 1 : 0);
             if (k == 3) d[0] = dcd[(blk / 4) * 4 + (blk % 4)];
             itrans4(d, r);
-            const int by = blk / 4, bx = blk % 4;
             for (int y = 0; y < 4; y++)
                 for (int x = 0; x < 4; x++)
-                    ry[(by * 4 + y) * 16 + bx * 4 + x] =
-                        (int16_t)r[4 * y + x];
+                    dst[y * 16 + x] = (int16_t)r[4 * y + x];
         }
         // chroma: DC rows 17,18 (first 4 coeffs, 2x2 raster); AC 19..27
         for (int pl = 0; pl < 2; pl++) {
@@ -1477,15 +1494,24 @@ extern "C" int h264_recon_frame(
             cdc[2] = ((f2 * v0) << (cqp / 6)) >> 1;
             cdc[3] = ((f3 * v0) << (cqp / 6)) >> 1;
             for (int blk = 0; blk < 4; blk++) {
+                const int16_t* row = cf + 16 * (19 + pl * 4 + blk);
+                int any = cdc[blk] != 0;
+                for (int i = 1; i < 16 && !any; i++) any |= row[i] != 0;
+                const int by = blk / 2, bx = blk % 2;
+                int16_t* dst = rc + pl * 64 + (by * 4) * 8 + bx * 4;
+                if (!any) {
+                    for (int y = 0; y < 4; y++)
+                        memset(dst + y * 8, 0, 8);
+                    continue;
+                }
+                cmask[mb] |= (uint8_t)(1u << (pl * 4 + blk));
                 int d[16], r[16];
-                deq4(cf + 16 * (19 + pl * 4 + blk), cqp, d, 1);
+                deq4(row, cqp, d, 1);
                 d[0] = cdc[blk];
                 itrans4(d, r);
-                const int by = blk / 2, bx = blk % 2;
                 for (int y = 0; y < 4; y++)
                     for (int x = 0; x < 4; x++)
-                        rc[pl * 64 + (by * 4 + y) * 8 + bx * 4 + x] =
-                            (int16_t)r[4 * y + x];
+                        dst[y * 8 + x] = (int16_t)r[4 * y + x];
             }
         }
     }
@@ -1498,53 +1524,88 @@ extern "C" int h264_recon_frame(
         if (k != 0 && k != 1) continue;
         const int16_t* ry = resid_y + (size_t)mb * 256;
         const int16_t* rc = resid_c + (size_t)mb * 128;
-        for (int blk = 0; blk < 16; blk++) {
+        const int16_t* mvp = mv + (size_t)mb * 32;
+        // uniform fast path: one MV + one ref for the whole MB (16x16
+        // partitions and P_SKIP -- the dominant case)
+        int uniform = 1;
+        for (int b = 1; b < 16 && uniform; b++)
+            uniform = mvp[2 * b] == mvp[0] && mvp[2 * b + 1] == mvp[1];
+        if (uniform)
+            uniform = ref[mb * 4] == ref[mb * 4 + 1]
+                   && ref[mb * 4] == ref[mb * 4 + 2]
+                   && ref[mb * 4] == ref[mb * 4 + 3];
+        const int nb = uniform ? 1 : 16;
+        for (int blk = 0; blk < nb; blk++) {
             const int by = blk / 4, bx = blk % 4;
+            const int bs = uniform ? 16 : 4;     // block size
             const int y0 = my * 16 + by * 4, x0 = mx * 16 + bx * 4;
-            const int mvx = mv[((size_t)mb * 16 + blk) * 2];
-            const int mvy = mv[((size_t)mb * 16 + blk) * 2 + 1];
+            const int mvx = mvp[blk * 2];
+            const int mvy = mvp[blk * 2 + 1];
             const int r8 = ref[mb * 4 + (by / 2) * 2 + bx / 2];
             if (r8 < 0 || r8 >= n_ref) { free(resid_y); free(resid_c);
+                                         free(lmask); free(cmask);
                                          return -1; }
             const uint8_t* planes[4] = {refE[r8], refB[r8], refH[r8],
                                         refJ[r8]};
             const int fx = mvx & 3, fy = mvy & 3;
             const QM& q = QMAP[fx][fy];
-            int iy = iclip(y0 + (mvy >> 2) + PADL, 3, hp - 8);
-            int ix = iclip(x0 + (mvx >> 2) + PADL, 3, wp - 8);
+            int iy = iclip(y0 + (mvy >> 2) + PADL, 3, hp - bs - 4);
+            int ix = iclip(x0 + (mvx >> 2) + PADL, 3, wp - bs - 4);
             const uint8_t* p1 = planes[q.p1]
                 + (size_t)(iy + q.d1y) * wp + ix + q.d1x;
             const uint8_t* p2 = planes[q.p2]
                 + (size_t)(iy + q.d2y) * wp + ix + q.d2x;
-            for (int y = 0; y < 4; y++) {
+            const uint16_t lm = lmask[mb];
+            for (int y = 0; y < bs; y++) {
                 uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
                 const uint8_t* a = p1 + (size_t)y * wp;
                 const uint8_t* b = p2 + (size_t)y * wp;
-                const int16_t* rr = ry + (by * 4 + y) * 16 + bx * 4;
-                for (int x = 0; x < 4; x++)
-                    orow[x] = clip255(((a[x] + b[x] + 1) >> 1) + rr[x]);
+                // residual row mask for this pixel row (uniform: 4 blocks)
+                const int rby = by + (uniform ? y / 4 : 0);
+                const int16_t* rr = ry + ((uniform ? y : by * 4 + y) * 16)
+                                    + bx * 4;
+                const int skip_r = uniform
+                    ? !((lm >> (rby * 4)) & 0xF)      // whole row-of-blocks
+                    : !((lm >> blk) & 1);
+                if (skip_r) {
+                    for (int x = 0; x < bs; x++)
+                        orow[x] = (uint8_t)((a[x] + b[x] + 1) >> 1);
+                } else {
+                    for (int x = 0; x < bs; x++)
+                        orow[x] = clip255(((a[x] + b[x] + 1) >> 1) + rr[x]);
+                }
             }
-            // chroma 2x2 for this 4x4 (eighth-pel bilinear)
+            // chroma (eighth-pel bilinear): 8x8 in uniform mode, 2x2 else
+            const int cs = bs / 2;
             const int cy0 = y0 / 2, cx0 = x0 / 2;
             const int dx = mvx & 7, dy = mvy & 7;
-            int ciy = iclip(cy0 + (mvy >> 3) + PADC2, 0, hc - 4);
-            int cix = iclip(cx0 + (mvx >> 3) + PADC2, 0, wc - 4);
+            int ciy = iclip(cy0 + (mvy >> 3) + PADC2, 0, hc - cs - 2);
+            int cix = iclip(cx0 + (mvx >> 3) + PADC2, 0, wc - cs - 2);
+            const int w00 = (8 - dx) * (8 - dy), w01 = dx * (8 - dy);
+            const int w10 = (8 - dx) * dy, w11 = dx * dy;
             for (int pl = 0; pl < 2; pl++) {
                 const uint8_t* C = (pl ? refV : refU)[r8];
                 uint8_t* O = pl ? V : U;
-                const int16_t* rr = rc + pl * 64;
-                for (int y = 0; y < 2; y++) {
+                const int16_t* rcb = rc + pl * 64;
+                const int any_c = (cmask[mb] >> (pl * 4)) & 0xF;
+                for (int y = 0; y < cs; y++) {
                     const uint8_t* r0 = C + (size_t)(ciy + y) * wc + cix;
                     const uint8_t* r1 = r0 + wc;
                     uint8_t* orow = O + (size_t)(cy0 + y) * cw + cx0;
-                    for (int x = 0; x < 2; x++) {
-                        int p = ((8 - dx) * (8 - dy) * r0[x]
-                                 + dx * (8 - dy) * r0[x + 1]
-                                 + (8 - dx) * dy * r1[x]
-                                 + dx * dy * r1[x + 1] + 32) >> 6;
-                        orow[x] = clip255(
-                            p + rr[((cy0 - my * 8 + y)) * 8
-                                   + (cx0 - mx * 8 + x)]);
+                    const int ry_off = cy0 - my * 8 + y;
+                    if (!any_c) {
+                        for (int x = 0; x < cs; x++)
+                            orow[x] = (uint8_t)((w00 * r0[x] + w01 * r0[x + 1]
+                                     + w10 * r1[x] + w11 * r1[x + 1] + 32)
+                                    >> 6);
+                    } else {
+                        for (int x = 0; x < cs; x++) {
+                            int p = (w00 * r0[x] + w01 * r0[x + 1]
+                                     + w10 * r1[x] + w11 * r1[x + 1] + 32)
+                                    >> 6;
+                            orow[x] = clip255(
+                                p + rcb[ry_off * 8 + (cx0 - mx * 8 + x)]);
+                        }
                     }
                 }
             }
@@ -1557,5 +1618,7 @@ extern "C" int h264_recon_frame(
                          resid_y, resid_c, mb_w, mb_h);
     free(resid_y);
     free(resid_c);
+    free(lmask);
+    free(cmask);
     return 0;
 }
