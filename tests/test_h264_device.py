@@ -1,0 +1,124 @@
+"""On-device H.264 P-frame reconstruction + deblocking: bit-exact vs
+the host (native/h264.cpp) path, which is itself validated bit-exact
+against the reference decoder in test_h264_inter.py."""
+import numpy as np
+import pytest
+
+from librempeg_tpu.native import build as native
+
+if not native.available():
+    pytest.skip("native extension unavailable", allow_module_level=True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from librempeg_tpu.codecs.h264 import device_recon as D  # noqa: E402
+from librempeg_tpu.codecs.h264 import parse as P  # noqa: E402
+from librempeg_tpu.codecs.h264 import recon as R  # noqa: E402
+from librempeg_tpu.codecs.h264.codec import H264Encoder  # noqa: E402
+from librempeg_tpu.core.frame import VideoFrame  # noqa: E402
+from librempeg_tpu.core.rational import Rational  # noqa: E402
+
+
+def _stream(w, h, n, qp=26):
+    """Encode a smooth-motion clip (keeps P frames all-inter)."""
+    rng = np.random.default_rng(11)
+    gy, gx = np.mgrid[0:h * 2, 0:w * 2]
+    base = np.clip(128 + 60 * np.sin(gx / 23.0) * np.cos(gy / 17.0)
+                   + rng.normal(0, 2, (h * 2, w * 2)), 0,
+                   255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = base[i:h + i, i * 2:w + i * 2]
+        u = base[i // 2:h // 2 + i // 2, i:w // 2 + i]
+        v = base[i // 2 + 4:h // 2 + i // 2 + 4, i + 2:w // 2 + i + 2]
+        frames.append(VideoFrame(planes=(y.copy(), u.copy(), v.copy()),
+                                 format="yuv420p", width=w, height=h,
+                                 pts=i, time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=qp, g=n)  # one I, rest P
+    return enc, [enc.encode(f)[0] for f in frames]
+
+
+def _entropy(pkt, sps, pps):
+    for raw in P.split_annexb(bytes(pkt.data)):
+        nal = P.NalUnit.parse(raw)
+        if nal.type in (1, 5):
+            sh = P.parse_slice_header(nal.rbsp, sps, pps, nal.type,
+                                      nal.ref_idc)
+            res = native.h264_decode_slice_cavlc(
+                nal.rbsp, sh.data_bit_pos, sps.pic_width_in_mbs,
+                sps.pic_height_in_map_units, sh.first_mb,
+                0 if sh.slice_type == "P" else 2, sh.qp,
+                sh.num_ref_idx_l0)
+            return sh, res
+    return None, None
+
+
+def _sparse(res):
+    flat = res["coeffs"].astype(np.int32).ravel()
+    idx = np.flatnonzero(flat).astype(np.int32)
+    return jnp.asarray(idx), jnp.asarray(flat[idx].astype(np.int16))
+
+
+def test_device_recon_and_deblock_match_host():
+    w, h = 96, 64
+    mb_w, mb_h = w // 16, h // 16
+    enc, pkts = _stream(w, h, 6)
+    sps = P.parse_sps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[0]).rbsp)
+    pps = P.parse_pps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[1]).rbsp)
+
+    # host-decode frame 0 (IDR) for the reference DPB
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    dec = H264Decoder(enc.codec_parameters())
+    f0 = dec.decode(pkts[0])[0]
+    ref_host = tuple(np.ascontiguousarray(p) for p in f0.planes)
+
+    n_inter = 0
+    for pkt in pkts[1:]:
+        sh, res = _entropy(pkt, sps, pps)
+        assert res is not None and res["last_mb"] == mb_w * mb_h
+        if np.any(res["kind"] >= 2):
+            continue                        # intra-in-P: host path
+        n_inter += 1
+
+        # host recon + deblock
+        pack = R.RefPack(*ref_host)
+        yh, uh, vh = R.reconstruct_frame_native(res, mb_w, mb_h, 0,
+                                                [pack])
+        yh = np.ascontiguousarray(yh)
+        uh = np.ascontiguousarray(uh)
+        vh = np.ascontiguousarray(vh)
+        ydb, udb, vdb = yh.copy(), uh.copy(), vh.copy()
+        native.h264_deblock_frame(ydb, udb, vdb, res["kind"], res["qp"],
+                                  res["mv"], res["ref"], res["ncoef"],
+                                  mb_w, mb_h)
+
+        # device recon + deblock from the same entropy tensors
+        luma4, up, vp = D.make_refpack(jnp.asarray(ref_host[0]),
+                                       jnp.asarray(ref_host[1]),
+                                       jnp.asarray(ref_host[2]))
+        # device refpack planes must equal the host RefPack
+        assert np.array_equal(np.asarray(luma4[0]), pack.E)
+        assert np.array_equal(np.asarray(luma4[1]), pack.B)
+        assert np.array_equal(np.asarray(luma4[2]), pack.Hm)
+        assert np.array_equal(np.asarray(luma4[3]), pack.J)
+        idx, vals = _sparse(res)
+        yd, ud, vd = D.recon_p_frame(
+            luma4[None], up[None], vp[None], idx, vals,
+            jnp.asarray(res["mv"]), jnp.asarray(res["ref"]),
+            jnp.asarray(res["qp"]), mb_w, mb_h, 0)
+        assert np.array_equal(np.asarray(yd), yh), "luma recon"
+        assert np.array_equal(np.asarray(ud), uh), "u recon"
+        assert np.array_equal(np.asarray(vd), vh), "v recon"
+
+        ydd, udd, vdd = D.deblock_frame(
+            yd, ud, vd, idx, vals, jnp.asarray(res["mv"]),
+            jnp.asarray(res["ref"]), jnp.asarray(res["qp"]), mb_w, mb_h)
+        assert np.array_equal(np.asarray(ydd), ydb), "luma deblock"
+        assert np.array_equal(np.asarray(udd), udb), "u deblock"
+        assert np.array_equal(np.asarray(vdd), vdb), "v deblock"
+
+        ref_host = (ydb, udb, vdb)
+    assert n_inter >= 3, "test stream produced too few all-inter frames"
