@@ -127,13 +127,33 @@ class H264Decoder(Decoder):
 
     INFO = CodecInfo(name="h264", long_name="H.264 / AVC",
                      codec_type="video")
+    OPTIONS = OptionTable(
+        Option("device", int, -1, min=-1, max=1,
+               help="on-device P-frame recon/deblock: 1=on, 0=off, "
+                    "-1=auto (on when an accelerator backend is "
+                    "present)"),
+    )
 
     def __init__(self, params=None, **opts):
         self.sps = None
         self.pps = None
-        self._dpb = []          # [(frame_num, (y,u,v))] most recent first
+        # DPB entries: [frame_num, host_planes|None, host_pack|None,
+        #               dev_planes|None, dev_pack|None], newest first
+        self._dpb = []
         self._cur = None        # in-progress frame slice arrays
         super().__init__(params, **opts)
+        self._device_mode = None    # resolved lazily
+
+    def _use_device(self) -> bool:
+        if self._device_mode is None:
+            if self.opts["device"] >= 0:
+                self._device_mode = bool(self.opts["device"])
+            else:
+                import jax
+
+                self._device_mode = \
+                    jax.default_backend() not in ("cpu",)
+        return self._device_mode
 
     def configure(self, params):
         if params.extradata and params.extradata[:1] == b"\x00":
@@ -198,25 +218,41 @@ class H264Decoder(Decoder):
 
         res = self._cur
         self._cur = None
-        # lazily build (and cache) each DPB entry's padded MC planes
-        for ent in self._dpb:
-            if ent[2] is None:
-                ent[2] = R.RefPack(*ent[1])
-        y, u, v = R.reconstruct_frame_native(
-            res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
-            [ent[2] for ent in self._dpb])
-        if (not self.pps.deblocking_filter_control_present
-                or sh.disable_deblock != 1):
-            y = np.ascontiguousarray(y)
-            u = np.ascontiguousarray(u)
-            v = np.ascontiguousarray(v)
-            native.h264_deblock_frame(
-                y, u, v, res["kind"], res["qp"], res["mv"], res["ref"],
-                res["ncoef"], mb_w, mb_h, sh.alpha_off, sh.beta_off,
-                self.pps.chroma_qp_index_offset)
-        if nal.ref_idc:
-            self._dpb.insert(0, [sh.frame_num, (y, u, v), None])
-            del self._dpb[max(1, self.sps.max_num_ref_frames):]
+        do_deblock = (not self.pps.deblocking_filter_control_present
+                      or sh.disable_deblock != 1)
+        all_inter = not bool(np.any(res["kind"] >= 2))
+        if self._use_device() and all_inter and self._dpb:
+            y, u, v = self._decode_device(res, mb_w, mb_h, sh,
+                                          do_deblock)
+            if nal.ref_idc:
+                from librempeg_tpu.codecs.h264 import device_recon as D
+
+                self._dpb.insert(0, [sh.frame_num, None, None,
+                                     (y, u, v), D.make_refpack(y, u, v)])
+                del self._dpb[max(1, self.sps.max_num_ref_frames):]
+        else:
+            # host path needs host planes for every reference: device-
+            # decoded frames are fetched once (intra frames are rare)
+            for ent in self._dpb:
+                if ent[1] is None:
+                    ent[1] = tuple(np.asarray(p) for p in ent[3])
+                if ent[2] is None:
+                    ent[2] = R.RefPack(*ent[1])
+            y, u, v = R.reconstruct_frame_native(
+                res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
+                [ent[2] for ent in self._dpb])
+            if do_deblock:
+                y = np.ascontiguousarray(y)
+                u = np.ascontiguousarray(u)
+                v = np.ascontiguousarray(v)
+                native.h264_deblock_frame(
+                    y, u, v, res["kind"], res["qp"], res["mv"],
+                    res["ref"], res["ncoef"], mb_w, mb_h, sh.alpha_off,
+                    sh.beta_off, self.pps.chroma_qp_index_offset)
+            if nal.ref_idc:
+                self._dpb.insert(0, [sh.frame_num, (y, u, v), None,
+                                     None, None])
+                del self._dpb[max(1, self.sps.max_num_ref_frames):]
 
         w, h = self.sps.width, self.sps.height
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
@@ -225,3 +261,36 @@ class H264Decoder(Decoder):
                                   v[:h // 2, :w // 2]),
                           format="yuv420p", width=w, height=h,
                           pts=pkt.pts, time_base=tb)
+
+    def _decode_device(self, res, mb_w, mb_h, sh, do_deblock):
+        """All-inter frame on device: sparse coefficient upload, DPB
+        stays in HBM (codecs/h264/device_recon.py)."""
+        import jax.numpy as jnp
+
+        from librempeg_tpu.codecs.h264 import device_recon as D
+
+        if np.any(res["ref"] >= len(self._dpb)):
+            raise InvalidData("h264: ref idx out of range")
+        for ent in self._dpb:
+            if ent[4] is None:          # host-decoded frame: upload once
+                ent[4] = D.make_refpack(jnp.asarray(ent[1][0]),
+                                        jnp.asarray(ent[1][1]),
+                                        jnp.asarray(ent[1][2]))
+        luma4 = jnp.stack([ent[4][0] for ent in self._dpb])
+        upad = jnp.stack([ent[4][1] for ent in self._dpb])
+        vpad = jnp.stack([ent[4][2] for ent in self._dpb])
+        flat = res["coeffs"].astype(np.int32).ravel()
+        idx = np.flatnonzero(flat).astype(np.int32)
+        vals = flat[idx].astype(np.int16)
+        mv = jnp.asarray(res["mv"])
+        ref = jnp.asarray(res["ref"])
+        qp = jnp.asarray(res["qp"])
+        y, u, v = D.recon_p_frame(
+            luma4, upad, vpad, jnp.asarray(idx), jnp.asarray(vals), mv,
+            ref, qp, mb_w, mb_h, self.pps.chroma_qp_index_offset)
+        if do_deblock:
+            y, u, v = D.deblock_frame(
+                y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv, ref,
+                qp, mb_w, mb_h, self.pps.chroma_qp_index_offset,
+                sh.alpha_off, sh.beta_off)
+        return y, u, v

@@ -185,13 +185,15 @@ def _mc(luma4, upad, vpad, mv, ref, mb_w, mb_h):
     iy = jnp.clip(ys + (mvy >> 2) + PAD, 3, hp - 8)
     ix = jnp.clip(xs + (mvx >> 2) + PAD, 3, wp - 8)
     r4 = jnp.arange(4)
-    lflat = luma4.reshape(-1)
+    lall = luma4.reshape(-1, hp, wp)      # [R*4, hp, wp]
 
     def lgather(pidx, dy, dx):
+        # structured indices (batch dim + iota minor axes) so the TPU
+        # backend emits row-slice loads instead of per-element fetches
+        p = (ridx * 4 + pidx)[:, None, None]
         by = (iy + dy)[:, None, None] + r4[None, :, None]
         bx = (ix + dx)[:, None, None] + r4[None, None, :]
-        flat = ((ridx * 4 + pidx)[:, None, None] * hp + by) * wp + bx
-        return lflat[flat.ravel()].reshape(nblk, 4, 4).astype(jnp.int32)
+        return lall[p, by, bx].astype(jnp.int32)
 
     a = lgather(qm[:, 0], qm[:, 1], qm[:, 2])
     b = lgather(qm[:, 3], qm[:, 4], qm[:, 5])
@@ -208,16 +210,18 @@ def _mc(luma4, upad, vpad, mv, ref, mb_w, mb_h):
     by = ciy[:, None, None] + r2[None, :, None]
     bx = cix[:, None, None] + r2[None, None, :]
 
+    r3 = jnp.arange(3)
+    by3 = ciy[:, None, None] + r3[None, :, None]
+    bx3 = cix[:, None, None] + r3[None, None, :]
+
     def cgather(cpad):
-        cflat = cpad.reshape(-1)
-        base = (ridx[:, None, None] * hc + by) * wc + bx
-        p00 = cflat[base.ravel()].reshape(nblk, 2, 2).astype(jnp.int32)
-        p01 = cflat[(base + 1).ravel()].reshape(nblk, 2, 2) \
-            .astype(jnp.int32)
-        p10 = cflat[(base + wc).ravel()].reshape(nblk, 2, 2) \
-            .astype(jnp.int32)
-        p11 = cflat[(base + wc + 1).ravel()].reshape(nblk, 2, 2) \
-            .astype(jnp.int32)
+        # one structured 3x3 patch gather covers all four bilinear taps
+        rb = ridx[:, None, None]
+        p = cpad[rb, by3, bx3].astype(jnp.int32)       # [nblk, 3, 3]
+        p00 = p[:, 0:2, 0:2]
+        p01 = p[:, 0:2, 1:3]
+        p10 = p[:, 1:3, 0:2]
+        p11 = p[:, 1:3, 1:3]
         return ((8 - dx) * (8 - dy) * p00 + dx * (8 - dy) * p01
                 + (8 - dx) * dy * p10 + dx * dy * p11 + 32) >> 6
 

@@ -122,3 +122,49 @@ def test_device_recon_and_deblock_match_host():
 
         ref_host = (ydb, udb, vdb)
     assert n_inter >= 3, "test stream produced too few all-inter frames"
+
+
+def test_decoder_device_mode_bit_exact():
+    """H264Decoder(device=1) == H264Decoder(device=0) on mixed streams
+    (IDR + P with occasional intra-in-P -> exercises the host fallback
+    and DPB handoff in both directions)."""
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 96, 64
+    enc, pkts = _stream(w, h, 8)
+    d_dev = H264Decoder(enc.codec_parameters(), device=1)
+    d_host = H264Decoder(enc.codec_parameters(), device=0)
+    for pkt in pkts:
+        fd = d_dev.decode(pkt)
+        fh = d_host.decode(pkt)
+        assert len(fd) == len(fh)
+        for a, b in zip(fd, fh):
+            for pa, pb in zip(a.planes, b.planes):
+                assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_decoder_device_mode_variety_torture():
+    """Device mode on variety streams (all MB shapes, intra refreshes):
+    the all-inter gate must route intra frames to the host path and the
+    outputs stay bit-exact."""
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 80, 48
+    rng = np.random.default_rng(5)
+    frames = []
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.uint8)
+    for i in range(8):
+        y = base[i:h + i, i * 2:w + i * 2]
+        u = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y.copy(), u, v),
+                                 format="yuv420p", width=w, height=h,
+                                 pts=i, time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=30, g=4, variety=1)
+    pkts = [enc.encode(f)[0] for f in frames]
+    d_dev = H264Decoder(enc.codec_parameters(), device=1)
+    d_host = H264Decoder(enc.codec_parameters(), device=0)
+    for pkt in pkts:
+        for a, b in zip(d_dev.decode(pkt), d_host.decode(pkt)):
+            for pa, pb in zip(a.planes, b.planes):
+                assert np.array_equal(np.asarray(pa), np.asarray(pb))
