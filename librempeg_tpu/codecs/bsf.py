@@ -212,3 +212,25 @@ class ExtractExtradataBsf(BitstreamFilter):
                 pkt = pkt.replace(data=b"".join(
                     b"\x00\x00\x00\x01" + n for n in rest))
         return [pkt]
+
+
+@register_bsf
+class H264Cavlc2CabacBsf(BitstreamFilter):
+    """Entropy-recode annex-B H.264 CAVLC packets to CABAC (pixel-exact;
+    see codecs/h264/entropy_transcode.py)."""
+
+    NAME = "h264_cavlc2cabac"
+
+    def __init__(self, params=None, **opts):
+        super().__init__(params, **opts)
+        from librempeg_tpu.codecs.h264.entropy_transcode import (
+            EntropyTranscoder,
+        )
+
+        self._etc = EntropyTranscoder()
+        if params is not None and params.extradata \
+                and bytes(params.extradata[:1]) == b"\x00":
+            params.extradata = self._etc.feed(bytes(params.extradata))
+
+    def filter(self, pkt):
+        return [pkt.replace(data=self._etc.feed(bytes(pkt.data)))]

@@ -48,6 +48,10 @@ class H264Encoder(Encoder):
         Option("variety", int, 0, min=0, max=1,
                help="cycle all partition/intra shapes (conformance "
                     "torture streams)"),
+        Option("cabac", int, 0, min=0, max=1,
+               help="CABAC entropy coding (-coder 1 analog): the CAVLC "
+                    "frame is entropy-recoded through the native CABAC "
+                    "engine"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
@@ -63,16 +67,23 @@ class H264Encoder(Encoder):
         self._next_pts = 0
         self._ref = None          # deblocked recon of last ref frame
         self._frame_num = 0
+        self._etc = None          # CABAC entropy recoder (coder=cabac)
 
     def codec_parameters(self):
         from librempeg_tpu.formats.api import CodecParameters
 
+        extradata = I.build_sps(self.width // 16, self.height // 16) \
+            + I.build_pps()
+        if self.opts["cabac"]:
+            from librempeg_tpu.codecs.h264.entropy_transcode import (
+                EntropyTranscoder,
+            )
+
+            extradata = EntropyTranscoder().feed(extradata)
         return CodecParameters(
             codec_type="video", codec_id="h264",
             width=self.width, height=self.height, pix_fmt="yuv420p",
-            framerate=self.framerate,
-            extradata=I.build_sps(self.width // 16, self.height // 16)
-            + I.build_pps())
+            framerate=self.framerate, extradata=extradata)
 
     def encode(self, frame: VideoFrame):
         from librempeg_tpu.codecs.h264.inter_enc import FrameEncoder
@@ -105,6 +116,15 @@ class H264Encoder(Encoder):
                                   mb_w, mb_h)
         self._ref = (dy, du, dv)
         self._frame_num = (self._frame_num + 1) % 16
+
+        if self.opts["cabac"]:
+            if self._etc is None:
+                from librempeg_tpu.codecs.h264.entropy_transcode import (
+                    EntropyTranscoder,
+                )
+
+                self._etc = EntropyTranscoder()
+            data = self._etc.feed(data)
 
         pts = frame.pts if frame.pts != NOPTS else self._next_pts
         self._next_pts = pts + 1
@@ -190,8 +210,6 @@ class H264Decoder(Decoder):
                                 nal.ref_idc)
         if sh.slice_type not in ("I", "P"):
             raise Unsupported(f"h264: {sh.slice_type} slices")
-        if self.pps.entropy_coding_mode:
-            raise Unsupported("h264: CABAC (in progress)")
         if self.pps.constrained_intra_pred:
             raise Unsupported("h264: constrained intra prediction")
 
@@ -200,9 +218,16 @@ class H264Decoder(Decoder):
         nmb = mb_w * mb_h
         if sh.idr:
             self._dpb.clear()
-        res = native.h264_decode_slice_cavlc(
-            nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-            0 if sh.slice_type == "P" else 2, sh.qp, sh.num_ref_idx_l0)
+        if self.pps.entropy_coding_mode:
+            res = native.h264_decode_slice_cabac(
+                nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
+                0 if sh.slice_type == "P" else 2, sh.qp,
+                sh.num_ref_idx_l0, sh.cabac_init_idc)
+        else:
+            res = native.h264_decode_slice_cavlc(
+                nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
+                0 if sh.slice_type == "P" else 2, sh.qp,
+                sh.num_ref_idx_l0)
 
         # accumulate slices into the current frame
         if sh.first_mb == 0 or self._cur is None:

@@ -231,6 +231,7 @@ class SliceHeader:
     qp: int = 26
     num_ref_idx_l0: int = 1
     cabac_init_idc: int = 0
+    bitpos_cabac_idc: int = 0          # bit pos where cabac_init_idc sits
     disable_deblock: int = 0       # disable_deblocking_filter_idc
     alpha_off: int = 0             # slice_alpha_c0_offset_div2 * 2
     beta_off: int = 0
@@ -276,6 +277,7 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
         else:
             if g.u(1):  # adaptive_ref_pic_marking_mode_flag
                 raise Unsupported("h264: adaptive ref pic marking (MMCO)")
+    sh.bitpos_cabac_idc = g.pos       # insertion point for CAVLC->CABAC
     if pps.entropy_coding_mode and sh.slice_type not in ("I", "SI"):
         sh.cabac_init_idc = g.ue()
     sh.qp = pps.pic_init_qp + g.se()

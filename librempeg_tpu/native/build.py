@@ -18,7 +18,7 @@ _SRC = os.path.join(_DIR, "bitstream.cpp")
 _SRCS = [os.path.join(_DIR, f)
          for f in ("bitstream.cpp", "h264.cpp", "mpeg4.cpp")]
 _HDRS = [os.path.join(_DIR, f)
-         for f in ("h264_tables.h", "mpeg4_tables.h")]
+         for f in ("h264_tables.h", "mpeg4_tables.h", "cabac_tables.h")]
 _LIB = os.path.join(_DIR, "_bitstream.so")
 
 _lock = threading.Lock()
@@ -105,6 +105,13 @@ def get() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
             u8pp, u8pp, u8pp, u8pp, u8pp, u8pp]
+        lib.h264_cabac_slice.restype = ctypes.c_int
+        lib.h264_cabac_slice.argtypes = [
+            ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p]
         lib.h264_intra_recon.restype = None
         lib.h264_intra_recon.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -430,3 +437,67 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         from librempeg_tpu.core.errors import InvalidData
 
         raise InvalidData("h264: ref idx out of range")
+
+
+def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
+                            mb_h: int, first_mb: int, slice_type: int,
+                            slice_qp: int, num_ref_idx_l0: int,
+                            cabac_init_idc: int) -> dict:
+    """CABAC twin of h264_decode_slice_cavlc (same tensor layout)."""
+    lib = get()
+    assert lib is not None
+    nmb = mb_w * mb_h
+    kind = np.full(nmb, -1, np.int32)
+    info = np.zeros(nmb, np.int32)
+    i4m = np.zeros((nmb, 16), np.int8)
+    mv = np.zeros((nmb, 16, 2), np.int16)
+    ref = np.full((nmb, 4), -1, np.int8)
+    qp = np.zeros(nmb, np.int32)
+    coeffs = np.zeros((nmb, 27, 16), np.int16)
+    ncoef = np.zeros((nmb, 27), np.int16)
+    end = np.zeros(2, np.int32)
+    buf = np.frombuffer(rbsp, np.uint8)
+    r = lib.h264_cabac_slice(
+        0, _u8(buf), len(rbsp), start_bit, _u8(np.zeros(1, np.uint8)), 0,
+        mb_w, mb_h, first_mb, slice_type, slice_qp, num_ref_idx_l0,
+        cabac_init_idc,
+        _i32(kind), _i32(info), _i8(i4m), _i16(mv), _i8(ref), _i32(qp),
+        _i16(coeffs), _i16(ncoef), _i32(end))
+    if r < 0:
+        from librempeg_tpu.core.errors import InvalidData, Unsupported
+
+        if r == -5:
+            raise Unsupported("h264: I_PCM macroblocks")
+        raise InvalidData(f"h264: CABAC slice decode failed ({r})")
+    return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
+            "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
+            "end_bit": int(end[0]), "last_mb": int(end[1])}
+
+
+def h264_encode_slice_cabac(res: dict, mb_w: int, mb_h: int,
+                            slice_type: int, slice_qp: int,
+                            num_ref_idx_l0: int,
+                            cabac_init_idc: int = 0) -> bytes:
+    """Encode per-MB tensors as CABAC slice data (alignment handled by
+    caller; returned bytes start at the first arithmetic byte)."""
+    lib = get()
+    assert lib is not None
+    nmb = mb_w * mb_h
+    cap = int(res["coeffs"].size) * 4 + nmb * 16 + 65536
+    out = np.zeros(cap, np.uint8)
+    end = np.zeros(2, np.int32)
+    r = lib.h264_cabac_slice(
+        1, _u8(np.zeros(1, np.uint8)), 0, 0, _u8(out), cap,
+        mb_w, mb_h, 0, slice_type, slice_qp, num_ref_idx_l0,
+        cabac_init_idc,
+        _i32(np.ascontiguousarray(res["kind"], np.int32)),
+        _i32(np.ascontiguousarray(res["info"], np.int32)),
+        _i8(np.ascontiguousarray(res["i4modes"], np.int8)),
+        _i16(np.ascontiguousarray(res["mv"], np.int16)),
+        _i8(np.ascontiguousarray(res["ref"], np.int8)),
+        _i32(np.ascontiguousarray(res["qp"], np.int32)),
+        _i16(np.ascontiguousarray(res["coeffs"], np.int16)),
+        _i16(np.ascontiguousarray(res["ncoef"], np.int16)), _i32(end))
+    if r < 0:
+        raise RuntimeError(f"h264: CABAC slice encode failed ({r})")
+    return out[:int(end[0])].tobytes()

@@ -1622,3 +1622,1048 @@ extern "C" int h264_recon_frame(
     free(cmask);
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// CABAC entropy layer (§9.3): arithmetic decoder + encoder engines and
+// the H.264 slice-data syntax in CABAC form, emitting/consuming the
+// same per-MB tensor layout as the CAVLC path above.
+//
+// Engine follows the spec state machine (Tables 9-44/9-45 in
+// cabac_tables.h, extracted spec constants); context derivation per
+// §9.3.3.1 (behavioral reference h264_cabac.c — neighbor cache
+// semantics, not a translation). The encoder is the exact inverse,
+// enabling CAVLC->CABAC entropy transcoding validated against the
+// reference decoder in tests.
+// ---------------------------------------------------------------------------
+
+#include "cabac_tables.h"
+
+namespace {
+
+struct CabDec {
+    const uint8_t* data;
+    int nbits, pos;
+    uint32_t range, offset;
+    uint8_t state[1024];   // 6-bit state | mps in bit 6? -> split arrays
+    uint8_t mps[1024];
+    int error;
+};
+
+inline int cd_bit(CabDec* c) {
+    if (c->pos >= c->nbits) { c->error = 1; return 0; }
+    int v = (c->data[c->pos >> 3] >> (7 - (c->pos & 7))) & 1;
+    c->pos++;
+    return v;
+}
+
+void cab_init_contexts(uint8_t* st, uint8_t* mps, int qp,
+                       const int8_t (*tab)[2]) {
+    for (int i = 0; i < 1024; i++) {
+        int pre = ((tab[i][0] * (qp < 0 ? 0 : (qp > 51 ? 51 : qp))) >> 4)
+                  + tab[i][1];
+        if (pre < 1) pre = 1;
+        if (pre > 126) pre = 126;
+        if (pre >= 64) { st[i] = (uint8_t)(pre - 64); mps[i] = 1; }
+        else { st[i] = (uint8_t)(63 - pre); mps[i] = 0; }
+    }
+}
+
+void cd_start(CabDec* c, const uint8_t* data, int nbits, int pos) {
+    c->data = data; c->nbits = nbits; c->error = 0;
+    c->pos = (pos + 7) & ~7;      // cabac_alignment_one_bit(s)
+    c->range = 510;
+    c->offset = 0;
+    for (int i = 0; i < 9; i++) c->offset = (c->offset << 1) | cd_bit(c);
+}
+
+inline int cd_decision(CabDec* c, int ctx) {
+    uint32_t lps = CAB_LPS[c->state[ctx]][(c->range >> 6) & 3];
+    c->range -= lps;
+    int bin;
+    if (c->offset >= c->range) {
+        bin = !c->mps[ctx];
+        c->offset -= c->range;
+        c->range = lps;
+        if (c->state[ctx] == 0) c->mps[ctx] = !c->mps[ctx];
+        c->state[ctx] = CAB_TRANS_LPS[c->state[ctx]];
+    } else {
+        bin = c->mps[ctx];
+        if (c->state[ctx] < 62) c->state[ctx]++;
+    }
+    while (c->range < 256) {
+        c->range <<= 1;
+        c->offset = (c->offset << 1) | cd_bit(c);
+    }
+    return bin;
+}
+
+inline int cd_bypass(CabDec* c) {
+    c->offset = (c->offset << 1) | cd_bit(c);
+    if (c->offset >= c->range) { c->offset -= c->range; return 1; }
+    return 0;
+}
+
+inline int cd_terminate(CabDec* c) {
+    c->range -= 2;
+    if (c->offset >= c->range) return 1;
+    while (c->range < 256) {
+        c->range <<= 1;
+        c->offset = (c->offset << 1) | cd_bit(c);
+    }
+    return 0;
+}
+
+// --- encoder engine (§9.3.4) ---
+
+struct CabEnc {
+    uint8_t* out;
+    long cap, nbytes;
+    uint64_t acc;          // bit accumulator (MSB-first like BW)
+    int nbits;
+    uint32_t low, range;
+    int outstanding;
+    int first;             // suppress the very first put bit
+    uint8_t state[1024];
+    uint8_t mps[1024];
+    int overflow;
+};
+
+inline void ce_rawbit(CabEnc* e, int b) {
+    e->acc = (e->acc << 1) | (unsigned)b;
+    if (++e->nbits == 8) {
+        if (e->nbytes >= e->cap) { e->overflow = 1; e->nbits = 0; return; }
+        e->out[e->nbytes++] = (uint8_t)(e->acc & 0xff);
+        e->nbits = 0;
+    }
+}
+
+inline void ce_putbit(CabEnc* e, int b) {
+    if (e->first) e->first = 0;
+    else ce_rawbit(e, b);
+    while (e->outstanding > 0) { ce_rawbit(e, !b); e->outstanding--; }
+}
+
+inline void ce_renorm(CabEnc* e) {
+    while (e->range < 256) {
+        if (e->low < 256) ce_putbit(e, 0);
+        else if (e->low >= 512) { e->low -= 512; ce_putbit(e, 1); }
+        else { e->low -= 256; e->outstanding++; }
+        e->low <<= 1;
+        e->range <<= 1;
+    }
+}
+
+inline void ce_decision(CabEnc* e, int ctx, int bin) {
+    uint32_t lps = CAB_LPS[e->state[ctx]][(e->range >> 6) & 3];
+    e->range -= lps;
+    if (bin != e->mps[ctx]) {
+        e->low += e->range;
+        e->range = lps;
+        if (e->state[ctx] == 0) e->mps[ctx] = !e->mps[ctx];
+        e->state[ctx] = CAB_TRANS_LPS[e->state[ctx]];
+    } else {
+        if (e->state[ctx] < 62) e->state[ctx]++;
+    }
+    ce_renorm(e);
+}
+
+inline void ce_bypass(CabEnc* e, int bin) {
+    e->low <<= 1;
+    if (bin) e->low += e->range;
+    if (e->low >= 1024) { ce_putbit(e, 1); e->low -= 1024; }
+    else if (e->low < 512) ce_putbit(e, 0);
+    else { e->outstanding++; e->low -= 512; }
+}
+
+inline void ce_terminate(CabEnc* e, int bin) {
+    e->range -= 2;
+    if (bin) {
+        e->low += e->range;
+        e->range = 2;
+        ce_renorm(e);
+        // EncodeFlush (§9.3.4.6)
+        ce_putbit(e, (e->low >> 9) & 1);
+        ce_rawbit(e, (e->low >> 8) & 1);
+        ce_rawbit(e, 1);               // rbsp stop bit
+        while (e->nbits) ce_rawbit(e, 0);
+    } else {
+        ce_renorm(e);
+    }
+}
+
+// --- CABAC slice context (neighbor caches beyond SliceCtx) ---
+
+struct CabacSlice {
+    SliceCtx* c;
+    CabDec* dec;           // one of dec/enc is active
+    CabEnc* enc;
+    int is_p;
+    // per-MB state tables for context derivation
+    uint16_t* cbpx;        // cbp | dcDC bits (0x40<<c chromaDC, 0x100 lumaDC)
+    int8_t* skipf;         // mb is skip
+    int8_t* cmode;         // chroma pred mode
+    int8_t* itype;         // 0 none/inter, 1 = I4x4, 2 = I16/IPCM
+    int16_t* amvd;         // [h4*w4*2] abs mvd per 4x4
+    int last_dqp;
+    int mb_w, mb_h;
+};
+
+// unified get/put bin so the syntax walk is written once
+inline int cs_bin(CabacSlice* s, int ctx, int bin) {
+    if (s->dec) return cd_decision(s->dec, ctx);
+    ce_decision(s->enc, ctx, bin);
+    return bin;
+}
+inline int cs_bypass(CabacSlice* s, int bin) {
+    if (s->dec) return cd_bypass(s->dec);
+    ce_bypass(s->enc, bin);
+    return bin;
+}
+inline int cs_term(CabacSlice* s, int bin) {
+    if (s->dec) return cd_terminate(s->dec);
+    ce_terminate(s->enc, bin);
+    return bin;
+}
+
+// neighbor MB index or -1 (availability = decoded in this slice)
+inline int nb_mb(const CabacSlice* s, int mb, int dx, int dy) {
+    int mx = mb % s->mb_w + dx, my = mb / s->mb_w + dy;
+    if (mx < 0 || my < 0 || mx >= s->mb_w || my >= s->mb_h) return -1;
+    int n = my * s->mb_w + mx;
+    return s->c->decoded[n] ? n : -1;
+}
+
+// extended cbp of a neighbor for cbf ctx (h264_mvpred.h:721 semantics)
+inline int nb_cbpx(const CabacSlice* s, int mb, int dx, int dy,
+                   int cur_intra) {
+    int n = nb_mb(s, mb, dx, dy);
+    if (n < 0) return cur_intra ? 0x7CF : 0x00F;
+    return s->cbpx[n];
+}
+
+// nnz of neighbor 4x4 block on a grid (64 when unavailable & intra)
+inline int nb_nnz(const CabacSlice* s, const int8_t* grid, int w, int h,
+                  int bx, int by, int cur_intra) {
+    if (bx < 0 || by < 0 || bx >= w || by >= h)
+        return cur_intra ? 64 : 0;
+    int v = grid[by * w + bx];
+    if (v < 0) return cur_intra ? 64 : 0;   // other slice / undecoded
+    return v;
+}
+
+// ---- residual block in CABAC form (§9.3.3.1.3 / residual_block_cabac)
+// For decode: fills out[] (zigzag levels), returns total nonzero count.
+// For encode: reads out[] levels. cbf handled by the caller.
+// cat: 0 lumaDC 1 lumaAC 2 luma4x4 3 chromaDC 4 chromaAC
+static const int SIG_OFF[5] = {105 + 0, 105 + 15, 105 + 29, 105 + 44,
+                               105 + 47};
+static const int LAST_OFF[5] = {166 + 0, 166 + 15, 166 + 29, 166 + 44,
+                                166 + 47};
+static const int ABS_OFF[5] = {227 + 0, 227 + 10, 227 + 20, 227 + 30,
+                               227 + 39};
+static const uint8_t LVL1_CTX[8] = {1, 2, 3, 4, 0, 0, 0, 0};
+static const uint8_t GT1_CTX[8] = {5, 5, 5, 5, 6, 7, 8, 9};
+static const uint8_t LVL_TRANS0[8] = {1, 2, 3, 3, 4, 5, 6, 7};
+static const uint8_t LVL_TRANS1[8] = {4, 4, 4, 4, 5, 6, 7, 7};
+
+int cab_residual(CabacSlice* s, int cat, int16_t* zz, int first,
+                 int maxc) {
+    // significance map over zz positions first..first+maxc-1; position
+    // maxc-1 is implicitly significant when no last flag terminated.
+    int idx[16], count = 0;
+    if (s->dec) {
+        int i;
+        for (i = 0; i < maxc - 1; i++) {
+            if (cd_decision(s->dec, SIG_OFF[cat] + i)) {
+                idx[count++] = i;
+                if (cd_decision(s->dec, LAST_OFF[cat] + i)) break;
+            }
+        }
+        if (i == maxc - 1) idx[count++] = i;   // implicit last
+    } else {
+        int lastnz = -1;
+        for (int i = 0; i < maxc; i++)
+            if (zz[first + i]) lastnz = i;
+        for (int i = 0; i < maxc - 1 && i <= lastnz; i++) {
+            int sig = zz[first + i] != 0;
+            ce_decision(s->enc, SIG_OFF[cat] + i, sig);
+            if (sig) {
+                idx[count++] = i;
+                ce_decision(s->enc, LAST_OFF[cat] + i, i == lastnz);
+            }
+        }
+        if (lastnz == maxc - 1) idx[count++] = lastnz;
+    }
+    // levels, last significant coefficient first (node-ctx machine)
+    int node = 0;
+    for (int k = count - 1; k >= 0; k--) {
+        int pos = first + idx[k];
+        int abslev, sign;
+        if (s->dec) {
+            if (!cd_decision(s->dec, ABS_OFF[cat] + LVL1_CTX[node])) {
+                abslev = 1;
+                node = LVL_TRANS0[node];
+            } else {
+                abslev = 2;
+                int gctx = ABS_OFF[cat] + GT1_CTX[node];
+                node = LVL_TRANS1[node];
+                while (abslev < 15 && cd_decision(s->dec, gctx))
+                    abslev++;
+                if (abslev >= 15) {
+                    int j = 0;
+                    while (cd_bypass(s->dec) && j < 23) j++;
+                    int v = 1;
+                    while (j--) v = (v << 1) | cd_bypass(s->dec);
+                    abslev = v + 14;
+                }
+            }
+            sign = cd_bypass(s->dec);
+            int lv = sign ? -abslev : abslev;
+            if (lv < -32768 || lv > 32767) { s->dec->error = 1; lv = 0; }
+            zz[pos] = (int16_t)lv;
+        } else {
+            int lv = zz[pos];
+            abslev = lv < 0 ? -lv : lv;
+            sign = lv < 0;
+            if (abslev == 1) {
+                ce_decision(s->enc, ABS_OFF[cat] + LVL1_CTX[node], 0);
+                node = LVL_TRANS0[node];
+            } else {
+                ce_decision(s->enc, ABS_OFF[cat] + LVL1_CTX[node], 1);
+                int gctx = ABS_OFF[cat] + GT1_CTX[node];
+                node = LVL_TRANS1[node];
+                int u = abslev < 15 ? abslev : 15;
+                for (int t = 2; t < u; t++) ce_decision(s->enc, gctx, 1);
+                if (abslev < 15) ce_decision(s->enc, gctx, 0);
+                else {
+                    // decoder stops at 15 without a terminator bin;
+                    // EG0 suffix carries abslev-14 >= 1
+                    int v = abslev - 14;
+                    int j = 0;
+                    while ((2 << j) <= v) j++;     // v >= 2^j+... prefix len
+                    for (int t = 0; t < j; t++) ce_bypass(s->enc, 1);
+                    ce_bypass(s->enc, 0);
+                    for (int t = j - 1; t >= 0; t--)
+                        ce_bypass(s->enc, (v >> t) & 1);
+                }
+            }
+            ce_bypass(s->enc, sign);
+        }
+    }
+    return count;
+}
+
+}  // namespace
+
+namespace {
+
+// intra mb_type prefix/suffix (§9.3.2.5; layout per h264_cabac.c
+// decode_cabac_intra_mb_type). Returns 0=I4x4, 1..24=I16, 25=PCM.
+int cs_intra_mb_type(CabacSlice* s, int base, int intra_slice,
+                     int mb, int val) {
+    // val (encode): 0 I4x4; 1+ imode16 + 4*cbp_chroma + 12*(cbp_luma!=0)
+    int first_ctx = base;
+    if (intra_slice) {
+        int ctx = 0;
+        int na = nb_mb(s, mb, -1, 0), nb = nb_mb(s, mb, 0, -1);
+        if (na >= 0 && s->itype[na] == 2) ctx++;
+        if (nb >= 0 && s->itype[nb] == 2) ctx++;
+        first_ctx = base + ctx;
+    }
+    int is16 = cs_bin(s, first_ctx, val != 0);
+    if (!is16) return 0;
+    int sbase = base + (intra_slice ? 2 : 0);
+    if (cs_term(s, 0)) return 25;          // I_PCM
+    int t = val - 1;                       // encode-side components
+    int cbl = cs_bin(s, sbase + 1, (t / 12) & 1);
+    int mbt = 1 + 12 * cbl;
+    int cc = (t / 4) % 3;
+    if (cs_bin(s, sbase + 2, cc != 0))
+        mbt += 4 + 4 * cs_bin(s, sbase + 2 + intra_slice, cc == 2);
+    mbt += 2 * cs_bin(s, sbase + 3 + intra_slice, (t % 4) >> 1);
+    mbt += 1 * cs_bin(s, sbase + 3 + 2 * intra_slice, t & 1);
+    return mbt;
+}
+
+// mvd component (§9.3.2.3 UEG3): ctxbase 40 (x) / 47 (y)
+int cs_mvd(CabacSlice* s, int ctxbase, int amvd, int val) {
+    int inc = (amvd > 32) ? 2 : (amvd > 2 ? 1 : 0);
+    int av = val < 0 ? -val : val;
+    if (!cs_bin(s, ctxbase + inc, av != 0)) return 0;
+    int mvd = 1;
+    int ctx = ctxbase + 3;
+    while (mvd < 9 && cs_bin(s, ctx, av > mvd)) {
+        if (mvd < 4) ctx++;
+        mvd++;
+    }
+    if (mvd >= 9) {
+        if (s->dec) {
+            int k = 3;
+            while (cd_bypass(s->dec)) {
+                mvd += 1 << k;
+                k++;
+                if (k > 24) { s->dec->error = 1; return 0; }
+            }
+            while (k--) mvd += cd_bypass(s->dec) << k;
+        } else {
+            // EG3 suffix for av - 9 >= 0
+            int v = av - 9;
+            int k = 3;
+            while (v >= (1 << k)) { ce_bypass(s->enc, 1); v -= 1 << k; k++; }
+            ce_bypass(s->enc, 0);
+            while (k-- > 0) ce_bypass(s->enc, (v >> k) & 1);
+            mvd = av;
+        }
+    }
+    int sign = cs_bypass(s, val < 0);
+    return sign ? -mvd : mvd;
+}
+
+int cs_ref(CabacSlice* s, int mb, int x4, int y4, int val) {
+    // ctx from neighbor refIdx > 0 (refg grid; intra/unavailable -> 0)
+    int ra = (x4 > 0) ? s->c->refg[y4 * s->c->w4 + x4 - 1] : -2;
+    int rb = (y4 > 0) ? s->c->refg[(y4 - 1) * s->c->w4 + x4] : -2;
+    int ctx = (ra > 0 ? 1 : 0) + (rb > 0 ? 2 : 0);
+    int ref = 0;
+    while (cs_bin(s, 54 + ctx, val > ref)) {
+        ref++;
+        ctx = (ctx >> 2) + 4;
+        if (ref >= 32) return -1;
+    }
+    return ref;
+}
+
+int cs_dqp(CabacSlice* s, int val) {
+    // mapped unary: dqp>0 -> 2d-1, dqp<0 -> -2d (§9.3.2.7)
+    int mapped = val > 0 ? 2 * val - 1 : -2 * val;
+    if (!cs_bin(s, 60 + (s->last_dqp != 0), mapped != 0)) {
+        s->last_dqp = 0;
+        return 0;
+    }
+    int v = 1, ctx = 2;
+    while (v < 104 && cs_bin(s, 60 + ctx, mapped > v)) { ctx = 3; v++; }
+    int dqp = (v & 1) ? (v + 1) >> 1 : -((v + 1) >> 1);
+    s->last_dqp = dqp;
+    return dqp;
+}
+
+// cbf contexts (§9.3.3.1.1.9); cat 0..4, blk grid coords for AC cats
+int cs_cbf(CabacSlice* s, int cat, int mb, int gy, int gx, int ch,
+           int cur_intra, int val) {
+    static const int BASE[5] = {85, 89, 93, 97, 101};
+    int nza, nzb;
+    if (cat == 0) {               // luma DC: neighbor MB bit 0x100
+        nza = nb_cbpx(s, mb, -1, 0, cur_intra) & 0x100;
+        nzb = nb_cbpx(s, mb, 0, -1, cur_intra) & 0x100;
+    } else if (cat == 3) {        // chroma DC: bit 0x40 << ch
+        nza = nb_cbpx(s, mb, -1, 0, cur_intra) & (0x40 << ch);
+        nzb = nb_cbpx(s, mb, 0, -1, cur_intra) & (0x40 << ch);
+    } else if (cat == 4) {        // chroma AC on the 2x2-per-MB grid
+        const int8_t* g = ch == 0 ? s->c->tcU : s->c->tcV;
+        nza = nb_nnz(s, g, s->c->wc, s->c->hc, gx - 1, gy, cur_intra);
+        nzb = nb_nnz(s, g, s->c->wc, s->c->hc, gx, gy - 1, cur_intra);
+    } else {                      // luma 4x4 / AC
+        nza = nb_nnz(s, s->c->tcY, s->c->w4, s->c->h4, gx - 1, gy,
+                     cur_intra);
+        nzb = nb_nnz(s, s->c->tcY, s->c->w4, s->c->h4, gx, gy - 1,
+                     cur_intra);
+    }
+    int ctx = (nza > 0 ? 1 : 0) + (nzb > 0 ? 2 : 0);
+    return cs_bin(s, BASE[cat] + ctx, val);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// CABAC slice data: one function, two directions.
+//
+// mode 0 (decode): parse rbsp from start_bit, fill the per-MB tensors
+//   (same layout as h264_decode_slice_cavlc), end_state = {bitpos, mbs}.
+// mode 1 (encode): read the tensors and produce the CABAC slice data
+//   (alignment ones + arithmetic payload incl. the final flush/stop)
+//   into out/out_cap; end_state[0] = output BYTE count, end_state[1] =
+//   mbs processed. The bit prefix before slice data (slice header) is
+//   NOT written here -- the caller glues header bits + alignment.
+//
+// Constraints: frame MBs, 4:2:0, no 8x8 transform, I/P slices, no PCM.
+extern "C" int h264_cabac_slice(
+    int mode, const uint8_t* rbsp, int nbytes, int start_bit,
+    uint8_t* out, long out_cap,
+    int mb_w, int mb_h, int first_mb,
+    int slice_type, int slice_qp, int num_ref_idx_l0, int cabac_init_idc,
+    int32_t* mb_kind, int32_t* mb_info, int8_t* i4modes,
+    int16_t* mv_out, int8_t* ref_out, int32_t* qp_out,
+    int16_t* coeffs, int16_t* ncoef, int32_t* end_state)
+{
+    const int nMB = mb_w * mb_h;
+    const int is_p = slice_type == 0;
+    const int dec = mode == 0;
+    if (first_mb < 0 || first_mb >= nMB) return -1;
+
+    SliceCtx c;
+    c.mb_w = mb_w; c.mb_h = mb_h;
+    c.w4 = mb_w * 4; c.h4 = mb_h * 4;
+    c.wc = mb_w * 2; c.hc = mb_h * 2;
+    c.tcY = (int8_t*)malloc((size_t)c.w4 * c.h4);
+    c.tcU = (int8_t*)malloc((size_t)c.wc * c.hc);
+    c.tcV = (int8_t*)malloc((size_t)c.wc * c.hc);
+    c.mvg = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
+    c.refg = (int8_t*)malloc((size_t)c.w4 * c.h4);
+    c.i4g = (int8_t*)malloc((size_t)c.w4 * c.h4);
+    c.decoded = (uint8_t*)calloc((size_t)nMB, 1);
+    memset(c.tcY, -1, (size_t)c.w4 * c.h4);
+    memset(c.tcU, -1, (size_t)c.wc * c.hc);
+    memset(c.tcV, -1, (size_t)c.wc * c.hc);
+    memset(c.refg, -2, (size_t)c.w4 * c.h4);
+    memset(c.i4g, -2, (size_t)c.w4 * c.h4);
+
+    CabDec cd;
+    CabEnc ce;
+    CabacSlice s;
+    s.c = &c; s.is_p = is_p; s.mb_w = mb_w; s.mb_h = mb_h;
+    s.last_dqp = 0;
+    s.cbpx = (uint16_t*)calloc(nMB, 2);
+    s.skipf = (int8_t*)calloc(nMB, 1);
+    s.cmode = (int8_t*)calloc(nMB, 1);
+    s.itype = (int8_t*)calloc(nMB, 1);
+    s.amvd = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
+    if (dec) {
+        s.dec = &cd; s.enc = 0;
+        cab_init_contexts(cd.state, cd.mps, slice_qp,
+                          is_p ? CAB_INIT_PB[cabac_init_idc]
+                               : CAB_INIT_I);
+        cd_start(&cd, rbsp, nbytes * 8, start_bit);
+    } else {
+        s.dec = 0; s.enc = &ce;
+        memset(&ce, 0, sizeof(ce));
+        ce.out = out; ce.cap = out_cap;
+        ce.low = 0; ce.range = 510; ce.first = 1;
+        cab_init_contexts(ce.state, ce.mps, slice_qp,
+                          is_p ? CAB_INIT_PB[cabac_init_idc]
+                               : CAB_INIT_I);
+    }
+
+    int qp = slice_qp;
+    int err = 0;
+    int mb = first_mb;
+
+    #define CFAIL(code) do { err = (code); goto done; } while (0)
+
+    for (; mb < nMB; mb++) {
+        const int my = mb / mb_w, mx = mb % mb_w;
+        const int x4 = mx * 4, y4 = my * 4;
+
+        if (is_p) {
+            // mb_skip_flag, ctx from left/top non-skip
+            int na = nb_mb(&s, mb, -1, 0), nb = nb_mb(&s, mb, 0, -1);
+            int ctx = (na >= 0 && !s.skipf[na] ? 1 : 0)
+                    + (nb >= 0 && !s.skipf[nb] ? 1 : 0);
+            int skip = cs_bin(&s, 11 + ctx,
+                              dec ? 0 : (mb_kind[mb] == K_PSKIP));
+            if (skip) {
+                // P_SKIP: same derivation as the CAVLC path
+                int refA, mvxA, mvyA, refB, mvxB, mvyB;
+                int availA = fetch_n(&c, x4 - 1, y4, &refA, &mvxA, &mvyA);
+                int availB = fetch_n(&c, x4, y4 - 1, &refB, &mvxB, &mvyB);
+                int mvx = 0, mvy = 0;
+                if (availA && availB &&
+                    !(refA == 0 && mvxA == 0 && mvyA == 0) &&
+                    !(refB == 0 && mvxB == 0 && mvyB == 0))
+                    mv_pred(&c, x4, y4, 4, 4, 0, 0, &mvx, &mvy);
+                fill_part(&c, x4, y4, 4, 4, 0, mvx, mvy);
+                if (dec) {
+                    mb_kind[mb] = K_PSKIP;
+                    mb_info[mb] = 0;
+                    ref_out[mb * 4 + 0] = ref_out[mb * 4 + 1] = 0;
+                    ref_out[mb * 4 + 2] = ref_out[mb * 4 + 3] = 0;
+                    for (int i = 0; i < 16; i++) {
+                        mv_out[(mb * 16 + i) * 2] = (int16_t)mvx;
+                        mv_out[(mb * 16 + i) * 2 + 1] = (int16_t)mvy;
+                    }
+                }
+                qp_out[mb] = qp;
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        c.tcY[(y4 + y) * c.w4 + x4 + x] = 0;
+                        c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+                    }
+                for (int y = 0; y < 2; y++)
+                    for (int x = 0; x < 2; x++) {
+                        c.tcU[(my * 2 + y) * c.wc + mx * 2 + x] = 0;
+                        c.tcV[(my * 2 + y) * c.wc + mx * 2 + x] = 0;
+                    }
+                s.skipf[mb] = 1;
+                s.last_dqp = 0;
+                c.decoded[mb] = 1;
+                if (dec) { if (cd.error) CFAIL(-2); }
+                int eos = cs_term(&s, mb == nMB - 1);
+                if (dec && eos) { mb++; goto finish; }
+                if (!dec && mb == nMB - 1) goto finish_inc;
+                continue;
+            }
+        }
+
+        {
+        int kind, imode16 = 0, cbp = 0, chroma_mode = 0;
+        int enc_kind = dec ? 0 : mb_kind[mb];
+        int enc_info = dec ? 0 : mb_info[mb];
+
+        int mbt = -1;          // P inter type 0..3, or -1 for intra
+        if (is_p) {
+            int enc_is_intra = !dec && enc_kind >= K_I4X4;
+            int enc_mbt = 0;
+            if (!dec && !enc_is_intra) {
+                // recover the partition shape from ref/mv layout
+                // stored in tensor form: examine per-8x8 refs + mvs
+                // (P_8x8 when any sub-partition differs)
+                const int16_t* m = mv_out + (size_t)mb * 32;
+                const int8_t* r = ref_out + mb * 4;
+                int same_all = 1, top_eq = 1, bot_eq = 1, l_eq = 1,
+                    r_eq = 1;
+                for (int i = 1; i < 16; i++)
+                    same_all &= m[2 * i] == m[0] && m[2 * i + 1] == m[1];
+                same_all &= r[0] == r[1] && r[0] == r[2] && r[0] == r[3];
+                // 16x8: rows 0-1 equal and rows 2-3 equal
+                for (int i = 1; i < 8; i++)
+                    top_eq &= m[2 * i] == m[0] && m[2 * i + 1] == m[1];
+                for (int i = 9; i < 16; i++)
+                    bot_eq &= m[2 * i] == m[16] && m[2 * i + 1] == m[17];
+                top_eq &= r[0] == r[1]; bot_eq &= r[2] == r[3];
+                // 8x16: cols
+                static const int LBLK[8] = {0, 1, 4, 5, 8, 9, 12, 13};
+                static const int RBLK[8] = {2, 3, 6, 7, 10, 11, 14, 15};
+                for (int i = 1; i < 8; i++) {
+                    l_eq &= m[2 * LBLK[i]] == m[2 * LBLK[0]]
+                         && m[2 * LBLK[i] + 1] == m[2 * LBLK[0] + 1];
+                    r_eq &= m[2 * RBLK[i]] == m[2 * RBLK[0]]
+                         && m[2 * RBLK[i] + 1] == m[2 * RBLK[0] + 1];
+                }
+                l_eq &= r[0] == r[2]; r_eq &= r[1] == r[3];
+                if (same_all) enc_mbt = 0;
+                else if (top_eq && bot_eq) enc_mbt = 1;
+                else if (l_eq && r_eq) enc_mbt = 2;
+                else enc_mbt = 3;
+            }
+            // mb_type tree (P): b14: intra?; else b15/b16/b17
+            if (cs_bin(&s, 14, enc_is_intra)) {
+                int v;
+                if (!dec) {
+                    if (enc_kind == K_I4X4) v = 0;
+                    else {
+                        int t = (enc_info & 15)
+                            + 4 * (((enc_info >> 8) >> 4) & 3)
+                            + 12 * (((enc_info >> 8) & 15) ? 1 : 0);
+                        v = 1 + t;
+                    }
+                } else v = 0;
+                int r = cs_intra_mb_type(&s, 17, 0, mb, v);
+                if (r == 25) CFAIL(-5);
+                mbt = -1;
+                if (r == 0) kind = K_I4X4;
+                else {
+                    kind = K_I16;
+                    int t = r - 1;
+                    imode16 = t % 4;
+                    cbp = ((t / 4) % 3) << 4;
+                    if (t >= 12) cbp |= 15;
+                }
+            } else {
+                if (cs_bin(&s, 15, enc_mbt == 1 || enc_mbt == 2)) {
+                    mbt = 2 - cs_bin(&s, 17, enc_mbt == 1);
+                } else {
+                    mbt = 3 * cs_bin(&s, 16, enc_mbt == 3);
+                }
+                kind = K_INTER;
+            }
+        } else {
+            int v;
+            if (!dec) {
+                if (enc_kind == K_I4X4) v = 0;
+                else {
+                    int t = (enc_info & 15)
+                        + 4 * (((enc_info >> 8) >> 4) & 3)
+                        + 12 * (((enc_info >> 8) & 15) ? 1 : 0);
+                    v = 1 + t;
+                }
+            } else v = 0;
+            int r = cs_intra_mb_type(&s, 3, 1, mb, v);
+            if (r == 25) CFAIL(-5);
+            if (r == 0) kind = K_I4X4;
+            else {
+                kind = K_I16;
+                int t = r - 1;
+                imode16 = t % 4;
+                cbp = ((t / 4) % 3) << 4;
+                if (t >= 12) cbp |= 15;
+            }
+        }
+
+        if (kind == K_INTER) {
+            int refs[4] = {0, 0, 0, 0};
+            const int16_t* emv = mv_out + (size_t)mb * 32;
+            const int8_t* eref = ref_out + mb * 4;
+            if (mbt == 0) {
+                int rv = num_ref_idx_l0 > 1
+                    ? cs_ref(&s, mb, x4, y4, dec ? 0 : eref[0]) : 0;
+                if (rv < 0) CFAIL(-3);
+                refs[0] = refs[1] = refs[2] = refs[3] = rv;
+                int px, py;
+                mv_pred(&c, x4, y4, 4, 4, rv, 0, &px, &py);
+                int tx = dec ? 0 : emv[0] - px, ty = dec ? 0 : emv[1] - py;
+                int aax = s.amvd[(y4 * c.w4 + x4) * 2 + 0];
+                // amvd ctx: sums of left/top per component
+                int ax = 0, ay = 0;
+                {
+                    int la = x4 > 0 ? s.amvd[(y4 * c.w4 + x4 - 1) * 2] : 0;
+                    int ta = y4 > 0 ? s.amvd[((y4 - 1) * c.w4 + x4) * 2] : 0;
+                    ax = la + ta;
+                    int lb = x4 > 0 ? s.amvd[(y4 * c.w4 + x4 - 1) * 2 + 1] : 0;
+                    int tb = y4 > 0 ? s.amvd[((y4 - 1) * c.w4 + x4) * 2 + 1] : 0;
+                    ay = lb + tb;
+                }
+                (void)aax;
+                int dx = cs_mvd(&s, 40, ax, tx);
+                int dy = cs_mvd(&s, 47, ay, ty);
+                fill_part(&c, x4, y4, 4, 4, rv, px + dx, py + dy);
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        s.amvd[((y4 + y) * c.w4 + x4 + x) * 2] =
+                            (int16_t)(dx < 0 ? -dx : dx);
+                        s.amvd[((y4 + y) * c.w4 + x4 + x) * 2 + 1] =
+                            (int16_t)(dy < 0 ? -dy : dy);
+                    }
+            } else if (mbt == 1 || mbt == 2) {
+                // two partitions; refs then mvds in partition order
+                int r0 = 0, r1 = 0;
+                int pk0 = mbt == 1 ? 1 : 3, pk1 = mbt == 1 ? 2 : 4;
+                int p1x4 = mbt == 1 ? x4 : x4 + 2;
+                int p1y4 = mbt == 1 ? y4 + 2 : y4;
+                int pw = mbt == 1 ? 4 : 2, ph = mbt == 1 ? 2 : 4;
+                if (num_ref_idx_l0 > 1) {
+                    r0 = cs_ref(&s, mb, x4, y4,
+                                dec ? 0 : eref[0]);
+                    r1 = cs_ref(&s, mb, p1x4, p1y4,
+                                dec ? 0 : eref[3]);
+                    if (r0 < 0 || r1 < 0) CFAIL(-3);
+                }
+                for (int p = 0; p < 2; p++) {
+                    int sx = p == 0 ? x4 : p1x4;
+                    int sy = p == 0 ? y4 : p1y4;
+                    int rr = p == 0 ? r0 : r1;
+                    int pk = p == 0 ? pk0 : pk1;
+                    int px, py;
+                    mv_pred(&c, sx, sy, pw, ph, rr, pk, &px, &py);
+                    const int bi = (sy - y4) * 4 + (sx - x4);
+                    int tx = dec ? 0 : emv[2 * bi] - px;
+                    int ty = dec ? 0 : emv[2 * bi + 1] - py;
+                    int la = sx > 0 ? s.amvd[(sy * c.w4 + sx - 1) * 2] : 0;
+                    int ta = sy > 0 ? s.amvd[((sy - 1) * c.w4 + sx) * 2] : 0;
+                    int lb = sx > 0 ? s.amvd[(sy * c.w4 + sx - 1) * 2 + 1] : 0;
+                    int tb = sy > 0 ? s.amvd[((sy - 1) * c.w4 + sx) * 2 + 1] : 0;
+                    int dx = cs_mvd(&s, 40, la + ta, tx);
+                    int dy = cs_mvd(&s, 47, lb + tb, ty);
+                    fill_part(&c, sx, sy, pw, ph, rr, px + dx, py + dy);
+                    for (int y = 0; y < ph; y++)
+                        for (int x = 0; x < pw; x++) {
+                            s.amvd[((sy + y) * c.w4 + sx + x) * 2] =
+                                (int16_t)(dx < 0 ? -dx : dx);
+                            s.amvd[((sy + y) * c.w4 + sx + x) * 2 + 1] =
+                                (int16_t)(dy < 0 ? -dy : dy);
+                        }
+                }
+                if (mbt == 1) { refs[0] = refs[1] = r0; refs[2] = refs[3] = r1; }
+                else { refs[0] = refs[2] = r0; refs[1] = refs[3] = r1; }
+            } else {
+                // P_8x8: sub_mb_types, refs, then mvds
+                int sub[4];
+                for (int i = 0; i < 4; i++) {
+                    int esub = 0;
+                    if (!dec) {
+                        // infer sub type from the mv field of this 8x8
+                        int bx4 = x4 + (i & 1) * 2, by4 = y4 + (i >> 1) * 2;
+                        const int16_t* m = emv;
+                        int b0 = (by4 - y4) * 4 + (bx4 - x4);
+                        int all_eq = 1, row_eq = 1, col_eq = 1;
+                        int ids[4] = {b0, b0 + 1, b0 + 4, b0 + 5};
+                        for (int k = 1; k < 4; k++)
+                            all_eq &= m[2 * ids[k]] == m[2 * ids[0]]
+                                   && m[2 * ids[k] + 1] == m[2 * ids[0] + 1];
+                        row_eq = m[2 * ids[0]] == m[2 * ids[1]]
+                              && m[2 * ids[0] + 1] == m[2 * ids[1] + 1]
+                              && m[2 * ids[2]] == m[2 * ids[3]]
+                              && m[2 * ids[2] + 1] == m[2 * ids[3] + 1];
+                        col_eq = m[2 * ids[0]] == m[2 * ids[2]]
+                              && m[2 * ids[0] + 1] == m[2 * ids[2] + 1]
+                              && m[2 * ids[1]] == m[2 * ids[3]]
+                              && m[2 * ids[1] + 1] == m[2 * ids[3] + 1];
+                        if (all_eq) esub = 0;
+                        else if (row_eq) esub = 1;
+                        else if (col_eq) esub = 2;
+                        else esub = 3;
+                    }
+                    // sub_mb_type tree: b21: 8x8; b22==0: 8x4;
+                    // b23: 4x8 else 4x4
+                    if (cs_bin(&s, 21, esub == 0)) sub[i] = 0;
+                    else if (!cs_bin(&s, 22, esub != 1)) sub[i] = 1;
+                    else if (cs_bin(&s, 23, esub == 2)) sub[i] = 2;
+                    else sub[i] = 3;
+                }
+                if (num_ref_idx_l0 > 1) {
+                    for (int i = 0; i < 4; i++) {
+                        int bx4 = x4 + (i & 1) * 2, by4 = y4 + (i >> 1) * 2;
+                        refs[i] = cs_ref(&s, mb, bx4, by4,
+                                         dec ? 0 : eref[i]);
+                        if (refs[i] < 0) CFAIL(-3);
+                    }
+                }
+                for (int i = 0; i < 4; i++) {
+                    int bx4 = x4 + (i & 1) * 2, by4 = y4 + (i >> 1) * 2;
+                    static const int NPART[4] = {1, 2, 2, 4};
+                    static const int PW[4] = {2, 2, 1, 1};
+                    static const int PH[4] = {2, 1, 2, 1};
+                    int np = NPART[sub[i]], pw = PW[sub[i]],
+                        ph = PH[sub[i]];
+                    for (int p = 0; p < np; p++) {
+                        int ox = 0, oy = 0;
+                        if (sub[i] == 1) oy = p;
+                        else if (sub[i] == 2) ox = p;
+                        else if (sub[i] == 3) { ox = p & 1; oy = p >> 1; }
+                        int sx = bx4 + ox * pw, sy = by4 + oy * ph;
+                        int px, py;
+                        mv_pred(&c, sx, sy, pw, ph, refs[i], 0, &px, &py);
+                        const int bi = (sy - y4) * 4 + (sx - x4);
+                        int tx = dec ? 0 : emv[2 * bi] - px;
+                        int ty = dec ? 0 : emv[2 * bi + 1] - py;
+                        int la = sx > 0 ? s.amvd[(sy * c.w4 + sx - 1) * 2] : 0;
+                        int ta = sy > 0 ? s.amvd[((sy - 1) * c.w4 + sx) * 2] : 0;
+                        int lb = sx > 0 ? s.amvd[(sy * c.w4 + sx - 1) * 2 + 1] : 0;
+                        int tb = sy > 0 ? s.amvd[((sy - 1) * c.w4 + sx) * 2 + 1] : 0;
+                        int dx = cs_mvd(&s, 40, la + ta, tx);
+                        int dy = cs_mvd(&s, 47, lb + tb, ty);
+                        fill_part(&c, sx, sy, pw, ph, refs[i],
+                                  px + dx, py + dy);
+                        for (int y = 0; y < ph; y++)
+                            for (int x = 0; x < pw; x++) {
+                                s.amvd[((sy + y) * c.w4 + sx + x) * 2] =
+                                    (int16_t)(dx < 0 ? -dx : dx);
+                                s.amvd[((sy + y) * c.w4 + sx + x) * 2 + 1] =
+                                    (int16_t)(dy < 0 ? -dy : dy);
+                            }
+                    }
+                }
+            }
+            if (dec) {
+                for (int i = 0; i < 4; i++)
+                    ref_out[mb * 4 + i] = (int8_t)refs[i];
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        mv_out[(mb * 16 + y * 4 + x) * 2] =
+                            c.mvg[((y4 + y) * c.w4 + x4 + x) * 2];
+                        mv_out[(mb * 16 + y * 4 + x) * 2 + 1] =
+                            c.mvg[((y4 + y) * c.w4 + x4 + x) * 2 + 1];
+                    }
+            }
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+        } else if (kind == K_I4X4) {
+            // intra 4x4 pred modes
+            for (int blk = 0; blk < 16; blk++) {
+                int by = BLK4[blk][0], bx = BLK4[blk][1];
+                int gx = x4 + bx, gy = y4 + by;
+                int8_t ma = gx > 0 ? c.i4g[gy * c.w4 + gx - 1] : -2;
+                int8_t mbv = gy > 0 ? c.i4g[(gy - 1) * c.w4 + gx] : -2;
+                int pred;
+                if (ma == -2 || mbv == -2) pred = 2;
+                else {
+                    int a = ma < 0 ? 2 : ma, bb = mbv < 0 ? 2 : mbv;
+                    pred = a < bb ? a : bb;
+                }
+                int emode = dec ? 0 : i4modes[mb * 16 + by * 4 + bx];
+                int mode;
+                if (cs_bin(&s, 68, emode == pred)) mode = pred;
+                else {
+                    int rv = emode < pred ? emode : emode - 1;
+                    int b0 = cs_bin(&s, 69, rv & 1);
+                    int b1 = cs_bin(&s, 69, (rv >> 1) & 1);
+                    int b2 = cs_bin(&s, 69, (rv >> 2) & 1);
+                    int rem = b0 | (b1 << 1) | (b2 << 2);
+                    mode = rem < pred ? rem : rem + 1;
+                }
+                if (dec) i4modes[mb * 16 + by * 4 + bx] = (int8_t)mode;
+                c.i4g[gy * c.w4 + gx] = (int8_t)mode;
+            }
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+        }
+        if (kind == K_I16)
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+                }
+
+        // intra chroma pred mode (I4x4 + I16)
+        if (kind == K_I4X4 || kind == K_I16) {
+            int na = nb_mb(&s, mb, -1, 0), nb2 = nb_mb(&s, mb, 0, -1);
+            int ctx = (na >= 0 && s.cmode[na] != 0 ? 1 : 0)
+                    + (nb2 >= 0 && s.cmode[nb2] != 0 ? 1 : 0);
+            int ec = dec ? 0 : ((enc_info >> 4) & 15);
+            if (!cs_bin(&s, 64 + ctx, ec != 0)) chroma_mode = 0;
+            else if (!cs_bin(&s, 67, ec >= 2)) chroma_mode = 1;
+            else chroma_mode = 2 + cs_bin(&s, 67, ec == 3);
+        }
+
+        // coded_block_pattern (inter + I4x4)
+        if (kind != K_I16) {
+            int ecbp = dec ? 0 : ((enc_info >> 8) & 63);
+            int cbp_a = nb_cbpx(&s, mb, -1, 0, 0);
+            int cbp_b = nb_cbpx(&s, mb, 0, -1, 0);
+            // the reference uses 0x00F/0x7CF defaults for unavailable
+            // in cbf ctx; for CBP ctx unavailable neighbors read as 0x0F
+            int lcbp = 0;
+            int ctx = !(cbp_a & 0x02) + 2 * !(cbp_b & 0x04);
+            lcbp |= cs_bin(&s, 73 + ctx, ecbp & 1);
+            ctx = !(lcbp & 0x01) + 2 * !(cbp_b & 0x08);
+            lcbp |= cs_bin(&s, 73 + ctx, (ecbp >> 1) & 1) << 1;
+            ctx = !(cbp_a & 0x08) + 2 * !(lcbp & 0x01);
+            lcbp |= cs_bin(&s, 73 + ctx, (ecbp >> 2) & 1) << 2;
+            ctx = !(lcbp & 0x04) + 2 * !(lcbp & 0x02);
+            lcbp |= cs_bin(&s, 73 + ctx, (ecbp >> 3) & 1) << 3;
+            int ca = (cbp_a >> 4) & 3, cb2 = (cbp_b >> 4) & 3;
+            ctx = (ca > 0 ? 1 : 0) + (cb2 > 0 ? 2 : 0);
+            int cc = 0;
+            int ecc = (ecbp >> 4) & 3;
+            if (cs_bin(&s, 77 + ctx, ecc != 0)) {
+                ctx = 4 + (ca == 2 ? 1 : 0) + (cb2 == 2 ? 2 : 0);
+                cc = 1 + cs_bin(&s, 77 + ctx, ecc == 2);
+            }
+            cbp = lcbp | (cc << 4);
+        }
+
+        int cbp_luma = cbp & 15;
+        int cbp_chroma = (cbp >> 4) & 3;
+
+        // mb_qp_delta
+        if (kind == K_I16 || cbp != 0) {
+            int edq = 0;
+            if (!dec) {
+                edq = qp_out[mb] - qp;
+                if (edq < -26) edq += 52;
+                if (edq > 25) edq -= 52;
+            }
+            int dq = cs_dqp(&s, edq);
+            qp += dq;
+            if (qp < 0) qp += 52;
+            if (qp > 51) qp -= 52;
+        } else {
+            s.last_dqp = 0;
+        }
+        if (dec) qp_out[mb] = qp;
+
+        // ---------------- residuals ----------------
+        int16_t* mbco = coeffs + (size_t)mb * 27 * 16;
+        int16_t* mbnc = ncoef + (size_t)mb * 27;
+        const int intra = kind >= K_I4X4;
+        uint16_t cpx = (uint16_t)cbp;
+
+        if (kind == K_I16) {
+            int ecbf = dec ? 0 : (mbnc[0] > 0 ? 1 : 0);
+            if (cs_cbf(&s, 0, mb, 0, 0, 0, intra, ecbf)) {
+                int t = cab_residual(&s, 0, mbco + 0, 0, 16);
+                if (dec) mbnc[0] = (int16_t)t;
+                cpx |= 0x100;
+            }
+        }
+        for (int blk = 0; blk < 16; blk++) {
+            int by = BLK4[blk][0], bx = BLK4[blk][1];
+            int gy = y4 + by, gx = x4 + bx;
+            int i8 = blk >> 2;
+            int present = kind == K_I16 ? (cbp_luma != 0)
+                                        : ((cbp_luma >> i8) & 1);
+            int16_t* outp = mbco + (size_t)(1 + by * 4 + bx) * 16;
+            int t = 0;
+            if (present) {
+                int cat = kind == K_I16 ? 1 : 2;
+                int nci = 1 + by * 4 + bx;
+                int ecbf = dec ? 0 : (mbnc[nci] > 0 ? 1 : 0);
+                if (cs_cbf(&s, cat, mb, gy, gx, 0, intra, ecbf)) {
+                    if (kind == K_I16)
+                        t = cab_residual(&s, 1, outp, 1, 15);
+                    else
+                        t = cab_residual(&s, 2, outp, 0, 16);
+                }
+                if (dec) mbnc[nci] = (int16_t)t;
+                else t = mbnc[nci];
+            }
+            c.tcY[gy * c.w4 + gx] = (int8_t)t;
+        }
+        if (cbp_chroma) {
+            for (int ch = 0; ch < 2; ch++) {
+                int ecbf = dec ? 0 : (mbnc[17 + ch] > 0 ? 1 : 0);
+                int t = 0;
+                if (cs_cbf(&s, 3, mb, 0, 0, ch, intra, ecbf)) {
+                    t = cab_residual(&s, 3, mbco + (size_t)(17 + ch) * 16,
+                                     0, 4);
+                    cpx |= 0x40 << ch;
+                }
+                if (dec) mbnc[17 + ch] = (int16_t)t;
+            }
+        }
+        for (int ch = 0; ch < 2; ch++) {
+            int8_t* tg = ch == 0 ? c.tcU : c.tcV;
+            for (int blk = 0; blk < 4; blk++) {
+                int by = blk >> 1, bx = blk & 1;
+                int gy = my * 2 + by, gx = mx * 2 + bx;
+                int t = 0;
+                if (cbp_chroma == 2) {
+                    int nci = 19 + ch * 4 + by * 2 + bx;
+                    int ecbf = dec ? 0 : (mbnc[nci] > 0 ? 1 : 0);
+                    if (cs_cbf(&s, 4, mb, gy, gx, ch, intra, ecbf)) {
+                        int16_t* outp = mbco + (size_t)nci * 16;
+                        t = cab_residual(&s, 4, outp, 1, 15);
+                    }
+                    if (dec) mbnc[nci] = (int16_t)t;
+                    else t = mbnc[nci];
+                }
+                tg[gy * c.wc + gx] = (int8_t)t;
+            }
+        }
+
+        if (dec) {
+            mb_kind[mb] = kind;
+            mb_info[mb] = imode16 | (chroma_mode << 4) | (cbp << 8);
+        }
+        s.cbpx[mb] = cpx;
+        s.cmode[mb] = (int8_t)chroma_mode;
+        s.itype[mb] = kind == K_I16 ? 2 : (kind == K_I4X4 ? 1 : 0);
+        c.decoded[mb] = 1;
+        if (dec && cd.error) CFAIL(-2);
+        if (!dec && ce.overflow) CFAIL(-7);
+
+        int eos = cs_term(&s, mb == nMB - 1);
+        if (dec && eos) { mb++; goto finish; }
+        if (!dec && mb == nMB - 1) goto finish_inc;
+        }
+    }
+finish_inc:
+    mb++;
+finish:
+    if (dec) {
+        end_state[0] = cd.pos;
+        end_state[1] = mb;
+        if (cd.error) err = -2;
+    } else {
+        end_state[0] = (int32_t)ce.nbytes;
+        end_state[1] = mb;
+        if (ce.overflow) err = -7;
+    }
+done:
+    free(c.tcY); free(c.tcU); free(c.tcV);
+    free(c.mvg); free(c.refg); free(c.i4g); free(c.decoded);
+    free(s.cbpx); free(s.skipf); free(s.cmode); free(s.itype);
+    free(s.amvd);
+    return err;
+    #undef CFAIL
+}
