@@ -16,6 +16,7 @@ _MODULES = (
     "librempeg_tpu.codecs.adpcm",
     "librempeg_tpu.codecs.ac3.decoder",
     "librempeg_tpu.codecs.mpegaudio",
+    "librempeg_tpu.codecs.mp3dec",
     "librempeg_tpu.codecs.rawvideo",
     "librempeg_tpu.codecs.gif",
     "librempeg_tpu.codecs.jpeg.decoder",
