@@ -17,6 +17,7 @@ _MODULES = (
     "librempeg_tpu.codecs.ac3.decoder",
     "librempeg_tpu.codecs.mpegaudio",
     "librempeg_tpu.codecs.mp3dec",
+    "librempeg_tpu.codecs.vorbis.decoder",
     "librempeg_tpu.codecs.rawvideo",
     "librempeg_tpu.codecs.gif",
     "librempeg_tpu.codecs.jpeg.decoder",

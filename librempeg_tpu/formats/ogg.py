@@ -152,17 +152,37 @@ class OggDemuxer(Demuxer):
         if not packets:
             raise InvalidData("ogg: no packets")
         g0, head = packets.pop(0)
-        if head[:5] != b"\x7fFLAC":
-            raise Unsupported("ogg: only the FLAC mapping (round-1)")
-        i = head.find(b"fLaC")
-        if i < 0 or len(head) < i + 8 + 34:
-            raise InvalidData("ogg: bad FLAC header packet")
-        streaminfo = head[i + 8:i + 8 + 34]
-        sr = (struct.unpack(">I", streaminfo[10:14])[0] >> 12) & 0xFFFFF
-        ch = ((streaminfo[12] >> 1) & 7) + 1
-        par = CodecParameters(codec_type="audio", codec_id="flac",
-                              sample_rate=sr, nb_channels=ch,
-                              extradata=streaminfo)
+        if head[:5] == b"\x7fFLAC":
+            i = head.find(b"fLaC")
+            if i < 0 or len(head) < i + 8 + 34:
+                raise InvalidData("ogg: bad FLAC header packet")
+            streaminfo = head[i + 8:i + 8 + 34]
+            sr = (struct.unpack(">I", streaminfo[10:14])[0] >> 12) \
+                & 0xFFFFF
+            ch = ((streaminfo[12] >> 1) & 7) + 1
+            par = CodecParameters(codec_type="audio", codec_id="flac",
+                                  sample_rate=sr, nb_channels=ch,
+                                  extradata=streaminfo)
+        elif head[:7] == b"\x01vorbis":
+            # vorbis mapping (oggparsevorbis.c analog): 3 header
+            # packets become xiph-laced extradata
+            ch = head[11]
+            sr = struct.unpack("<I", head[12:16])[0]
+            if len(packets) < 2:
+                raise InvalidData("ogg: missing vorbis headers")
+            h2 = packets.pop(0)[1]
+            h3 = packets.pop(0)[1]
+
+            def lace(ln):
+                return b"\xff" * (ln // 255) + bytes([ln % 255])
+
+            extradata = (b"\x02" + lace(len(head)) + lace(len(h2))
+                         + head + h2 + h3)
+            par = CodecParameters(codec_type="audio", codec_id="vorbis",
+                                  sample_rate=sr, nb_channels=ch,
+                                  extradata=extradata)
+        else:
+            raise Unsupported("ogg: unsupported codec mapping")
         self.streams = [Stream(index=0, codecpar=par,
                                time_base=Rational(1, sr))]
         self._pkts = [p for p in packets if p[1]]
