@@ -123,10 +123,16 @@ def _encode_band(bw: BitWriterMSB, q: np.ndarray, cb: int) -> None:
 
 
 class _ChannelCoder:
-    """Per-channel spectral coding state for one frame."""
+    """Per-channel spectral coding state for one frame.
+
+    Noise shaping (aaccoder.c twoloop role): per band, the largest
+    scalefactor whose measured quantization distortion stays under the
+    psy model's masking threshold -- i.e. the cheapest quantization
+    that keeps the noise inaudible. The encoder's outer loop scales the
+    thresholds uniformly to meet the bit budget."""
 
     def __init__(self, spec: np.ndarray, swb_offsets: list[int],
-                 quality: float, bw_frac: float = 1.0):
+                 thr: np.ndarray, bw_frac: float = 1.0):
         self.offsets = swb_offsets
         nbands = len(swb_offsets) - 1
         keep = max(4, int(round(nbands * bw_frac)))
@@ -136,22 +142,36 @@ class _ChannelCoder:
         for b in range(nbands):
             lo, hi = swb_offsets[b], swb_offsets[b + 1]
             band = spec[lo:hi]
-            amax = float(np.max(np.abs(band))) if hi > lo else 0.0
-            if amax < 1e-3 or b >= keep:
+            en = float(np.dot(band, band)) if hi > lo else 0.0
+            if b >= keep or en <= thr[b]:
+                # zeroing noise is already below the mask
                 self.sfs[b] = SF_OFFSET
                 self.cbs[b] = 0
                 self.quant.append(np.zeros(hi - lo, np.int32))
                 continue
-            # choose sf so the max quantized magnitude ~= quality target
-            target = quality
-            sf = SF_OFFSET + int(np.floor(
-                4.0 * np.log2(amax / (target ** (4.0 / 3.0)))))
-            # keep within scf diff range and legal absolute range
-            sf = int(np.clip(sf, 0, 255))
-            q = quantize_band(band, sf)
-            while np.max(np.abs(q)) > 8191:
-                sf += 4
-                q = quantize_band(band, sf)
+            # smallest legal sf: |q|max <= 8191 (quantize_band clips,
+            # so saturation is detected from the band peak directly)
+            amax = float(np.max(np.abs(band)))
+            sf_min = max(0, SF_OFFSET + int(np.ceil(
+                4.0 * np.log2(max(amax, 1e-9)
+                              / (8191.0 - 0.5) ** (4.0 / 3.0)))))
+            # binary search the largest sf with distortion <= threshold
+            lo_sf, hi_sf = sf_min, 255
+            best_sf, best_q = None, None
+            while lo_sf <= hi_sf:
+                mid = (lo_sf + hi_sf) // 2
+                q = quantize_band(band, mid)
+                d = band - dequantize_band(q, mid)
+                if float(np.dot(d, d)) <= thr[b]:
+                    best_sf, best_q = mid, q
+                    lo_sf = mid + 1
+                else:
+                    hi_sf = mid - 1
+            if best_sf is None:         # even the finest legal sf fails
+                best_sf = sf_min
+                best_q = quantize_band(band, sf_min)
+            q = best_q
+            sf = best_sf
             if not np.any(q):
                 self.sfs[b] = SF_OFFSET
                 self.cbs[b] = 0
@@ -160,16 +180,16 @@ class _ChannelCoder:
             self.sfs[b] = sf
             self.cbs[b] = pick_codebook(int(np.max(np.abs(q))))
             self.quant.append(q)
-        # clamp scalefactor deltas to +-60 (scf codebook range) and
-        # re-quantize any band whose sf we had to move
-        prev = None
-        for b in range(nbands):
-            if self.cbs[b] == 0:
-                continue
-            if prev is not None:
-                d = int(self.sfs[b]) - prev
-                if d > 60 or d < -60:
-                    self.sfs[b] = prev + max(-60, min(60, d))
+        # the scf codebook carries deltas in [-60, 60]: clamp every
+        # coded band into [min_sf, min_sf + 60] (coarsening a quiet
+        # band only ever LOWERS its sf here, so distortion shrinks and
+        # the masking condition still holds)
+        coded = [b for b in range(nbands) if self.cbs[b]]
+        if coded:
+            min_sf = min(int(self.sfs[b]) for b in coded)
+            for b in coded:
+                if int(self.sfs[b]) > min_sf + 60:
+                    self.sfs[b] = min_sf + 60
                     lo, hi = swb_offsets[b], swb_offsets[b + 1]
                     self.quant[b] = quantize_band(spec[lo:hi],
                                                   int(self.sfs[b]))
@@ -179,7 +199,6 @@ class _ChannelCoder:
                         continue
                     self.cbs[b] = pick_codebook(
                         int(np.max(np.abs(self.quant[b]))))
-            prev = int(self.sfs[b])
         self.global_gain = int(next(
             (self.sfs[b] for b in range(nbands) if self.cbs[b]), SF_OFFSET))
 
@@ -250,6 +269,7 @@ class AacEncoder(Encoder):
         # quality knob (max quantized magnitude) drives bits/frame
         self._rc_q = float(self.opts["aac_quality"])
         self._rc_buffer = 0.0
+        self._psy = None          # lazy PsyModel
 
     def codec_parameters(self):
         from librempeg_tpu.formats.api import CodecParameters
@@ -295,7 +315,13 @@ class AacEncoder(Encoder):
         windowed = buf * self._win[None, :] * (2.0 * 32768.0)
         spec = np.asarray(tx.mdct(jnp.asarray(windowed)))  # [ch, 1024]
 
-        bw = BitWriterMSB()
+        if self._psy is None:
+            from librempeg_tpu.codecs.aac.psy import PsyModel
+
+            self._psy = PsyModel(self.swb, self.sample_rate)
+        thr = [self._psy.thresholds(spec[c])
+               for c in range(self.channels)]
+
         if self.opts["bit_rate"] > 0:
             q = self._rc_q
         else:
@@ -304,8 +330,44 @@ class AacEncoder(Encoder):
         # instead (what low-bitrate encoders do)
         bw_frac = 1.0 if q >= 2.0 else max(0.25, q / 2.0)
         q = max(q, 1.0)
-        coders = [_ChannelCoder(spec[c], self.swb, q, bw_frac)
-                  for c in range(self.channels)]
+        # quality knob -> uniform threshold scale (higher q = tighter)
+        scale = (14.0 / q) ** 2
+
+        # outer loop (CBR): scale the masking thresholds uniformly
+        # until the frame lands near the per-frame budget
+        budget = (self.opts["bit_rate"] * FRAME / self.sample_rate
+                  if self.opts["bit_rate"] > 0 else 0.0)
+        raw = b""
+        for _ in range(5):
+            coders = [_ChannelCoder(spec[c], self.swb,
+                                    thr[c] * scale, bw_frac)
+                      for c in range(self.channels)]
+            raw = self._payload(coders)
+            if budget <= 0:
+                break
+            bits = len(raw) * 8
+            ratio = bits / max(budget, 1.0)
+            if 0.85 <= ratio <= 1.1:
+                break
+            scale *= max(0.25, min(4.0, ratio ** 1.5))
+        if self.opts["bit_rate"] > 0:
+            target = self.opts["bit_rate"] * FRAME / self.sample_rate
+            bits = len(raw) * 8
+            self._rc_buffer += bits - target
+            # proportional + integral correction of the quality knob
+            ratio = bits / max(target, 1.0)
+            corr = 1.0 + max(-0.4, min(0.4,
+                                       self._rc_buffer / (8 * target)))
+            self._rc_q = float(np.clip(
+                self._rc_q * (ratio * corr) ** -0.5, 0.3, 60.0))
+        data = self._adts(raw) + raw if self.opts["adts"] else raw
+        pts = self._frame_no * FRAME
+        self._frame_no += 1
+        return Packet(data=data, pts=pts, dts=pts, duration=FRAME,
+                      flags=PktFlags.KEY, time_base=self.time_base)
+
+    def _payload(self, coders) -> bytes:
+        bw = BitWriterMSB()
         if self.channels == 2:
             bw.write(1, 3)          # CPE
             bw.write(0, 4)          # instance tag
@@ -323,23 +385,7 @@ class AacEncoder(Encoder):
             coders[0].write_ics(bw, self.max_sfb)
         bw.write(7, 3)              # END
         bw.align()
-        raw = bw.bytes()
-        if self.opts["bit_rate"] > 0:
-            target = self.opts["bit_rate"] * FRAME / self.sample_rate
-            bits = len(raw) * 8
-            self._rc_buffer += bits - target
-            # proportional + integral correction of the quality knob
-            # (quality ~ max magnitude; bits grow ~ log of it)
-            ratio = bits / max(target, 1.0)
-            corr = 1.0 + max(-0.4, min(0.4,
-                                       self._rc_buffer / (8 * target)))
-            self._rc_q = float(np.clip(
-                self._rc_q * (ratio * corr) ** -0.5, 0.3, 60.0))
-        data = self._adts(raw) + raw if self.opts["adts"] else raw
-        pts = self._frame_no * FRAME
-        self._frame_no += 1
-        return Packet(data=data, pts=pts, dts=pts, duration=FRAME,
-                      flags=PktFlags.KEY, time_base=self.time_base)
+        return bw.bytes()
 
     def _write_ics_info(self, bw: BitWriterMSB) -> None:
         bw.write(0, 1)              # ics_reserved

@@ -186,3 +186,68 @@ class TestReferenceStreams:
         assert d.NAME == "aac"
         n = len(list(d.packets()))
         assert n >= 12                   # ~0.3 s at 1024/44100
+
+
+class TestAacPsyQuality:
+    """Psy-model encoder quality vs the reference encoder at equal
+    bitrate (the aacpsy.c + twoloop acceptance: competitive rate/
+    distortion, not just decodability)."""
+
+    def test_128k_within_reference(self, tmp_path):
+        import subprocess
+
+        from librempeg_tpu.codecs.aac.codec import AacEncoder
+        from librempeg_tpu.core.frame import AudioFrame
+        from librempeg_tpu.core.rational import Rational
+        from librempeg_tpu.core.samplefmt import ChannelLayout
+
+        rate, br = 44100, 128000
+        pcm = testgen.audio_mix(rate, rate * 2)
+        raw = tmp_path / "in.f32"
+        raw.write_bytes(pcm.T.astype(np.float32).ravel().tobytes())
+        ref_aac = tmp_path / "ref.aac"
+        subprocess.run(
+            [reference_ffmpeg(), "-y", "-v", "error", "-f", "f32le",
+             "-ar", str(rate), "-ch_layout", "stereo", "-i", str(raw),
+             "-c:a", "aac", "-b:a", str(br), str(ref_aac)],
+            check=True, capture_output=True)
+
+        enc = AacEncoder(sample_rate=rate, channels=2, bit_rate=br)
+        fr = AudioFrame(data=pcm.astype(np.float32), sample_rate=rate,
+                        sample_fmt="fltp",
+                        layout=ChannelLayout.default(2), pts=0,
+                        time_base=Rational(1, rate))
+        pkts = enc.encode(fr) + enc.flush()
+        our_aac = tmp_path / "ours.aac"
+        our_aac.write_bytes(b"".join(bytes(p.data) for p in pkts))
+
+        def dec(p):
+            o = subprocess.run(
+                [reference_ffmpeg(), "-v", "error", "-i", str(p),
+                 "-f", "f32le", "-"], capture_output=True,
+                check=True).stdout
+            return np.frombuffer(o, np.float32).reshape(-1, 2).T
+
+        def best_snr(orig, d):
+            m = min(orig.shape[1], d.shape[1])
+            best = (0, -1.0)
+            for lag in range(0, 4200, 4):
+                a = orig[:, :m - lag]
+                b = d[:, lag:lag + m - lag]
+                c = float((a * b).sum()) / (
+                    np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+                if c > best[1]:
+                    best = (lag, c)
+            lag = best[0]
+            a = orig[:, :m - lag]
+            b = d[:, lag:lag + m - lag]
+            return 10 * np.log10(float((a * a).sum())
+                                 / float(((a - b) ** 2).sum()))
+
+        s_ref = best_snr(pcm, dec(ref_aac))
+        s_ours = best_snr(pcm, dec(our_aac))
+        # size parity (rate control works) and quality within 4 dB
+        assert abs(our_aac.stat().st_size - ref_aac.stat().st_size) \
+            < 0.15 * ref_aac.stat().st_size
+        assert s_ours > s_ref - 4.0, \
+            f"ours {s_ours:.1f} dB vs ref {s_ref:.1f} dB"
