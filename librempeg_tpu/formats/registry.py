@@ -15,6 +15,7 @@ _MODULES = (
     "librempeg_tpu.formats.lavfi",
     "librempeg_tpu.formats.ogg",
     "librempeg_tpu.formats.hls",
+    "librempeg_tpu.formats.hlsdemux",
     "librempeg_tpu.formats.adts",
     "librempeg_tpu.formats.yuv4mpeg",
     "librempeg_tpu.formats.image2",

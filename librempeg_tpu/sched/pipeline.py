@@ -80,6 +80,7 @@ class _StreamChain:
         self.media = par.codec_type
         self.copy = smap.codec == "copy"
         self.frames_done = 0
+        self.discard_until = 0.0     # -ss decode-and-discard threshold
         self.eof = False
 
         if self.copy:
@@ -218,6 +219,15 @@ class _StreamChain:
             self._through_graph(frame, mux)
 
     def _through_graph(self, frame, mux, flush=False) -> None:
+        if frame is not None and self.discard_until and \
+                frame.pts != NOPTS and frame.time_base.valid and \
+                frame.time_base.num:
+            t = frame.pts * frame.time_base.num / frame.time_base.den
+            nxt = t + (getattr(frame, "nb_samples", 0)
+                       / max(1, getattr(frame, "sample_rate", 1))
+                       if self.media == "audio" else 0)
+            if nxt < self.discard_until - 1e-9:
+                return                       # exact -ss: decode & drop
         outs = self.graph.push(frame) if frame is not None else []
         if flush:
             outs += self.graph.finish()
@@ -312,13 +322,25 @@ class Transcoder:
     def run(self) -> dict:
         spec = self.spec
         if spec.seek:
-            for st in self.demux.streams:
+            # container-level seek on the first seekable stream (video
+            # preferred: keyframe snapping), then exact decode-and-
+            # discard up to the requested time (-ss accuracy semantics,
+            # fftools/ffmpeg_demux.c + ffmpeg_dec.c roles)
+            seeked = False
+            order = sorted(self.demux.streams,
+                           key=lambda s: s.codecpar.codec_type != "video")
+            for st in order:
                 try:
-                    ts = int(spec.seek * st.time_base.den / st.time_base.num)
+                    ts = int(spec.seek * st.time_base.den
+                             / st.time_base.num)
                     self.demux.read_seek(st.index, ts)
+                    seeked = True
                     break
                 except NotImplementedError:
-                    break
+                    continue
+            del seeked  # without container seek we read from the start
+            for chain in self.chains.values():
+                chain.discard_until = spec.seek
         n_packets = 0
         for pkt in self.demux.packets():
             chain = self.chains.get(pkt.stream_index)

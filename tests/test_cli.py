@@ -255,3 +255,45 @@ class TestMap:
         assert not _map_matches(["0:v:1"], St(0, "video"), 0)
         assert _map_matches(["0"], St(5, "audio"), 2)
         assert not _map_matches(["1:v"], St(0, "video"), 0)
+
+
+def test_ss_decode_and_discard(tmp_path):
+    """-ss on a container without read_seek (raw ES): exact decode-and-
+    discard drops frames before the seek point (seek.c:290 +
+    accurate-seek semantics)."""
+    import numpy as np
+
+    from librempeg_tpu.codecs.api import find_decoder, find_encoder
+    from librempeg_tpu.core.frame import VideoFrame
+    from librempeg_tpu.core.rational import Rational
+    from librempeg_tpu.sched.pipeline import (StreamMap, TranscodeSpec,
+                                              Transcoder)
+
+    src = tmp_path / "in.m4v"
+    enc = find_encoder("mpeg4")(width=64, height=48,
+                                framerate=Rational(25, 1), qscale=5,
+                                gop_size=5)
+    data = b""
+    for i in range(25):
+        y = np.full((48, 64), 20 + 8 * i, np.uint8)
+        u = np.full((24, 32), 128, np.uint8)
+        v = np.full((24, 32), 128, np.uint8)
+        f = VideoFrame(planes=(y, u, v), format="yuv420p", width=64,
+                       height=48, pts=i, time_base=Rational(1, 25))
+        data += b"".join(bytes(p.data) for p in enc.encode(f))
+    src.write_bytes(data)
+
+    out = tmp_path / "out.avi"
+    stats = Transcoder(TranscodeSpec(
+        input_url=str(src), output_url=str(out), seek=0.4,
+        video=StreamMap(codec="rawvideo"))).run()
+    # 25 frames at 25 fps, -ss 0.4 -> frames 10..24 remain
+    assert stats["frames"][0] == 15
+
+    # decoded content of the first surviving frame matches source 10
+    dm_out = __import__("librempeg_tpu.formats.api",
+                        fromlist=["open_input"]).open_input(str(out))
+    del find_decoder
+    first_pkt = next(dm_out.packets())
+    y00 = bytes(first_pkt.data)[0]          # rawvideo yuv420p luma [0,0]
+    assert abs(int(y00) - (20 + 8 * 10)) <= 6

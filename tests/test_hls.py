@@ -10,6 +10,11 @@ from librempeg_tpu.formats.api import open_input
 
 from conftest import reference_ffmpeg
 
+import numpy as np
+
+from librempeg_tpu.core.frame import VideoFrame
+from librempeg_tpu.core.rational import Rational
+
 
 def make_hls(tmp_path, seconds=6):
     out = tmp_path / "out.m3u8"
@@ -98,3 +103,54 @@ class TestDash:
             total += len([ln for ln in r.stdout.splitlines()
                           if not ln.startswith("#")])
         assert total == 100
+
+
+class TestHlsDashDemux:
+    """HLS/DASH demuxing: our muxer's VOD output round-trips through
+    the playlist/manifest resolver + TS concat + decode."""
+
+    def _make_frames(self, n=20, w=64, h=48):
+        rng = np.random.default_rng(3)
+        frames = []
+        for i in range(n):
+            y = np.full((h, w), 50 + 8 * i, np.uint8)
+            y[10:20, 10 + i:20 + i] = 220
+            u = np.full((h // 2, w // 2), 120, np.uint8)
+            v = np.full((h // 2, w // 2), 130, np.uint8)
+            frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                     width=w, height=h, pts=i,
+                                     time_base=Rational(1, 25)))
+        del rng
+        return frames
+
+    def _mux(self, tmp_path, fmt):
+        from librempeg_tpu.codecs.api import find_encoder
+        from librempeg_tpu.formats.api import open_output
+
+        name = "pl.m3u8" if fmt == "hls" else "man.mpd"
+        out = open_output(str(tmp_path / name), fmt)
+        enc = find_encoder("mpeg4")(width=64, height=48,
+                                    framerate=Rational(25, 1), qscale=6,
+                                    gop_size=5)
+        st = out.add_stream(enc.codec_parameters(), Rational(1, 25))
+        for f in self._make_frames():
+            for pkt in enc.encode(f):
+                out.write(pkt.replace(stream_index=st.index))
+        out.finish()
+        out.io.close()
+        return tmp_path / name
+
+    @pytest.mark.parametrize("fmt", ["hls", "dash"])
+    def test_demux_roundtrip(self, fmt, tmp_path):
+        from librempeg_tpu.codecs.api import find_decoder
+        from librempeg_tpu.formats.api import open_input
+
+        manifest = self._mux(tmp_path, fmt)
+        dm = open_input(str(manifest))
+        assert dm.NAME == fmt
+        assert dm.streams[0].codecpar.codec_id == "mpeg4"
+        dec = find_decoder("mpeg4")(dm.streams[0].codecpar)
+        n = 0
+        for pkt in dm.packets():
+            n += len(dec.decode(pkt))
+        assert n == 20
