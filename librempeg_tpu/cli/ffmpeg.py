@@ -155,7 +155,24 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             k, v = kv.split("=", 1)
             spec_kw.setdefault("metadata", {})[k] = v
         elif a.startswith("-"):
-            raise CliError(f"unknown option {a}")
+            # ffmpeg semantics: unrecognized -name [value] pairs are
+            # private codec/format options resolved per-stream later
+            # (ffmpeg_opt.c AVDictionary passthrough); -name:v / -name:a
+            # scopes the stream. Unknown names warn at bind time.
+            name = a[1:]
+            scope = None
+            if name.endswith(":v") or name.endswith(":a"):
+                name, scope = name[:-2], name[-1]
+            if pre_input:
+                in_opts[name] = val()
+            elif scope == "a":
+                audio.codec_opts[name] = val()
+            elif scope == "v":
+                video.codec_opts[name] = val()
+            else:
+                v = val()
+                video.codec_opts[name] = v
+                audio.codec_opts[name] = v
         else:
             spec_kw["output_url"] = a
             spec_kw["output_format"] = pending_fmt

@@ -82,11 +82,22 @@ def annexb_to_lp(data: bytes, strip_ps: bool = True) -> bytes:
     return bytes(out)
 
 
-def lp_to_annexb(data: bytes, nal_size: int = 4) -> bytes:
-    """Length-prefixed NALs -> annex-B."""
+def lp_to_annexb(data: bytes, nal_size: int = 4,
+                 force: bool = False) -> bytes:
+    """Length-prefixed NALs -> annex-B.
+
+    force=True skips the "already annex-B" sniff — callers that KNOW
+    the payload is length-prefixed (ISO samples, avcC-mkv blocks) must
+    set it: a 4-byte length prefix of a 256..511-byte NAL is
+    00 00 01 XX, genuinely ambiguous with a 3-byte start code."""
     data = bytes(data)
-    if data[:3] in (b"\x00\x00\x01",) or data[:4] == _SC:
-        return data                             # already annex-B
+    if not force:
+        # sniff with NAL-header validation (forbidden_zero_bit clear,
+        # nal_type != 0) — heuristic, for context-free callers only
+        for sc in (3, 4):
+            if data[:sc] == _SC[4 - sc:] and len(data) > sc \
+                    and not (data[sc] & 0x80) and (data[sc] & 0x1F):
+                return data                     # already annex-B
     out = bytearray()
     pos = 0
     while pos + nal_size <= len(data):

@@ -45,6 +45,9 @@ class H264Encoder(Encoder):
         Option("g", int, 12, min=1, max=300,
                help="GOP size (IDR interval)"),
         Option("sr", int, 8, min=1, max=16, help="ME search range (pels)"),
+        Option("bf", int, 0, min=0, max=4,
+               help="B frames between references (-bf analog; "
+                    "non-reference B_16x16/B_Bi prediction)"),
         Option("variety", int, 0, min=0, max=1,
                help="cycle all partition/intra shapes (conformance "
                     "torture streams)"),
@@ -68,12 +71,15 @@ class H264Encoder(Encoder):
         self._ref = None          # deblocked recon of last ref frame
         self._frame_num = 0
         self._etc = None          # CABAC entropy recoder (coder=cabac)
+        self._gop_start = 0       # display idx of the current IDR
+        self._pending = []        # buffered (planes, disp_idx, pts) for B
+        self._pts_hist = []       # display pts by display index
+        self._coded = 0           # packets emitted (coding order)
 
     def codec_parameters(self):
         from librempeg_tpu.formats.api import CodecParameters
 
-        extradata = I.build_sps(self.width // 16, self.height // 16) \
-            + I.build_pps()
+        extradata = self._headers()
         if self.opts["cabac"]:
             from librempeg_tpu.codecs.h264.entropy_transcode import (
                 EntropyTranscoder,
@@ -85,38 +91,21 @@ class H264Encoder(Encoder):
             width=self.width, height=self.height, pix_fmt="yuv420p",
             framerate=self.framerate, extradata=extradata)
 
-    def encode(self, frame: VideoFrame):
-        from librempeg_tpu.codecs.h264.inter_enc import FrameEncoder
-        from librempeg_tpu.native import build as native
+    def _headers(self) -> bytes:
+        reorder = 1 if self.opts["bf"] else 0
+        return I.build_sps(self.width // 16, self.height // 16,
+                           reorder=reorder) + I.build_pps()
 
-        if frame.format not in ("yuv420p", "yuvj420p"):
-            raise Unsupported("h264: input must be yuv420p")
-        y, u, v = (np.asarray(p) for p in frame.planes)
-        mb_w, mb_h = self.width // 16, self.height // 16
-        qp = self.opts["qp"]
-        data = b""
-        is_idr = self._idx % self.opts["g"] == 0
-        fe = FrameEncoder(mb_w, mb_h, qp, search_range=self.opts["sr"],
-                          variety=bool(self.opts["variety"]))
-        if is_idr:
-            if self._idx == 0:
-                data += I.build_sps(mb_w, mb_h)
-                data += I.build_pps()
-            self._frame_num = 0
-            nal, recon = fe.encode(y, u, v, None, 0, idr_pic_id=self._idx)
+    def _mk_packet(self, data: bytes, pts, is_idr: bool) -> Packet:
+        """dts: with B frames the k-th coded packet gets the (k-1)-th
+        display pts (1-frame reorder delay; dts <= pts, monotonic)."""
+        if self.opts["bf"]:
+            k = self._coded
+            dts = self._pts_hist[k - 1] if k >= 1 \
+                else self._pts_hist[0] - 1
         else:
-            nal, recon = fe.encode(y, u, v, self._ref, self._frame_num)
-        data += nal
-        # in-loop deblock of the recon -> reference for the next frame
-        dy = np.ascontiguousarray(recon[0])
-        du = np.ascontiguousarray(recon[1])
-        dv = np.ascontiguousarray(recon[2])
-        native.h264_deblock_frame(dy, du, dv, fe.kind, fe.qp_arr,
-                                  fe.mv_arr, fe.ref_arr, fe.ncoef,
-                                  mb_w, mb_h)
-        self._ref = (dy, du, dv)
-        self._frame_num = (self._frame_num + 1) % 16
-
+            dts = pts
+        self._coded += 1
         if self.opts["cabac"]:
             if self._etc is None:
                 from librempeg_tpu.codecs.h264.entropy_transcode import (
@@ -125,13 +114,94 @@ class H264Encoder(Encoder):
 
                 self._etc = EntropyTranscoder()
             data = self._etc.feed(data)
+        return Packet(data=data, pts=pts, dts=dts, duration=1,
+                      flags=PktFlags.KEY if is_idr else 0,
+                      time_base=self.time_base)
 
+    def _code_ref(self, y, u, v, disp, pts, is_idr: bool) -> Packet:
+        """Encode a reference frame (IDR I or P), update the recon ref."""
+        from librempeg_tpu.codecs.h264.inter_enc import FrameEncoder
+        from librempeg_tpu.native import build as native
+
+        mb_w, mb_h = self.width // 16, self.height // 16
+        fe = FrameEncoder(mb_w, mb_h, self.opts["qp"],
+                          search_range=self.opts["sr"],
+                          variety=bool(self.opts["variety"]))
+        data = b""
+        if is_idr:
+            if self._coded == 0:
+                data += self._headers()
+            self._gop_start = disp
+            self._frame_num = 0
+            nal, recon = fe.encode(y, u, v, None, 0, idr_pic_id=disp,
+                                   poc_lsb=0)
+        else:
+            poc = 2 * (disp - self._gop_start)
+            nal, recon = fe.encode(y, u, v, self._ref, self._frame_num,
+                                   poc_lsb=poc)
+        data += nal
+        # in-loop deblock of the recon -> reference for later frames
+        dy = np.ascontiguousarray(recon[0])
+        du = np.ascontiguousarray(recon[1])
+        dv = np.ascontiguousarray(recon[2])
+        native.h264_deblock_frame(dy, du, dv, fe.kind, fe.qp_arr,
+                                  fe.mv_arr, fe.ref_arr, fe.ncoef,
+                                  mb_w, mb_h)
+        self._ref = (dy, du, dv)
+        self._frame_num = (self._frame_num + 1) % 16
+        return self._mk_packet(data, pts, is_idr)
+
+    def _code_b(self, y, u, v, disp, pts, ref0, ref1) -> Packet:
+        """Encode a non-reference B frame between two decoded refs."""
+        from librempeg_tpu.codecs.h264.inter_enc import BFrameEncoder
+
+        mb_w, mb_h = self.width // 16, self.height // 16
+        fe = BFrameEncoder(mb_w, mb_h, self.opts["qp"],
+                           search_range=self.opts["sr"])
+        poc = 2 * (disp - self._gop_start)
+        nal = fe.encode_b(y, u, v, ref0, ref1, self._frame_num, poc)
+        return self._mk_packet(nal, pts, False)
+
+    def encode(self, frame: VideoFrame):
+        if frame.format not in ("yuv420p", "yuvj420p"):
+            raise Unsupported("h264: input must be yuv420p")
+        y, u, v = (np.asarray(p) for p in frame.planes)
+        disp = self._idx
+        self._idx += 1
         pts = frame.pts if frame.pts != NOPTS else self._next_pts
         self._next_pts = pts + 1
-        self._idx += 1
-        return [Packet(data=data, pts=pts, dts=pts, duration=1,
-                       flags=PktFlags.KEY if is_idr else 0,
-                       time_base=self.time_base)]
+        self._pts_hist.append(pts)
+        is_idr = disp % self.opts["g"] == 0
+        bf = self.opts["bf"]
+        if not bf:
+            return [self._code_ref(y, u, v, disp, pts, is_idr)]
+
+        pkts = []
+        if is_idr:
+            # close the GOP: trailing buffered frames become P refs
+            for (py_, pu_, pv_), pd, ppts in self._pending:
+                pkts.append(self._code_ref(py_, pu_, pv_, pd, ppts,
+                                           False))
+            self._pending.clear()
+            pkts.append(self._code_ref(y, u, v, disp, pts, True))
+        elif len(self._pending) >= bf:
+            ref0 = self._ref
+            pkts.append(self._code_ref(y, u, v, disp, pts, False))
+            ref1 = self._ref
+            for (by_, bu_, bv_), bd, bpts in self._pending:
+                pkts.append(self._code_b(by_, bu_, bv_, bd, bpts,
+                                         ref0, ref1))
+            self._pending.clear()
+        else:
+            self._pending.append(((y, u, v), disp, pts))
+        return pkts
+
+    def flush(self):
+        """Drain buffered frames at EOF as a trailing P chain."""
+        pkts = [self._code_ref(py_, pu_, pv_, pd, ppts, False)
+                for (py_, pu_, pv_), pd, ppts in self._pending]
+        self._pending.clear()
+        return pkts
 
 
 @register_decoder
@@ -158,9 +228,13 @@ class H264Decoder(Decoder):
         self.sps = None
         self.pps = None
         # DPB entries: [frame_num, host_planes|None, host_pack|None,
-        #               dev_planes|None, dev_pack|None], newest first
+        #               dev_planes|None, dev_pack|None, poc],
+        # newest first (== RefPicList0 init order for P slices)
         self._dpb = []
         self._cur = None        # in-progress frame slice arrays
+        self._poc_state = (0, 0)   # prev ref (msb, lsb), §8.2.1.1
+        self._dec_count = 0        # decoded-frame counter (poc fallback)
+        self._reorder = []         # output queue [(poc, frame)]
         super().__init__(params, **opts)
         self._device_mode = None    # resolved lazily
 
@@ -193,10 +267,44 @@ class H264Decoder(Decoder):
             if nal.type in (7, 8):
                 self._handle_nal(nal)
             elif nal.type in (1, 5):
-                f = self._decode_slice(nal, pkt)
-                if f is not None:
-                    frames.append(f)
+                if nal.type == 5 and self._cur is None:
+                    frames.extend(self._drain_reorder())
+                r = self._decode_slice(nal, pkt)
+                if r is not None:
+                    f, poc = r
+                    self._reorder.append((poc, f))
+                    self._reorder.sort(key=lambda t: t[0])
+                    maxr = self.sps.num_reorder_frames if self.sps else 0
+                    while len(self._reorder) > maxr:
+                        frames.append(self._reorder.pop(0)[1])
         return frames
+
+    def flush(self):
+        return self._drain_reorder()
+
+    def _drain_reorder(self):
+        out = [f for _, f in sorted(self._reorder, key=lambda t: t[0])]
+        self._reorder.clear()
+        return out
+
+    def _compute_poc(self, sh, nal) -> int:
+        """Picture order count (display order key), §8.2.1."""
+        if self.sps.pic_order_cnt_type != 0:
+            # type 1/2: coding order == display order for the streams
+            # this decoder accepts (no B reorder without type 0)
+            return 2 * self._dec_count
+        max_lsb = 1 << self.sps.log2_max_poc_lsb
+        prev_msb, prev_lsb = (0, 0) if sh.idr else self._poc_state
+        lsb = sh.poc_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        if nal.ref_idc:
+            self._poc_state = (msb, lsb)
+        return msb + lsb
 
     def _decode_slice(self, nal: NalUnit, pkt: Packet):
         from librempeg_tpu.codecs.h264 import recon as R
@@ -208,26 +316,27 @@ class H264Decoder(Decoder):
             raise Unsupported("h264: native extension required")
         sh = parse_slice_header(nal.rbsp, self.sps, self.pps, nal.type,
                                 nal.ref_idc)
-        if sh.slice_type not in ("I", "P"):
+        if sh.slice_type not in ("I", "P", "B"):
             raise Unsupported(f"h264: {sh.slice_type} slices")
         if self.pps.constrained_intra_pred:
             raise Unsupported("h264: constrained intra prediction")
+        is_b = sh.slice_type == "B"
 
         mb_w = self.sps.pic_width_in_mbs
         mb_h = self.sps.pic_height_in_map_units
         nmb = mb_w * mb_h
         if sh.idr:
             self._dpb.clear()
+        st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
         if self.pps.entropy_coding_mode:
             res = native.h264_decode_slice_cabac(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                0 if sh.slice_type == "P" else 2, sh.qp,
-                sh.num_ref_idx_l0, sh.cabac_init_idc)
+                st_code, sh.qp, sh.num_ref_idx_l0, sh.cabac_init_idc,
+                sh.num_ref_idx_l1)
         else:
             res = native.h264_decode_slice_cavlc(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                0 if sh.slice_type == "P" else 2, sh.qp,
-                sh.num_ref_idx_l0)
+                st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1)
 
         # accumulate slices into the current frame
         if sh.first_mb == 0 or self._cur is None:
@@ -236,24 +345,27 @@ class H264Decoder(Decoder):
         else:
             done = res["kind"] >= 0
             for k in ("kind", "info", "i4modes", "mv", "ref", "qp",
-                      "coeffs", "ncoef"):
+                      "coeffs", "ncoef", "mv1", "ref1"):
                 self._cur[k][done] = res[k][done]
         if res["last_mb"] < nmb:
             return None                       # frame incomplete, more slices
 
         res = self._cur
         self._cur = None
+        poc = self._compute_poc(sh, nal)
+        self._dec_count += 1
         do_deblock = (not self.pps.deblocking_filter_control_present
                       or sh.disable_deblock != 1)
         all_inter = not bool(np.any(res["kind"] >= 2))
-        if self._use_device() and all_inter and self._dpb:
+        if self._use_device() and all_inter and not is_b and self._dpb:
             y, u, v = self._decode_device(res, mb_w, mb_h, sh,
                                           do_deblock)
             if nal.ref_idc:
                 from librempeg_tpu.codecs.h264 import device_recon as D
 
                 self._dpb.insert(0, [sh.frame_num, None, None,
-                                     (y, u, v), D.make_refpack(y, u, v)])
+                                     (y, u, v), D.make_refpack(y, u, v),
+                                     poc])
                 del self._dpb[max(1, self.sps.max_num_ref_frames):]
         else:
             # host path needs host planes for every reference: device-
@@ -263,9 +375,25 @@ class H264Decoder(Decoder):
                     ent[1] = tuple(np.asarray(p) for p in ent[3])
                 if ent[2] is None:
                     ent[2] = R.RefPack(*ent[1])
-            y, u, v = R.reconstruct_frame_native(
-                res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
-                [ent[2] for ent in self._dpb])
+            if is_b:
+                # RefPicList init for B (§8.2.4.2.3): L0 = past refs by
+                # descending poc then future ascending; L1 mirrored
+                past = sorted((e for e in self._dpb if e[5] <= poc),
+                              key=lambda e: -e[5])
+                futr = sorted((e for e in self._dpb if e[5] > poc),
+                              key=lambda e: e[5])
+                l0, l1 = past + futr, futr + past
+                if not l0 or not l1:
+                    raise InvalidData("h264: B slice without both "
+                                      "temporal directions in DPB")
+                y, u, v = R.reconstruct_frame_native(
+                    res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
+                    [e[2] for e in l0], [e[2] for e in l1])
+            else:
+                l0, l1 = self._dpb, None
+                y, u, v = R.reconstruct_frame_native(
+                    res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
+                    [e[2] for e in l0])
             if do_deblock:
                 y = np.ascontiguousarray(y)
                 u = np.ascontiguousarray(u)
@@ -273,10 +401,16 @@ class H264Decoder(Decoder):
                 native.h264_deblock_frame(
                     y, u, v, res["kind"], res["qp"], res["mv"],
                     res["ref"], res["ncoef"], mb_w, mb_h, sh.alpha_off,
-                    sh.beta_off, self.pps.chroma_qp_index_offset)
+                    sh.beta_off, self.pps.chroma_qp_index_offset,
+                    mv1=res["mv1"] if is_b else None,
+                    ref1=res["ref1"] if is_b else None,
+                    l0pic=np.asarray([e[5] for e in l0], np.int32)
+                    if is_b else None,
+                    l1pic=np.asarray([e[5] for e in l1], np.int32)
+                    if is_b else None)
             if nal.ref_idc:
                 self._dpb.insert(0, [sh.frame_num, (y, u, v), None,
-                                     None, None])
+                                     None, None, poc])
                 del self._dpb[max(1, self.sps.max_num_ref_frames):]
 
         w, h = self.sps.width, self.sps.height
@@ -285,7 +419,7 @@ class H264Decoder(Decoder):
         return VideoFrame(planes=(y[:h, :w], u[:h // 2, :w // 2],
                                   v[:h // 2, :w // 2]),
                           format="yuv420p", width=w, height=h,
-                          pts=pkt.pts, time_base=tb)
+                          pts=pkt.pts, time_base=tb), poc
 
     def _decode_device(self, res, mb_w, mb_h, sh, do_deblock):
         """All-inter frame on device: sparse coefficient upload, DPB

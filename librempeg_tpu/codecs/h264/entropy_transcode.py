@@ -117,19 +117,19 @@ class EntropyTranscoder:
                                         nal.type, nal.ref_idc)
                 mb_w = self.sps.pic_width_in_mbs
                 mb_h = self.sps.pic_height_in_map_units
+                st = {"P": 0, "B": 1}.get(sh.slice_type, 2)
                 res = native.h264_decode_slice_cavlc(
                     nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                    0 if sh.slice_type == "P" else 2, sh.qp,
-                    sh.num_ref_idx_l0)
+                    st, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1)
                 if res["last_mb"] != mb_w * mb_h or sh.first_mb != 0:
                     raise InvalidData(
                         "entropy transcode: multi-slice frame")
-                st = 0 if sh.slice_type == "P" else 2
                 payload = native.h264_encode_slice_cabac(
-                    res, mb_w, mb_h, st, sh.qp, sh.num_ref_idx_l0, 0)
+                    res, mb_w, mb_h, st, sh.qp, sh.num_ref_idx_l0, 0,
+                    sh.num_ref_idx_l1)
                 bc = _BitCursor()
                 bc.copy(nal.rbsp, 0, sh.bitpos_cabac_idc)
-                if sh.slice_type == "P":
+                if sh.slice_type in ("P", "B"):
                     bc.put_ue(0)           # cabac_init_idc
                 bc.copy(nal.rbsp, sh.bitpos_cabac_idc, sh.data_bit_pos)
                 bc.align_ones()            # cabac_alignment_one_bit

@@ -198,9 +198,11 @@ class FrameEncoder:
         self.ncoef = np.zeros((nmb, 27), np.int16)
 
     # ------------------------------------------------------------------
-    def encode(self, y, u, v, ref_planes, frame_num, idr_pic_id=0):
+    def encode(self, y, u, v, ref_planes, frame_num, idr_pic_id=0,
+               poc_lsb=None):
         """ref_planes = (y,u,v) deblocked recon of the reference, or
-        None for an IDR I frame. Returns (nal, (ry,ru,rv) pre-deblock)."""
+        None for an IDR I frame. Returns (nal, (ry,ru,rv) pre-deblock).
+        poc_lsb defaults to 2*frame_num (display == coding order)."""
         is_p = ref_planes is not None
         ry = np.zeros(y.shape, np.int64)
         ru = np.zeros(u.shape, np.int64)
@@ -217,7 +219,9 @@ class FrameEncoder:
         bw.write(frame_num % 16, 4)               # frame_num
         if not is_p:
             _write_ue(bw, idr_pic_id % 16)        # idr_pic_id
-        bw.write((frame_num * 2) % 16, 4)         # poc lsb
+        if poc_lsb is None:
+            poc_lsb = frame_num * 2
+        bw.write(poc_lsb % 256, 8)                # poc lsb (8-bit, SPS)
         if is_p:
             bw.write(0, 1)                        # num_ref_idx_override
             bw.write(0, 1)                        # ref_pic_list_mod
@@ -694,3 +698,138 @@ class _Scratch:
 
 # backwards-compat alias (round-2 early tests)
 PFrameEncoder = FrameEncoder
+
+
+class BFrameEncoder(FrameEncoder):
+    """B-frame coding: the 16x16 prediction family (B_L0 / B_L1 / B_Bi)
+    with per-list median MV prediction, bi-prediction averaging and
+    intra fallback. B frames are non-reference (nal_ref_idc 0), so no
+    reconstruction loop is kept."""
+
+    def encode_b(self, y, u, v, ref0_planes, ref1_planes, frame_num,
+                 poc_lsb):
+        self.planes0 = R.qpel_planes(np.asarray(ref0_planes[0]))
+        self.upad0 = R.pad_chroma(np.asarray(ref0_planes[1]))
+        self.vpad0 = R.pad_chroma(np.asarray(ref0_planes[2]))
+        self.planes1 = R.qpel_planes(np.asarray(ref1_planes[0]))
+        self.upad1 = R.pad_chroma(np.asarray(ref1_planes[1]))
+        self.vpad1 = R.pad_chroma(np.asarray(ref1_planes[2]))
+        # ry carries the running recon for intra prediction neighbors
+        ry = np.zeros(y.shape, np.int64)
+        ru = np.zeros(u.shape, np.int64)
+        rv = np.zeros(v.shape, np.int64)
+
+        bw = BitWriterMSB()
+        _write_ue(bw, 0)                          # first_mb
+        _write_ue(bw, 6)                          # slice_type B (all)
+        _write_ue(bw, 0)                          # pps id
+        bw.write(frame_num % 16, 4)
+        bw.write(poc_lsb % 256, 8)                # log2_max_poc_lsb = 8
+        bw.write(1, 1)                            # direct_spatial_mv_pred
+        bw.write(0, 1)                            # num_ref_idx_override
+        bw.write(0, 1)                            # ref_pic_list_mod_l0
+        bw.write(0, 1)                            # ref_pic_list_mod_l1
+        _write_se(bw, self.qp - 26)
+        _write_ue(bw, 0)                          # deblocking idc
+        _write_se(bw, 0)
+        _write_se(bw, 0)
+
+        mc0 = MotionCtx(self.mb_w, self.mb_h)
+        mc1 = MotionCtx(self.mb_w, self.mb_h)
+        self.ncY = _NcCtx(self.mb_h * 4, self.mb_w * 4)
+        self.ncU = _NcCtx(self.mb_h * 2, self.mb_w * 2)
+        self.ncV = _NcCtx(self.mb_h * 2, self.mb_w * 2)
+        self.i4g = np.full((self.mb_h * 4, self.mb_w * 4), -2, np.int32)
+        self.mv1_arr = np.zeros_like(self.mv_arr)
+        self.ref1_arr = np.full_like(self.ref_arr, -1)
+
+        for my in range(self.mb_h):
+            for mx in range(self.mb_w):
+                self._encode_b_mb(bw, y, u, v, ry, ru, rv, my, mx,
+                                  mc0, mc1)
+        bw.write(1, 1)
+        bw.align()
+        return _rbsp_to_nal(bw.bytes(), 1, 0)     # non-reference slice
+
+    def _encode_b_mb(self, bw, y, u, v, ry, ru, rv, my, mx, mc0, mc1):
+        mb = my * self.mb_w + mx
+        x4, y4 = mx * 4, my * 4
+        src = y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16]
+
+        pmv0 = mc0.predict(x4, y4, 4, 4, 0)
+        pmv1 = mc1.predict(x4, y4, 4, 4, 0)
+        mx0, my0, sad0 = _search_part(self.planes0, src, y4 * 4, x4 * 4,
+                                      pmv0, self.sr, 16, 16)
+        mx1, my1, sad1 = _search_part(self.planes1, src, y4 * 4, x4 * 4,
+                                      pmv1, self.sr, 16, 16)
+        p0 = R.mc_luma_block(self.planes0, y4 * 4, x4 * 4, mx0, my0)
+        p1 = R.mc_luma_block(self.planes1, y4 * 4, x4 * 4, mx1, my1)
+        pbi = (p0 + p1 + 1) >> 1
+        sadbi = _sad(pbi, src)
+        cands = [(sad0 + 32, 1), (sad1 + 32, 2), (sadbi + 64, 3)]
+        cands.sort()
+        cost, mbt = cands[0]
+
+        intra_sad = min(_sad(I._pred16(ry, my, mx, m), src)
+                        for m in I._modes16_available(my, mx))
+        if intra_sad + 96 < cost:
+            _write_ue(bw, 0)                       # mb_skip_run
+            self._encode_intra(bw, y, u, v, ry, ru, rv, my, mx, mc0,
+                               mb_type_offset=23)
+            mc1.fill_intra(mx, my)
+            self.mv1_arr[mb] = 0
+            self.ref1_arr[mb] = -1
+            return
+
+        use0 = mbt in (1, 3)
+        use1 = mbt in (2, 3)
+        pred = p0 if mbt == 1 else (p1 if mbt == 2 else pbi)
+        pu0 = R.mc_chroma_block(self.upad0, my * 8, mx * 8, mx0, my0)
+        pv0 = R.mc_chroma_block(self.vpad0, my * 8, mx * 8, mx0, my0)
+        pu1 = R.mc_chroma_block(self.upad1, my * 8, mx * 8, mx1, my1)
+        pv1 = R.mc_chroma_block(self.vpad1, my * 8, mx * 8, mx1, my1)
+        predu = pu0 if mbt == 1 else (pu1 if mbt == 2
+                                      else (pu0 + pu1 + 1) >> 1)
+        predv = pv0 if mbt == 1 else (pv1 if mbt == 2
+                                      else (pv0 + pv1 + 1) >> 1)
+
+        lev, cbp_luma = self._quant_luma(src, pred, intra=False)
+        c_dc, c_lev, cbp_chroma = self._quant_chroma(u, v, predu, predv,
+                                                     my, mx)
+        cbp = cbp_luma | (cbp_chroma << 4)
+
+        _write_ue(bw, 0)                           # mb_skip_run
+        _write_ue(bw, mbt)
+        # mvds: L0 then L1 (16x16: ref_idx omitted, one ref per list)
+        if use0:
+            px, py = mc0.predict(x4, y4, 4, 4, 0)
+            _write_se(bw, mx0 - px)
+            _write_se(bw, my0 - py)
+            mc0.fill(x4, y4, 4, 4, 0, mx0, my0)
+        else:
+            mc0.fill(x4, y4, 4, 4, -1, 0, 0)
+        if use1:
+            px, py = mc1.predict(x4, y4, 4, 4, 0)
+            _write_se(bw, mx1 - px)
+            _write_se(bw, my1 - py)
+            mc1.fill(x4, y4, 4, 4, 0, mx1, my1)
+        else:
+            mc1.fill(x4, y4, 4, 4, -1, 0, 0)
+        _write_ue(bw, int(_INTER_CBP_TO_GOLOMB[cbp]))
+        if cbp:
+            _write_se(bw, 0)                       # mb_qp_delta
+        self.kind[mb] = 1
+        self.ref_arr[mb] = 0 if use0 else -1
+        self.ref1_arr[mb] = 0 if use1 else -1
+        self.mv_arr[mb, :, 0] = mx0 if use0 else 0
+        self.mv_arr[mb, :, 1] = my0 if use0 else 0
+        self.mv1_arr[mb, :, 0] = mx1 if use1 else 0
+        self.mv1_arr[mb, :, 1] = my1 if use1 else 0
+        self._write_luma_residual(bw, lev, my, mx, cbp_luma, mb,
+                                  i16=False)
+        self._write_chroma_residual(bw, c_dc, c_lev, my, mx, cbp_chroma)
+        self._recon_inter(ry, ru, rv, my, mx, pred, predu, predv,
+                          lev if cbp_luma else None,
+                          c_dc if cbp_chroma else None,
+                          c_lev if cbp_chroma == 2 else None)
+        self.i4g[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1

@@ -161,23 +161,44 @@ def _rbsp_to_nal(rbsp: bytes, nal_type: int, ref_idc: int) -> bytes:
     return bytes(out)
 
 
-def build_sps(mb_w: int, mb_h: int) -> bytes:
+def build_sps(mb_w: int, mb_h: int, reorder: int = 0) -> bytes:
+    """reorder > 0 (B frames) switches to main profile and signals
+    max_num_reorder_frames through the VUI bitstream restriction."""
     bw = BitWriterMSB()
-    bw.write(66, 8)      # baseline
+    bw.write(77 if reorder else 66, 8)   # main / baseline
     bw.write(0, 8)
     bw.write(30, 8)      # level 3.0
     _write_ue(bw, 0)     # sps id
     _write_ue(bw, 0)     # log2_max_frame_num - 4
     _write_ue(bw, 0)     # poc type 0
-    _write_ue(bw, 0)     # log2_max_poc_lsb - 4
-    _write_ue(bw, 1)     # max refs
+    _write_ue(bw, 4)     # log2_max_poc_lsb - 4  (= 8 bits)
+    _write_ue(bw, 2 if reorder else 1)   # max refs
     bw.write(0, 1)
     _write_ue(bw, mb_w - 1)
     _write_ue(bw, mb_h - 1)
     bw.write(1, 1)       # frame_mbs_only
     bw.write(1, 1)       # direct_8x8
     bw.write(0, 1)       # no crop
-    bw.write(0, 1)       # no vui
+    if reorder:
+        bw.write(1, 1)   # vui present
+        bw.write(0, 1)   # aspect_ratio_info
+        bw.write(0, 1)   # overscan
+        bw.write(0, 1)   # video_signal_type
+        bw.write(0, 1)   # chroma_loc
+        bw.write(0, 1)   # timing_info
+        bw.write(0, 1)   # nal_hrd
+        bw.write(0, 1)   # vcl_hrd
+        bw.write(0, 1)   # pic_struct
+        bw.write(1, 1)   # bitstream_restriction
+        bw.write(1, 1)   # motion_vectors_over_pic_boundaries
+        _write_ue(bw, 0)
+        _write_ue(bw, 0)
+        _write_ue(bw, 16)
+        _write_ue(bw, 16)
+        _write_ue(bw, reorder)           # max_num_reorder_frames
+        _write_ue(bw, reorder + 1)       # max_dec_frame_buffering
+    else:
+        bw.write(0, 1)   # no vui
     bw.write(1, 1)       # rbsp stop
     bw.align()
     return _rbsp_to_nal(bw.bytes(), 7, 3)
@@ -218,7 +239,7 @@ def encode_idr(y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int = 26,
     _write_ue(bw, 0)                 # pps id
     bw.write(0, 4)                   # frame_num
     _write_ue(bw, frame_idx % 16)    # idr_pic_id
-    bw.write(0, 4)                   # poc lsb
+    bw.write(0, 8)                   # poc lsb (8-bit per build_sps)
     bw.write(0, 1)                   # no_output_of_prior_pics
     bw.write(0, 1)                   # long_term_reference
     _write_se(bw, qp - 26)           # slice_qp_delta

@@ -123,6 +123,7 @@ class SPS:
     bit_depth_luma: int = 8
     bit_depth_chroma: int = 8
     delta_pic_order_always_zero: bool = False
+    num_reorder_frames: int = 0
 
     @property
     def width(self) -> int:
@@ -173,7 +174,43 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.direct_8x8_inference = bool(g.u(1))
     if g.u(1):  # frame_cropping
         s.crop = (g.ue(), g.ue(), g.ue(), g.ue())
-    # vui ignored
+    # vui: only the subset our encoder writes is parsed (flags-off
+    # everywhere except bitstream_restriction -> num_reorder_frames);
+    # anything fancier keeps the conservative default
+    try:
+        if g.u(1):                       # vui present
+            if g.u(1):                   # aspect ratio
+                ar = g.u(8)
+                if ar == 255:
+                    g.u(32)
+            if g.u(1):                   # overscan
+                g.u(1)
+            if g.u(1):                   # video signal type
+                g.u(4)
+                if g.u(1):
+                    g.u(24)
+            if g.u(1):                   # chroma loc
+                g.ue()
+                g.ue()
+            if g.u(1):                   # timing
+                g.u(65)
+            h0 = g.u(1)                  # nal hrd
+            if h0:
+                raise ValueError
+            h1 = g.u(1)                  # vcl hrd
+            if h1:
+                raise ValueError
+            g.u(1)                       # pic_struct
+            if g.u(1):                   # bitstream restriction
+                g.u(1)
+                g.ue()
+                g.ue()
+                g.ue()
+                g.ue()
+                s.num_reorder_frames = g.ue()
+                g.ue()
+    except Exception:
+        pass
     return s
 
 
@@ -232,6 +269,9 @@ class SliceHeader:
     num_ref_idx_l0: int = 1
     cabac_init_idc: int = 0
     bitpos_cabac_idc: int = 0          # bit pos where cabac_init_idc sits
+    poc_lsb: int = 0
+    num_ref_idx_l1: int = 1
+    direct_spatial: int = 1
     disable_deblock: int = 0       # disable_deblocking_filter_idc
     alpha_off: int = 0             # slice_alpha_c0_offset_div2 * 2
     beta_off: int = 0
@@ -251,7 +291,7 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
     if sh.idr:
         g.ue()  # idr_pic_id
     if sps.pic_order_cnt_type == 0:
-        g.u(sps.log2_max_poc_lsb)
+        sh.poc_lsb = g.u(sps.log2_max_poc_lsb)
         if pps.pic_order_present:
             g.se()
     elif sps.pic_order_cnt_type == 1 and not sps.delta_pic_order_always_zero:
@@ -260,16 +300,27 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
             g.se()
     if pps.redundant_pic_cnt_present:
         g.ue()
-    if sh.slice_type == "B":
-        raise Unsupported("h264: B slices")
     sh.num_ref_idx_l0 = pps.num_ref_idx_l0
-    if sh.slice_type in ("P", "SP"):
+    sh.num_ref_idx_l1 = getattr(pps, "num_ref_idx_l1", 1)
+    if sh.slice_type == "B":
+        sh.direct_spatial = g.u(1)
+        if g.u(1):  # num_ref_idx_active_override
+            sh.num_ref_idx_l0 = g.ue() + 1
+            sh.num_ref_idx_l1 = g.ue() + 1
+        if g.u(1):  # ref_pic_list_modification_flag_l0
+            raise Unsupported("h264: ref pic list modification")
+        if g.u(1):  # ref_pic_list_modification_flag_l1
+            raise Unsupported("h264: ref pic list modification")
+    elif sh.slice_type in ("P", "SP"):
         if g.u(1):  # num_ref_idx_active_override
             sh.num_ref_idx_l0 = g.ue() + 1
         if g.u(1):  # ref_pic_list_modification_flag_l0
             raise Unsupported("h264: ref pic list modification")
     if pps.weighted_pred and sh.slice_type in ("P", "SP"):
         raise Unsupported("h264: weighted prediction")
+    if getattr(pps, "weighted_bipred_idc", 0) == 1 \
+            and sh.slice_type == "B":
+        raise Unsupported("h264: explicit weighted biprediction")
     if nal_ref_idc != 0:
         if sh.idr:
             g.u(1)  # no_output_of_prior_pics

@@ -410,11 +410,12 @@ class RefPack:
 
 
 def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
-                             chroma_qp_off: int,
-                             ref_packs: list) -> tuple:
+                             chroma_qp_off: int, ref_packs: list,
+                             ref_packs_l1: list | None = None) -> tuple:
     """Host fast path: the whole reconstruction in one native call
     (dequant + IDCT + inter MC + intra assembly). Bit-identical to the
-    array path below (asserted in tests/test_h264_inter.py)."""
+    array path below (asserted in tests/test_h264_inter.py).
+    ref_packs_l1 carries the B-slice list-1 references (None for P)."""
     from librempeg_tpu.native import build as native
 
     W, H = mb_w * 16, mb_h * 16
@@ -427,7 +428,7 @@ def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
     u = np.zeros((H // 2, W // 2), np.uint8)
     v = np.zeros((H // 2, W // 2), np.uint8)
     native.h264_recon_frame(y, u, v, res, mb_w, mb_h, chroma_qp_off,
-                            ref_packs)
+                            ref_packs, ref_packs_l1)
     return y, u, v
 
 

@@ -191,7 +191,7 @@ class FlvDemuxer(Demuxer):
                     return None
                 from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
 
-                payload = lp_to_annexb(body[5:])
+                payload = lp_to_annexb(body[5:], force=True)  # FLV: LP
                 st = self._streams_by_type.get("video")
                 if st is None:
                     return None

@@ -191,7 +191,8 @@ class MatroskaDemuxer(Demuxer):
             if ttype == 1:
                 extradata = bytes(private)
                 nal_size = 4
-                if cid == "h264" and extradata[:1] == b"\x01":
+                is_avcc = cid == "h264" and extradata[:1] == b"\x01"
+                if is_avcc:
                     from librempeg_tpu.codecs.h264.avcc import (
                         avcc_to_annexb,
                         nal_length_size,
@@ -204,6 +205,7 @@ class MatroskaDemuxer(Demuxer):
                                       pix_fmt="yuv420p",
                                       extradata=extradata)
                 par.extra["nal_length_size"] = nal_size
+                par.extra["h264_lp"] = is_avcc   # avcC => blocks are LP
             elif ttype == 2:
                 par = CodecParameters(codec_type="audio", codec_id=cid,
                                       sample_rate=rate or 48000,
@@ -303,11 +305,13 @@ class MatroskaDemuxer(Demuxer):
         if sidx is None:
             return self.read_packet()
         st = self.streams[sidx]
-        if st.codecpar.codec_id == "h264":
+        if st.codecpar.codec_id == "h264" \
+                and st.codecpar.extra.get("h264_lp", False):
             from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
 
             payload = lp_to_annexb(
-                payload, st.codecpar.extra.get("nal_length_size", 4))
+                payload, st.codecpar.extra.get("nal_length_size", 4),
+                force=True)
         return Packet(data=payload, pts=ts, dts=ts, duration=0,
                       stream_index=sidx,
                       flags=PktFlags.KEY if key else 0,

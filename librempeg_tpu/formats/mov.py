@@ -69,8 +69,8 @@ class MovMuxer(Muxer):
                       + b"isomiso2mp41"))
         self._mdat_pos = io.tell()
         io.write(struct.pack(">I", 8) + b"mdat")
-        self._samples: list[list[tuple[int, int, int, bool]]] = [
-            [] for _ in self.streams]   # (offset, size, duration, key)
+        self._samples: list[list[tuple[int, int, int, bool, int]]] = [
+            [] for _ in self.streams]  # (offset, size, duration, key, pts)
 
     def write_packet(self, pkt: Packet):
         data = pkt.data
@@ -81,8 +81,10 @@ class MovMuxer(Muxer):
         off = self.io.tell()
         self.io.write(data)
         dur = pkt.duration or 1
+        pts = pkt.pts if pkt.pts != NOPTS else \
+            (pkt.dts if pkt.dts != NOPTS else 0)
         self._samples[pkt.stream_index].append(
-            (off, len(data), dur, bool(pkt.flags & PktFlags.KEY)))
+            (off, len(data), dur, bool(pkt.flags & PktFlags.KEY), pts))
 
     def write_trailer(self):
         io = self.io
@@ -131,7 +133,7 @@ class MovMuxer(Muxer):
 
         # stts: run-length (count, duration)
         stts_entries = []
-        for _, _, dur, _ in samples:
+        for _, _, dur, _, _ in samples:
             d = scale(dur)
             if stts_entries and stts_entries[-1][1] == d:
                 stts_entries[-1][0] += 1
@@ -153,8 +155,34 @@ class MovMuxer(Muxer):
             stss = _full(b"stss", 0, 0, struct.pack(">I", len(keys))
                          + b"".join(struct.pack(">I", k) for k in keys))
 
+        # ctts: composition offsets (pts - dts) for reordered streams
+        # (B frames). The stts timeline starts at 0, so offsets get a
+        # uniform reorder delay added to stay non-negative (version 0);
+        # an elst entry shifts presentation back by that delay
+        # (movenc.c mov_write_edts_tag role).
+        ctts = b""
+        elst_delay = 0
+        cum = 0
+        offsets = []
+        for _, _, dur, _, pts in samples:
+            offsets.append(scale(pts) - cum)
+            cum += scale(dur)
+        if any(offsets):
+            elst_delay = max(0, -min(offsets))
+            offsets = [o + elst_delay for o in offsets]
+            runs = []
+            for o in offsets:
+                if runs and runs[-1][1] == o:
+                    runs[-1][0] += 1
+                else:
+                    runs.append([1, o])
+            ctts = _full(b"ctts", 0, 0, struct.pack(">I", len(runs))
+                         + b"".join(struct.pack(">II", c, o)
+                                    for c, o in runs))
+
         stsd = self._stsd(par)
-        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+        stbl = _box(b"stbl",
+                    stsd + stts + ctts + stsc + stsz + stco + stss)
 
         if is_video:
             hdlr_type, hdlr_name = b"vide", b"VideoHandler\x00"
@@ -180,7 +208,13 @@ class MovMuxer(Muxer):
             + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                           0x40000000)
             + struct.pack(">II", w, h))
-        return _box(b"trak", tkhd + mdia)
+        edts = b""
+        if elst_delay:
+            elst = _full(b"elst", 0, 0, struct.pack(
+                ">I", 1) + struct.pack(
+                ">IIhh", duration * 1000 // timescale, elst_delay, 1, 0))
+            edts = _box(b"edts", elst)
+        return _box(b"trak", tkhd + edts + mdia)
 
     _ILST_TAGS = {"title": b"\xa9nam", "artist": b"\xa9ART",
                   "album": b"\xa9alb", "comment": b"\xa9cmt",
@@ -348,6 +382,22 @@ class MovDemuxer(Demuxer):
                         time_base=Rational(1, timescale))
             st.extra_samples = self._sample_table(stbl)
             st.duration = sum(d for _, _, d in st.extra_samples)
+            # ctts composition offsets (B-frame reorder) + elst shift
+            ctts = self._find(stbl, b"ctts")
+            st.extra_ctts = None
+            if ctts is not None:
+                n = struct.unpack(">I", ctts[4:8])[0]
+                offs = []
+                for i in range(n):
+                    c, o = struct.unpack(">Ii", ctts[8 + 8 * i:16 + 8 * i])
+                    offs.extend([o] * c)
+                st.extra_ctts = offs
+            st.extra_elst_delay = 0
+            edts = self._find(body, b"edts", b"elst")
+            if edts is not None and struct.unpack(">I", edts[4:8])[0] >= 1:
+                mtime = struct.unpack(">i", edts[12:16])[0]
+                if mtime > 0:
+                    st.extra_elst_delay = mtime
             stss = self._find(stbl, b"stss")
             if stss is not None:
                 n = struct.unpack(">I", stss[4:8])[0]
@@ -489,10 +539,17 @@ class MovDemuxer(Demuxer):
         if st.codecpar.codec_id == "h264":
             from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
 
-            data = lp_to_annexb(
-                data, st.codecpar.extra.get("nal_length_size", 4))
-        pts = sum(d for _, _, d in st.extra_samples[:cur])
+            data = lp_to_annexb(                 # ISO samples: always LP
+                data, st.codecpar.extra.get("nal_length_size", 4),
+                force=True)
+        dts = sum(d for _, _, d in st.extra_samples[:cur])
+        pts = dts
+        if getattr(st, "extra_ctts", None) and cur < len(st.extra_ctts):
+            pts = dts + st.extra_ctts[cur] \
+                - getattr(st, "extra_elst_delay", 0)
+        sync = st.extra_sync is None or (cur + 1) in st.extra_sync
         self._cursor[st.index] += 1
-        return Packet(data=data, pts=pts, dts=pts, duration=dur,
-                      stream_index=st.index, flags=PktFlags.KEY,
+        return Packet(data=data, pts=pts, dts=dts, duration=dur,
+                      stream_index=st.index,
+                      flags=PktFlags.KEY if sync else 0,
                       time_base=st.time_base)

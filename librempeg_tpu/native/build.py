@@ -87,7 +87,8 @@ def get() -> ctypes.CDLL | None:
             u8p, ctypes.c_int, ctypes.c_int,             # rbsp, nbytes, bit
             ctypes.c_int, ctypes.c_int, ctypes.c_int,    # mb_w, mb_h, first
             ctypes.c_int, ctypes.c_int, ctypes.c_int,    # type, qp, nref
-            i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p]
+            i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p,
+            ctypes.c_int, i16p, i8p]                     # nref1, mv1, ref1
         lib.h264_qpel_planes.restype = None
         lib.h264_qpel_planes.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p]
@@ -104,6 +105,8 @@ def get() -> ctypes.CDLL | None:
             i32p, i32p, i8p, i16p, i8p, i32p, i16p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
+            u8pp, u8pp, u8pp, u8pp, u8pp, u8pp,
+            i16p, i8p, ctypes.c_int,                 # mv1, ref1, n_ref1
             u8pp, u8pp, u8pp, u8pp, u8pp, u8pp]
         lib.h264_cabac_slice.restype = ctypes.c_int
         lib.h264_cabac_slice.argtypes = [
@@ -111,7 +114,8 @@ def get() -> ctypes.CDLL | None:
             u8p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p]
+            i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p,
+            ctypes.c_int, i16p, i8p]
         lib.h264_intra_recon.restype = None
         lib.h264_intra_recon.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -121,7 +125,8 @@ def get() -> ctypes.CDLL | None:
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
             i32p, i32p, i16p, i8p, i16p,
             ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p, i8p, i32p, i32p]       # list-1 mv/ref + pic-id maps
         _lib = lib
         return _lib
 
@@ -277,7 +282,8 @@ def _i8(a: np.ndarray):
 
 def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
                             mb_h: int, first_mb: int, slice_type: int,
-                            slice_qp: int, num_ref_idx_l0: int) -> dict:
+                            slice_qp: int, num_ref_idx_l0: int,
+                            num_ref_idx_l1: int = 1) -> dict:
     """Decode one CAVLC slice (I or P) to per-MB tensors.
 
     Returns dict of arrays: kind[nMB], info[nMB], i4modes[nMB,16],
@@ -295,21 +301,27 @@ def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
     qp = np.zeros(nmb, np.int32)
     coeffs = np.zeros((nmb, 27, 16), np.int16)
     ncoef = np.zeros((nmb, 27), np.int16)
+    mv1 = np.zeros((nmb, 16, 2), np.int16)
+    ref1 = np.full((nmb, 4), -1, np.int8)
     end = np.zeros(2, np.int32)
     buf = np.frombuffer(rbsp, np.uint8)
     r = lib.h264_decode_slice_cavlc(
         _u8(buf), len(rbsp), start_bit, mb_w, mb_h, first_mb,
         slice_type, slice_qp, num_ref_idx_l0,
         _i32(kind), _i32(info), _i8(i4m), _i16(mv), _i8(ref), _i32(qp),
-        _i16(coeffs), _i16(ncoef), _i32(end))
+        _i16(coeffs), _i16(ncoef), _i32(end),
+        num_ref_idx_l1, _i16(mv1), _i8(ref1))
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData, Unsupported
 
         if r == -5:
             raise Unsupported("h264: I_PCM macroblocks")
+        if r == -8:
+            raise Unsupported("h264: B direct/partition macroblocks")
         raise InvalidData(f"h264: slice entropy decode failed ({r})")
     return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
             "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
+            "mv1": mv1, "ref1": ref1,
             "end_bit": int(end[0]), "last_mb": int(end[1])}
 
 
@@ -317,12 +329,26 @@ def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                        kind: np.ndarray, qp: np.ndarray, mv: np.ndarray,
                        ref: np.ndarray, ncoef: np.ndarray,
                        mb_w: int, mb_h: int, alpha_off: int = 0,
-                       beta_off: int = 0, chroma_qp_off: int = 0) -> None:
-    """In-place H.264 in-loop deblock over uint8 yuv420 planes."""
+                       beta_off: int = 0, chroma_qp_off: int = 0,
+                       mv1=None, ref1=None, l0pic=None,
+                       l1pic=None) -> None:
+    """In-place H.264 in-loop deblock over uint8 yuv420 planes.
+    mv1/ref1 (+ refIdx->picture-id maps) carry list 1 for B frames."""
     lib = get()
     assert lib is not None
     assert y.dtype == np.uint8 and y.flags.c_contiguous
     h, w = y.shape
+    null16 = ctypes.POINTER(ctypes.c_int16)()
+    null8 = ctypes.POINTER(ctypes.c_int8)()
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    a_mv1 = np.ascontiguousarray(mv1, np.int16) if mv1 is not None \
+        else None
+    a_ref1 = np.ascontiguousarray(ref1, np.int8) if ref1 is not None \
+        else None
+    a_l0 = np.ascontiguousarray(l0pic, np.int32) if l0pic is not None \
+        else None
+    a_l1 = np.ascontiguousarray(l1pic, np.int32) if l1pic is not None \
+        else None
     lib.h264_deblock_frame(
         _u8(y), _u8(u), _u8(v), w, h,
         _i32(np.ascontiguousarray(kind, np.int32)),
@@ -330,7 +356,11 @@ def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         _i16(np.ascontiguousarray(mv, np.int16)),
         _i8(np.ascontiguousarray(ref, np.int8)),
         _i16(np.ascontiguousarray(ncoef, np.int16)),
-        mb_w, mb_h, alpha_off, beta_off, chroma_qp_off)
+        mb_w, mb_h, alpha_off, beta_off, chroma_qp_off,
+        _i16(a_mv1) if a_mv1 is not None else null16,
+        _i8(a_ref1) if a_ref1 is not None else null8,
+        _i32(a_l0) if a_l0 is not None else null32,
+        _i32(a_l1) if a_l1 is not None else null32)
 
 
 def h264_intra_recon(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -403,7 +433,8 @@ def mpeg4_pack_frame(hdr_bw, is_i: bool, mb_w: int, mb_h: int,
 
 def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      res: dict, mb_w: int, mb_h: int,
-                     chroma_qp_off: int, ref_packs) -> None:
+                     chroma_qp_off: int, ref_packs,
+                     ref_packs_l1=None) -> None:
     """Full in-place frame reconstruction (residuals + inter MC + intra)
     from per-MB entropy tensors; ref_packs are recon.RefPack objects."""
     lib = get()
@@ -423,6 +454,21 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             pV[i] = _u8(rp.V)
     else:
         hp = wp = hc = wc = 0
+    n1 = len(ref_packs_l1) if ref_packs_l1 else 0
+    PP1 = ctypes.POINTER(ctypes.c_uint8) * max(1, n1)
+    p1E, p1B, p1H, p1J, p1U, p1V = (PP1() for _ in range(6))
+    for i, rp in enumerate(ref_packs_l1 or ()):
+        p1E[i] = _u8(rp.E)
+        p1B[i] = _u8(rp.B)
+        p1H[i] = _u8(rp.Hm)
+        p1J[i] = _u8(rp.J)
+        p1U[i] = _u8(rp.U)
+        p1V[i] = _u8(rp.V)
+    null16 = ctypes.POINTER(ctypes.c_int16)()
+    null8 = ctypes.POINTER(ctypes.c_int8)()
+    has_l1 = ref_packs_l1 is not None and "mv1" in res
+    a_mv1 = np.ascontiguousarray(res["mv1"], np.int16) if has_l1 else None
+    a_ref1 = np.ascontiguousarray(res["ref1"], np.int8) if has_l1 else None
     r = lib.h264_recon_frame(
         _u8(y), _u8(u), _u8(v), mb_w, mb_h, chroma_qp_off,
         _i32(np.ascontiguousarray(res["kind"], np.int32)),
@@ -432,7 +478,10 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         _i8(np.ascontiguousarray(res["ref"], np.int8)),
         _i32(np.ascontiguousarray(res["qp"], np.int32)),
         _i16(np.ascontiguousarray(res["coeffs"], np.int16)),
-        n, hp, wp, hc, wc, pE, pB, pH, pJ, pU, pV)
+        n, hp, wp, hc, wc, pE, pB, pH, pJ, pU, pV,
+        _i16(a_mv1) if a_mv1 is not None else null16,
+        _i8(a_ref1) if a_ref1 is not None else null8,
+        n1, p1E, p1B, p1H, p1J, p1U, p1V)
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData
 
@@ -442,7 +491,8 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
                             mb_h: int, first_mb: int, slice_type: int,
                             slice_qp: int, num_ref_idx_l0: int,
-                            cabac_init_idc: int) -> dict:
+                            cabac_init_idc: int,
+                            num_ref_idx_l1: int = 1) -> dict:
     """CABAC twin of h264_decode_slice_cavlc (same tensor layout)."""
     lib = get()
     assert lib is not None
@@ -455,6 +505,8 @@ def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
     qp = np.zeros(nmb, np.int32)
     coeffs = np.zeros((nmb, 27, 16), np.int16)
     ncoef = np.zeros((nmb, 27), np.int16)
+    mv1 = np.zeros((nmb, 16, 2), np.int16)
+    ref1 = np.full((nmb, 4), -1, np.int8)
     end = np.zeros(2, np.int32)
     buf = np.frombuffer(rbsp, np.uint8)
     r = lib.h264_cabac_slice(
@@ -462,22 +514,27 @@ def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
         mb_w, mb_h, first_mb, slice_type, slice_qp, num_ref_idx_l0,
         cabac_init_idc,
         _i32(kind), _i32(info), _i8(i4m), _i16(mv), _i8(ref), _i32(qp),
-        _i16(coeffs), _i16(ncoef), _i32(end))
+        _i16(coeffs), _i16(ncoef), _i32(end),
+        num_ref_idx_l1, _i16(mv1), _i8(ref1))
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData, Unsupported
 
         if r == -5:
             raise Unsupported("h264: I_PCM macroblocks")
+        if r == -8:
+            raise Unsupported("h264: B direct/partition macroblocks")
         raise InvalidData(f"h264: CABAC slice decode failed ({r})")
     return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
             "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
+            "mv1": mv1, "ref1": ref1,
             "end_bit": int(end[0]), "last_mb": int(end[1])}
 
 
 def h264_encode_slice_cabac(res: dict, mb_w: int, mb_h: int,
                             slice_type: int, slice_qp: int,
                             num_ref_idx_l0: int,
-                            cabac_init_idc: int = 0) -> bytes:
+                            cabac_init_idc: int = 0,
+                            num_ref_idx_l1: int = 1) -> bytes:
     """Encode per-MB tensors as CABAC slice data (alignment handled by
     caller; returned bytes start at the first arithmetic byte)."""
     lib = get()
@@ -497,7 +554,12 @@ def h264_encode_slice_cabac(res: dict, mb_w: int, mb_h: int,
         _i8(np.ascontiguousarray(res["ref"], np.int8)),
         _i32(np.ascontiguousarray(res["qp"], np.int32)),
         _i16(np.ascontiguousarray(res["coeffs"], np.int16)),
-        _i16(np.ascontiguousarray(res["ncoef"], np.int16)), _i32(end))
+        _i16(np.ascontiguousarray(res["ncoef"], np.int16)), _i32(end),
+        num_ref_idx_l1,
+        _i16(np.ascontiguousarray(
+            res.get("mv1", np.zeros((nmb, 16, 2), np.int16)), np.int16)),
+        _i8(np.ascontiguousarray(
+            res.get("ref1", np.full((nmb, 4), -1, np.int8)), np.int8)))
     if r < 0:
         raise RuntimeError(f"h264: CABAC slice encode failed ({r})")
     return out[:int(end[0])].tobytes()

@@ -237,9 +237,11 @@ struct SliceCtx {
     int8_t* tcY;
     int8_t* tcU;
     int8_t* tcV;
-    // motion grids (per luma 4x4)
+    // motion grids (per luma 4x4); list 1 used by B slices
     int16_t* mvg;     // [h4*w4*2]
-    int8_t* refg;     // [h4*w4]: -2 undecoded, -1 intra, >=0 ref
+    int8_t* refg;     // [h4*w4]: -2 undecoded, -1 intra/unused, >=0 ref
+    int16_t* mvg1;
+    int8_t* refg1;
     // intra 4x4 mode grid: -2 undecoded, -1 available-non-I4x4, >=0 mode
     int8_t* i4g;
     uint8_t* decoded; // per-MB decoded flag (this slice)
@@ -346,14 +348,16 @@ void fill_part(SliceCtx* c, int x4, int y4, int w4p, int h4p,
 extern "C" int h264_decode_slice_cavlc(
     const uint8_t* rbsp, int nbytes, int start_bit,
     int mb_w, int mb_h, int first_mb,
-    int slice_type,          // 0 = P, 2 = I
+    int slice_type,          // 0 = P, 1 = B, 2 = I
     int slice_qp, int num_ref_idx_l0,
     int32_t* mb_kind, int32_t* mb_info, int8_t* i4modes,
     int16_t* mv_out, int8_t* ref_out, int32_t* qp_out,
-    int16_t* coeffs, int16_t* ncoef, int32_t* end_state)
+    int16_t* coeffs, int16_t* ncoef, int32_t* end_state,
+    int num_ref_idx_l1, int16_t* mv1_out, int8_t* ref1_out)
 {
     const int nMB = mb_w * mb_h;
-    const int is_p = slice_type == 0;
+    const int is_b = slice_type == 1;
+    const int is_p = slice_type == 0 || is_b;   // inter slice kinds
     if (first_mb < 0 || first_mb >= nMB) return -1;
 
     HBits b;
@@ -371,10 +375,13 @@ extern "C" int h264_decode_slice_cavlc(
     c.refg = (int8_t*)malloc((size_t)c.w4 * c.h4);
     c.i4g = (int8_t*)malloc((size_t)c.w4 * c.h4);
     c.decoded = (uint8_t*)calloc((size_t)nMB, 1);
+    c.mvg1 = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
+    c.refg1 = (int8_t*)malloc((size_t)c.w4 * c.h4);
     memset(c.tcY, -1, (size_t)c.w4 * c.h4);
     memset(c.tcU, -1, (size_t)c.wc * c.hc);
     memset(c.tcV, -1, (size_t)c.wc * c.hc);
     memset(c.refg, -2, (size_t)c.w4 * c.h4);
+    memset(c.refg1, -2, (size_t)c.w4 * c.h4);
     memset(c.i4g, -2, (size_t)c.w4 * c.h4);
 
     int qp = slice_qp;
@@ -385,7 +392,12 @@ extern "C" int h264_decode_slice_cavlc(
 
     while (mb < nMB) {
         int skip_run = 0;
-        if (is_p) {
+        if (is_b) {
+            if (!hb_more(&b)) break;
+            skip_run = (int)hb_ue(&b);
+            if (b.error) FAIL(-2);
+            if (skip_run) FAIL(-8);    // B_Skip (direct) unsupported
+        } else if (is_p) {
             if (!hb_more(&b)) break;
             skip_run = (int)hb_ue(&b);
             if (b.error) FAIL(-2);
@@ -436,12 +448,64 @@ extern "C" int h264_decode_slice_cavlc(
 
         int kind, imode16 = 0, cbp = 0, chroma_mode = 0;
         int intra_mbt = mbt;
-        if (is_p) {
+        if (is_b) {
+            if (mbt >= 23) intra_mbt = mbt - 23;
+            else intra_mbt = -1;
+        } else if (is_p) {
             if (mbt >= 5) intra_mbt = mbt - 5;
             else intra_mbt = -1;
         }
 
-        if (intra_mbt < 0) {
+        if (is_b && intra_mbt < 0) {
+            // ---------------- inter MB (B, 16x16 family) ----------
+            // mbt 1 = B_L0_16x16, 2 = B_L1_16x16, 3 = B_Bi_16x16;
+            // direct (0), partitions and B_8x8 (4..22) are not in the
+            // supported profile point
+            if (mbt == 0 || mbt > 3) FAIL(-8);
+            kind = K_INTER;
+            const int use0 = mbt == 1 || mbt == 3;
+            const int use1 = mbt == 2 || mbt == 3;
+            int x4 = mx * 4, y4 = my * 4;
+            int r0 = -1, r1 = -1;
+            if (use0) r0 = hb_te(&b, num_ref_idx_l0 - 1);
+            if (use1) r1 = hb_te(&b, num_ref_idx_l1 - 1);
+            for (int list = 0; list < 2; list++) {
+                const int use = list ? use1 : use0;
+                const int rr = list ? r1 : r0;
+                // operate on this list's grids via pointer swap
+                int16_t* sm = c.mvg; int8_t* sr_ = c.refg;
+                if (list) { c.mvg = c.mvg1; c.refg = c.refg1; }
+                if (use) {
+                    int mvdx = hb_se(&b), mvdy = hb_se(&b);
+                    int px, py;
+                    mv_pred(&c, x4, y4, 4, 4, rr, 0, &px, &py);
+                    fill_part(&c, x4, y4, 4, 4, rr, px + mvdx,
+                              py + mvdy);
+                } else {
+                    fill_part(&c, x4, y4, 4, 4, -1, 0, 0);
+                }
+                if (list) { c.mvg = sm; c.refg = sr_; }
+            }
+            if (b.error) FAIL(-2);
+            for (int i = 0; i < 4; i++) {
+                ref_out[mb * 4 + i] = (int8_t)r0;
+                ref1_out[mb * 4 + i] = (int8_t)r1;
+            }
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+                    int gi = (y4 + y) * c.w4 + x4 + x;
+                    mv_out[(mb * 16 + y * 4 + x) * 2] = c.mvg[gi * 2];
+                    mv_out[(mb * 16 + y * 4 + x) * 2 + 1] =
+                        c.mvg[gi * 2 + 1];
+                    mv1_out[(mb * 16 + y * 4 + x) * 2] = c.mvg1[gi * 2];
+                    mv1_out[(mb * 16 + y * 4 + x) * 2 + 1] =
+                        c.mvg1[gi * 2 + 1];
+                }
+            unsigned cg = hb_ue(&b);
+            if (cg > 47 || b.error) FAIL(-4);
+            cbp = GOLOMB_TO_INTER_CBP[cg];
+        } else if (intra_mbt < 0) {
             // ---------------- inter MB (P) ----------------
             kind = K_INTER;
             int refs[4] = {0, 0, 0, 0};
@@ -557,8 +621,10 @@ extern "C" int h264_decode_slice_cavlc(
             cbp = GOLOMB_TO_INTRA4X4_CBP[cg];
             for (int i = 0; i < 4; i++) ref_out[mb * 4 + i] = -1;
             for (int y = 0; y < 4; y++)
-                for (int x = 0; x < 4; x++)
+                for (int x = 0; x < 4; x++) {
                     c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.refg1[(y4 + y) * c.w4 + x4 + x] = -1;
+                }
         } else if (intra_mbt <= 24) {
             // ---------------- I_16x16 ----------------
             kind = K_I16;
@@ -572,6 +638,7 @@ extern "C" int h264_decode_slice_cavlc(
             for (int y = 0; y < 4; y++)
                 for (int x = 0; x < 4; x++) {
                     c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.refg1[(y4 + y) * c.w4 + x4 + x] = -1;
                     c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
                 }
         } else {
@@ -667,6 +734,7 @@ extern "C" int h264_decode_slice_cavlc(
 done:
     free(c.tcY); free(c.tcU); free(c.tcV);
     free(c.mvg); free(c.refg); free(c.i4g); free(c.decoded);
+    free(c.mvg1); free(c.refg1);
     return err;
     #undef FAIL
 }
@@ -773,7 +841,39 @@ struct DeblockCtx {
     const int8_t* refidx;    // [nMB*4]
     const int16_t* ncoef;    // [nMB*27]
     int mb_w, mb_h;
+    // list 1 (B slices; null for P) + refIdx -> picture-id maps
+    const int16_t* mv1;
+    const int8_t* refidx1;
+    const int32_t* l0pic;
+    const int32_t* l1pic;
 };
+
+// one side's motion for a 4x4: returns count; fills pic[2], mx[2], my[2]
+inline int side_motion(const DeblockCtx* d, int mbi, int blk, int b8,
+                       int* pic, int* mx, int* my) {
+    int n = 0;
+    int r0 = d->refidx[mbi * 4 + b8];
+    if (r0 >= 0) {
+        pic[n] = d->l0pic ? d->l0pic[r0] : r0;
+        mx[n] = d->mv[(mbi * 16 + blk) * 2];
+        my[n] = d->mv[(mbi * 16 + blk) * 2 + 1];
+        n++;
+    }
+    if (d->refidx1) {
+        int r1 = d->refidx1[mbi * 4 + b8];
+        if (r1 >= 0) {
+            pic[n] = d->l1pic ? d->l1pic[r1] : (0x10000 + r1);
+            mx[n] = d->mv1[(mbi * 16 + blk) * 2];
+            my[n] = d->mv1[(mbi * 16 + blk) * 2 + 1];
+            n++;
+        }
+    }
+    return n;
+}
+
+inline int mv_far(int ax, int ay, int bx, int by) {
+    return iabs(ax - bx) >= 4 || iabs(ay - by) >= 4;
+}
 
 inline int is_intra_kind(int k) { return k >= 2; }
 
@@ -790,13 +890,36 @@ int edge_bs(const DeblockCtx* d, int pxb, int pyb, int qxb, int qyb,
     int qnz = d->ncoef[qmb * 27 + 1 + (qyb % 4) * 4 + (qxb % 4)] != 0;
     // Intra_16x16 DC-only blocks never reach here (intra => bS>=3)
     if (pnz || qnz) return 2;
-    int pref = d->refidx[pmb * 4 + ((pyb % 4) / 2) * 2 + (pxb % 4) / 2];
-    int qref = d->refidx[qmb * 4 + ((qyb % 4) / 2) * 2 + (qxb % 4) / 2];
-    if (pref != qref) return 1;
-    const int16_t* pmv = d->mv + (pmb * 16 + (pyb % 4) * 4 + (pxb % 4)) * 2;
-    const int16_t* qmv = d->mv + (qmb * 16 + (qyb % 4) * 4 + (qxb % 4)) * 2;
-    if (iabs(pmv[0] - qmv[0]) >= 4 || iabs(pmv[1] - qmv[1]) >= 4) return 1;
-    return 0;
+    int pblk = (pyb % 4) * 4 + (pxb % 4), pb8 = ((pyb % 4) / 2) * 2
+        + (pxb % 4) / 2;
+    int qblk = (qyb % 4) * 4 + (qxb % 4), qb8 = ((qyb % 4) / 2) * 2
+        + (qxb % 4) / 2;
+    int ppic[2], pmx[2], pmy[2], qpic[2], qmx[2], qmy[2];
+    int np_ = side_motion(d, pmb, pblk, pb8, ppic, pmx, pmy);
+    int nq = side_motion(d, qmb, qblk, qb8, qpic, qmx, qmy);
+    if (np_ != nq) return 1;
+    if (np_ == 1) {
+        if (ppic[0] != qpic[0]) return 1;
+        return mv_far(pmx[0], pmy[0], qmx[0], qmy[0]) ? 1 : 0;
+    }
+    // two motion vectors each: picture multisets must match (§8.7.2.1)
+    int same_straight = ppic[0] == qpic[0] && ppic[1] == qpic[1];
+    int same_cross = ppic[0] == qpic[1] && ppic[1] == qpic[0];
+    if (!same_straight && !same_cross) return 1;
+    if (ppic[0] == ppic[1]) {
+        // both refs are the same picture: either vector pairing may
+        // satisfy the closeness condition
+        int a = mv_far(pmx[0], pmy[0], qmx[0], qmy[0])
+             || mv_far(pmx[1], pmy[1], qmx[1], qmy[1]);
+        int b = mv_far(pmx[0], pmy[0], qmx[1], qmy[1])
+             || mv_far(pmx[1], pmy[1], qmx[0], qmy[0]);
+        return (a && b) ? 1 : 0;
+    }
+    if (same_straight)
+        return (mv_far(pmx[0], pmy[0], qmx[0], qmy[0])
+                || mv_far(pmx[1], pmy[1], qmx[1], qmy[1])) ? 1 : 0;
+    return (mv_far(pmx[0], pmy[0], qmx[1], qmy[1])
+            || mv_far(pmx[1], pmy[1], qmx[0], qmy[0])) ? 1 : 0;
 }
 
 }  // namespace
@@ -808,11 +931,14 @@ extern "C" void h264_deblock_frame(
     const int32_t* mb_kind, const int32_t* qp_arr,
     const int16_t* mv, const int8_t* refidx, const int16_t* ncoef,
     int mb_w, int mb_h,
-    int alpha_off, int beta_off, int chroma_qp_off)
+    int alpha_off, int beta_off, int chroma_qp_off,
+    const int16_t* mv1, const int8_t* refidx1,
+    const int32_t* l0pic, const int32_t* l1pic)
 {
     DeblockCtx d;
     d.mb_kind = mb_kind; d.qp_arr = qp_arr; d.mv = mv;
     d.refidx = refidx; d.ncoef = ncoef; d.mb_w = mb_w; d.mb_h = mb_h;
+    d.mv1 = mv1; d.refidx1 = refidx1; d.l0pic = l0pic; d.l1pic = l1pic;
     const int cw = width / 2;
 
     for (int my = 0; my < mb_h; my++) {
@@ -1401,7 +1527,12 @@ extern "C" int h264_recon_frame(
     int n_ref, int hp, int wp, int hc, int wc,
     const uint8_t* const* refE, const uint8_t* const* refB,
     const uint8_t* const* refH, const uint8_t* const* refJ,
-    const uint8_t* const* refU, const uint8_t* const* refV)
+    const uint8_t* const* refU, const uint8_t* const* refV,
+    // list 1 (B slices): null mv1 = P slice
+    const int16_t* mv1, const int8_t* ref1, int n_ref1,
+    const uint8_t* const* r1E, const uint8_t* const* r1B,
+    const uint8_t* const* r1H, const uint8_t* const* r1J,
+    const uint8_t* const* r1U, const uint8_t* const* r1V)
 {
     const int W = mb_w * 16, H = mb_h * 16;
     const int cw = W / 2;
@@ -1522,6 +1653,8 @@ extern "C" int h264_recon_frame(
         const int mb = my * mb_w + mx;
         const int k = kind[mb];
         if (k != 0 && k != 1) continue;
+        if (mv1 && ref1 && ref1[mb * 4] >= 0)
+            continue;               // L1-involved: bi-pred pass below
         const int16_t* ry = resid_y + (size_t)mb * 256;
         const int16_t* rc = resid_c + (size_t)mb * 128;
         const int16_t* mvp = mv + (size_t)mb * 32;
@@ -1606,6 +1739,110 @@ extern "C" int h264_recon_frame(
                             orow[x] = clip255(
                                 p + rcb[ry_off * 8 + (cx0 - mx * 8 + x)]);
                         }
+                    }
+                }
+            }
+        }
+    }
+
+    // ---- B MBs using list 1 (single-direction L1 or bi-pred avg) ----
+    if (mv1 && ref1)
+    for (int my = 0; my < mb_h; my++)
+    for (int mx = 0; mx < mb_w; mx++) {
+        const int mb = my * mb_w + mx;
+        const int k = kind[mb];
+        if (k != 0 && k != 1) continue;
+        if (ref1[mb * 4] < 0) continue;
+        const int l0 = ref[mb * 4] >= 0;
+        const int16_t* ry = resid_y + (size_t)mb * 256;
+        const int16_t* rc = resid_c + (size_t)mb * 128;
+        for (int blk = 0; blk < 16; blk++) {
+            const int by = blk / 4, bx = blk % 4;
+            const int y0 = my * 16 + by * 4, x0 = mx * 16 + bx * 4;
+            int py[2][16], pu[2][4], pv[2][4];
+            int nlists = 0;
+            for (int list = 0; list < 2; list++) {
+                if (list == 0 && !l0) continue;
+                const int16_t* M = list ? mv1 : mv;
+                const int8_t* R = list ? ref1 : ref;
+                const int NR = list ? n_ref1 : n_ref;
+                const uint8_t* const* pE = list ? r1E : refE;
+                const uint8_t* const* pB = list ? r1B : refB;
+                const uint8_t* const* pH = list ? r1H : refH;
+                const uint8_t* const* pJ = list ? r1J : refJ;
+                const uint8_t* const* pU = list ? r1U : refU;
+                const uint8_t* const* pV = list ? r1V : refV;
+                const int mvx = M[((size_t)mb * 16 + blk) * 2];
+                const int mvy = M[((size_t)mb * 16 + blk) * 2 + 1];
+                const int r8 = R[mb * 4 + (by / 2) * 2 + bx / 2];
+                if (r8 < 0 || r8 >= NR) {
+                    free(resid_y); free(resid_c);
+                    free(lmask); free(cmask);
+                    return -1;
+                }
+                const uint8_t* planes[4] = {pE[r8], pB[r8], pH[r8],
+                                            pJ[r8]};
+                const int fx = mvx & 3, fy = mvy & 3;
+                const QM& q = QMAP[fx][fy];
+                int iy = iclip(y0 + (mvy >> 2) + PADL, 3, hp - 8);
+                int ix = iclip(x0 + (mvx >> 2) + PADL, 3, wp - 8);
+                const uint8_t* p1 = planes[q.p1]
+                    + (size_t)(iy + q.d1y) * wp + ix + q.d1x;
+                const uint8_t* p2 = planes[q.p2]
+                    + (size_t)(iy + q.d2y) * wp + ix + q.d2x;
+                int* dst = py[nlists];
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++)
+                        dst[y * 4 + x] =
+                            (p1[(size_t)y * wp + x]
+                             + p2[(size_t)y * wp + x] + 1) >> 1;
+                // chroma 2x2
+                const int cy0 = y0 / 2, cx0 = x0 / 2;
+                const int dx = mvx & 7, dy = mvy & 7;
+                int ciy = iclip(cy0 + (mvy >> 3) + PADC2, 0, hc - 4);
+                int cix = iclip(cx0 + (mvx >> 3) + PADC2, 0, wc - 4);
+                for (int pl = 0; pl < 2; pl++) {
+                    const uint8_t* C = (pl ? pV : pU)[r8];
+                    int* cd = pl ? pv[nlists] : pu[nlists];
+                    for (int y = 0; y < 2; y++) {
+                        const uint8_t* r0 =
+                            C + (size_t)(ciy + y) * wc + cix;
+                        const uint8_t* r1r = r0 + wc;
+                        for (int x = 0; x < 2; x++)
+                            cd[y * 2 + x] =
+                                ((8 - dx) * (8 - dy) * r0[x]
+                                 + dx * (8 - dy) * r0[x + 1]
+                                 + (8 - dx) * dy * r1r[x]
+                                 + dx * dy * r1r[x + 1] + 32) >> 6;
+                    }
+                }
+                nlists++;
+            }
+            for (int y = 0; y < 4; y++) {
+                uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
+                const int16_t* rr = ry + (by * 4 + y) * 16 + bx * 4;
+                for (int x = 0; x < 4; x++) {
+                    int p = nlists == 2
+                        ? (py[0][y * 4 + x] + py[1][y * 4 + x] + 1) >> 1
+                        : py[0][y * 4 + x];
+                    orow[x] = clip255(p + rr[x]);
+                }
+            }
+            const int cy0 = y0 / 2, cx0 = x0 / 2;
+            for (int pl = 0; pl < 2; pl++) {
+                uint8_t* O = pl ? V : U;
+                const int16_t* rcb = rc + pl * 64;
+                for (int y = 0; y < 2; y++) {
+                    uint8_t* orow = O + (size_t)(cy0 + y) * cw + cx0;
+                    for (int x = 0; x < 2; x++) {
+                        int* a = pl ? pv[0] : pu[0];
+                        int* bb2 = pl ? pv[1] : pu[1];
+                        int p = nlists == 2
+                            ? (a[y * 2 + x] + bb2[y * 2 + x] + 1) >> 1
+                            : a[y * 2 + x];
+                        orow[x] = clip255(
+                            p + rcb[(cy0 - my * 8 + y) * 8
+                                    + (cx0 - mx * 8 + x)]);
                     }
                 }
             }
@@ -1804,6 +2041,7 @@ struct CabacSlice {
     int8_t* cmode;         // chroma pred mode
     int8_t* itype;         // 0 none/inter, 1 = I4x4, 2 = I16/IPCM
     int16_t* amvd;         // [h4*w4*2] abs mvd per 4x4
+    int16_t* amvd1;        // list 1 (B)
     int last_dqp;
     int mb_w, mb_h;
 };
@@ -2093,10 +2331,12 @@ extern "C" int h264_cabac_slice(
     int slice_type, int slice_qp, int num_ref_idx_l0, int cabac_init_idc,
     int32_t* mb_kind, int32_t* mb_info, int8_t* i4modes,
     int16_t* mv_out, int8_t* ref_out, int32_t* qp_out,
-    int16_t* coeffs, int16_t* ncoef, int32_t* end_state)
+    int16_t* coeffs, int16_t* ncoef, int32_t* end_state,
+    int num_ref_idx_l1, int16_t* mv1_out, int8_t* ref1_out)
 {
     const int nMB = mb_w * mb_h;
-    const int is_p = slice_type == 0;
+    const int is_b = slice_type == 1;
+    const int is_p = slice_type == 0 || is_b;
     const int dec = mode == 0;
     if (first_mb < 0 || first_mb >= nMB) return -1;
 
@@ -2111,10 +2351,13 @@ extern "C" int h264_cabac_slice(
     c.refg = (int8_t*)malloc((size_t)c.w4 * c.h4);
     c.i4g = (int8_t*)malloc((size_t)c.w4 * c.h4);
     c.decoded = (uint8_t*)calloc((size_t)nMB, 1);
+    c.mvg1 = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
+    c.refg1 = (int8_t*)malloc((size_t)c.w4 * c.h4);
     memset(c.tcY, -1, (size_t)c.w4 * c.h4);
     memset(c.tcU, -1, (size_t)c.wc * c.hc);
     memset(c.tcV, -1, (size_t)c.wc * c.hc);
     memset(c.refg, -2, (size_t)c.w4 * c.h4);
+    memset(c.refg1, -2, (size_t)c.w4 * c.h4);
     memset(c.i4g, -2, (size_t)c.w4 * c.h4);
 
     CabDec cd;
@@ -2127,6 +2370,8 @@ extern "C" int h264_cabac_slice(
     s.cmode = (int8_t*)calloc(nMB, 1);
     s.itype = (int8_t*)calloc(nMB, 1);
     s.amvd = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
+    s.amvd1 = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2,
+                               sizeof(int16_t));
     if (dec) {
         s.dec = &cd; s.enc = 0;
         cab_init_contexts(cd.state, cd.mps, slice_qp,
@@ -2158,8 +2403,11 @@ extern "C" int h264_cabac_slice(
             int na = nb_mb(&s, mb, -1, 0), nb = nb_mb(&s, mb, 0, -1);
             int ctx = (na >= 0 && !s.skipf[na] ? 1 : 0)
                     + (nb >= 0 && !s.skipf[nb] ? 1 : 0);
+            if (is_b) ctx += 13;
             int skip = cs_bin(&s, 11 + ctx,
-                              dec ? 0 : (mb_kind[mb] == K_PSKIP));
+                              dec ? 0 : (!is_b
+                                         && mb_kind[mb] == K_PSKIP));
+            if (skip && is_b) CFAIL(-8);    // B_Skip (direct)
             if (skip) {
                 // P_SKIP: same derivation as the CAVLC path
                 int refA, mvxA, mvyA, refB, mvxB, mvyB;
@@ -2209,7 +2457,60 @@ extern "C" int h264_cabac_slice(
         int enc_info = dec ? 0 : mb_info[mb];
 
         int mbt = -1;          // P inter type 0..3, or -1 for intra
-        if (is_p) {
+        int bmbt = -1;         // B 16x16 family: 1 L0, 2 L1, 3 Bi
+        if (is_b) {
+            int enc_is_intra = !dec && enc_kind >= K_I4X4;
+            int enc_bmbt = 1;
+            if (!dec && !enc_is_intra) {
+                int l0u = ref_out[mb * 4] >= 0;
+                int l1u = ref1_out[mb * 4] >= 0;
+                enc_bmbt = l0u && l1u ? 3 : (l1u ? 2 : 1);
+            }
+            // ctx: neighbors available and not direct (ours never are)
+            int na = nb_mb(&s, mb, -1, 0), nb2 = nb_mb(&s, mb, 0, -1);
+            int ctx = (na >= 0 ? 1 : 0) + (nb2 >= 0 ? 1 : 0);
+            if (!cs_bin(&s, 27 + ctx, 1))
+                CFAIL(-8);                 // B_Direct_16x16
+            if (!cs_bin(&s, 27 + 3,
+                        enc_is_intra || enc_bmbt == 3)) {
+                bmbt = 1 + cs_bin(&s, 27 + 5, enc_bmbt == 2);
+                kind = K_INTER;
+            } else {
+                // 4-bin suffix: 0 -> Bi_16x16; 13 -> intra prefix
+                int target = enc_is_intra ? 13 : 0;
+                int bits = cs_bin(&s, 27 + 4, (target >> 3) & 1) << 3;
+                bits += cs_bin(&s, 27 + 5, (target >> 2) & 1) << 2;
+                bits += cs_bin(&s, 27 + 5, (target >> 1) & 1) << 1;
+                bits += cs_bin(&s, 27 + 5, target & 1);
+                if (bits == 0) {
+                    bmbt = 3;
+                    kind = K_INTER;
+                } else if (bits == 13) {
+                    int v;
+                    if (!dec) {
+                        if (enc_kind == K_I4X4) v = 0;
+                        else {
+                            int t = (enc_info & 15)
+                                + 4 * (((enc_info >> 8) >> 4) & 3)
+                                + 12 * (((enc_info >> 8) & 15) ? 1 : 0);
+                            v = 1 + t;
+                        }
+                    } else v = 0;
+                    int r = cs_intra_mb_type(&s, 32, 0, mb, v);
+                    if (r == 25) CFAIL(-5);
+                    if (r == 0) kind = K_I4X4;
+                    else {
+                        kind = K_I16;
+                        int t = r - 1;
+                        imode16 = t % 4;
+                        cbp = ((t / 4) % 3) << 4;
+                        if (t >= 12) cbp |= 15;
+                    }
+                } else {
+                    CFAIL(-8);             // partitions / B_8x8
+                }
+            }
+        } else if (is_p && !is_b) {
             int enc_is_intra = !dec && enc_kind >= K_I4X4;
             int enc_mbt = 0;
             if (!dec && !enc_is_intra) {
@@ -2298,7 +2599,89 @@ extern "C" int h264_cabac_slice(
             }
         }
 
-        if (kind == K_INTER) {
+        if (is_b && kind == K_INTER) {
+            const int use0 = bmbt == 1 || bmbt == 3;
+            const int use1 = bmbt == 2 || bmbt == 3;
+            int r0 = -1, r1 = -1;
+            if (use0 && num_ref_idx_l0 > 1) {
+                r0 = cs_ref(&s, mb, x4, y4,
+                            dec ? 0 : ref_out[mb * 4]);
+                if (r0 < 0) CFAIL(-3);
+            } else if (use0) r0 = 0;
+            if (use1 && num_ref_idx_l1 > 1) {
+                // ref ctx for list 1 reads list-1 neighbor grids
+                int16_t* sm = c.mvg; int8_t* sr_ = c.refg;
+                c.mvg = c.mvg1; c.refg = c.refg1;
+                r1 = cs_ref(&s, mb, x4, y4,
+                            dec ? 0 : ref1_out[mb * 4]);
+                c.mvg = sm; c.refg = sr_;
+                if (r1 < 0) CFAIL(-3);
+            } else if (use1) r1 = 0;
+            for (int list = 0; list < 2; list++) {
+                const int use = list ? use1 : use0;
+                const int rr = list ? r1 : r0;
+                int16_t* sm = c.mvg; int8_t* sr_ = c.refg;
+                int16_t* sa = s.amvd;
+                if (list) {
+                    c.mvg = c.mvg1; c.refg = c.refg1;
+                    s.amvd = s.amvd1;
+                }
+                if (use) {
+                    int px, py;
+                    mv_pred(&c, x4, y4, 4, 4, rr, 0, &px, &py);
+                    const int16_t* emvl = (list ? mv1_out : mv_out)
+                        + (size_t)mb * 32;
+                    int tx = dec ? 0 : emvl[0] - px;
+                    int ty = dec ? 0 : emvl[1] - py;
+                    int la = x4 > 0 ? s.amvd[(y4 * c.w4 + x4 - 1) * 2] : 0;
+                    int ta = y4 > 0 ? s.amvd[((y4 - 1) * c.w4 + x4) * 2] : 0;
+                    int lb = x4 > 0 ? s.amvd[(y4 * c.w4 + x4 - 1) * 2 + 1] : 0;
+                    int tb = y4 > 0 ? s.amvd[((y4 - 1) * c.w4 + x4) * 2 + 1] : 0;
+                    int dx = cs_mvd(&s, 40, la + ta, tx);
+                    int dy = cs_mvd(&s, 47, lb + tb, ty);
+                    fill_part(&c, x4, y4, 4, 4, rr, px + dx, py + dy);
+                    for (int y = 0; y < 4; y++)
+                        for (int x = 0; x < 4; x++) {
+                            s.amvd[((y4 + y) * c.w4 + x4 + x) * 2] =
+                                (int16_t)(dx < 0 ? -dx : dx);
+                            s.amvd[((y4 + y) * c.w4 + x4 + x) * 2 + 1] =
+                                (int16_t)(dy < 0 ? -dy : dy);
+                        }
+                } else {
+                    fill_part(&c, x4, y4, 4, 4, -1, 0, 0);
+                    for (int y = 0; y < 4; y++)
+                        for (int x = 0; x < 4; x++) {
+                            s.amvd[((y4 + y) * c.w4 + x4 + x) * 2] = 0;
+                            s.amvd[((y4 + y) * c.w4 + x4 + x) * 2 + 1]
+                                = 0;
+                        }
+                }
+                if (list) {
+                    c.mvg = sm; c.refg = sr_; s.amvd = sa;
+                }
+            }
+            if (dec) {
+                for (int i = 0; i < 4; i++) {
+                    ref_out[mb * 4 + i] = (int8_t)r0;
+                    ref1_out[mb * 4 + i] = (int8_t)r1;
+                }
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        int gi = (y4 + y) * c.w4 + x4 + x;
+                        mv_out[(mb * 16 + y * 4 + x) * 2] =
+                            c.mvg[gi * 2];
+                        mv_out[(mb * 16 + y * 4 + x) * 2 + 1] =
+                            c.mvg[gi * 2 + 1];
+                        mv1_out[(mb * 16 + y * 4 + x) * 2] =
+                            c.mvg1[gi * 2];
+                        mv1_out[(mb * 16 + y * 4 + x) * 2 + 1] =
+                            c.mvg1[gi * 2 + 1];
+                    }
+            }
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+        } else if (kind == K_INTER) {
             int refs[4] = {0, 0, 0, 0};
             const int16_t* emv = mv_out + (size_t)mb * 32;
             const int8_t* eref = ref_out + mb * 4;
@@ -2503,6 +2886,10 @@ extern "C" int h264_cabac_slice(
                     c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
                     c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
                 }
+        if (is_b && kind >= K_I4X4)
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.refg1[(y4 + y) * c.w4 + x4 + x] = -1;
 
         // intra chroma pred mode (I4x4 + I16)
         if (kind == K_I4X4 || kind == K_I16) {
@@ -2663,7 +3050,8 @@ done:
     free(c.tcY); free(c.tcU); free(c.tcV);
     free(c.mvg); free(c.refg); free(c.i4g); free(c.decoded);
     free(s.cbpx); free(s.skipf); free(s.cmode); free(s.itype);
-    free(s.amvd);
+    free(s.amvd); free(s.amvd1);
+    free(c.mvg1); free(c.refg1);
     return err;
     #undef CFAIL
 }
