@@ -35,6 +35,23 @@ _CODEC_TO_FOURCC = {
     "rawvideo": b"\x00\x00\x00\x00",
 }
 
+# raw pixel formats ride biCompression fourccs (reference raw.c
+# ff_raw_pix_fmt_tags); BI_RGB (0) + biBitCount carries the rgb cases
+_PIXFMT_TO_RAW_FOURCC = {
+    "yuv420p": (b"I420", 12), "yuvj420p": (b"I420", 12),
+    "yuv422p": (b"Y42B", 16), "yuv444p": (b"444P", 24),
+    "yuyv422": (b"YUY2", 16), "uyvy422": (b"UYVY", 16),
+    "gray": (b"Y800", 8),
+    "bgr24": (b"\x00\x00\x00\x00", 24),
+    "bgra": (b"\x00\x00\x00\x00", 32),
+}
+_RAW_FOURCC_TO_PIXFMT = {
+    b"I420": "yuv420p", b"IYUV": "yuv420p", b"YV12": "yuv420p",
+    b"Y42B": "yuv422p", b"444P": "yuv444p",
+    b"YUY2": "yuyv422", b"UYVY": "uyvy422",
+    b"Y800": "gray", b"GREY": "gray",
+}
+
 
 @register_demuxer
 class AviDemuxer(Demuxer):
@@ -111,10 +128,14 @@ class AviDemuxer(Demuxer):
                         "<IiiHH4s", body[:20])
                     codec = _FOURCC_TO_CODEC.get(compr) or \
                         _FOURCC_TO_CODEC.get(cur["handler"], "rawvideo")
+                    if codec == "rawvideo":
+                        pix = _RAW_FOURCC_TO_PIXFMT.get(
+                            compr, "bgra" if bitcount == 32 else "bgr24")
+                    else:
+                        pix = "yuv420p"
                     par = CodecParameters(
                         codec_type="video", codec_id=codec,
-                        width=w, height=abs(h),
-                        pix_fmt="yuv420p" if codec != "rawvideo" else "bgr24",
+                        width=w, height=abs(h), pix_fmt=pix,
                         framerate=Rational(cur["rate"], cur["scale"]))
                     tb = Rational(cur["scale"], cur["rate"])
                 elif cur["type"] == b"auds":
@@ -212,10 +233,15 @@ class AviMuxer(Muxer):
                                       rate.den, rate.num, 0, 0, 0,
                                       0xFFFFFFFF, 0)
                         + struct.pack("<hhhh", 0, 0, par.width, par.height))
+                if par.codec_id == "rawvideo":
+                    vtag, bits = _PIXFMT_TO_RAW_FOURCC.get(
+                        par.pix_fmt or "yuv420p", (b"I420", 12))
+                else:
+                    vtag, bits = _CODEC_TO_FOURCC.get(
+                        par.codec_id, b"\0\0\0\0"), 24
                 strf = struct.pack(
-                    "<IiiHH4sIiiII", 40, par.width, par.height, 1, 24,
-                    _CODEC_TO_FOURCC.get(par.codec_id, b"\0\0\0\0"),
-                    par.width * par.height * 3, 0, 0, 0, 0)
+                    "<IiiHH4sIiiII", 40, par.width, par.height, 1, bits,
+                    vtag, par.width * par.height * bits // 8, 0, 0, 0, 0)
             else:
                 tag_bits = _CODEC_TO_TAG.get(par.codec_id, (1, 16))
                 wtag, bits = tag_bits
