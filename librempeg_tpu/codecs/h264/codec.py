@@ -30,6 +30,20 @@ from librempeg_tpu.core.packet import Packet, PktFlags
 from librempeg_tpu.core.rational import NOPTS, Rational
 
 
+# device decode: frames with more intra MBs than this (IDR refreshes)
+# take the host path -- the sequential intra scan stops paying off
+_INTRA_CAP_MAX = 1024
+
+
+def _bucket(n: int, lo: int, hi: int) -> int:
+    """Smallest power-of-two >= n, in [lo, hi] (static-shape buckets so
+    XLA compiles one program per bucket, not one per frame)."""
+    c = lo
+    while c < n:
+        c *= 2
+    return min(c, hi)
+
+
 @register_encoder
 class H264Encoder(Encoder):
     """Baseline-profile encoder: IDR I_16x16 frames + P frames
@@ -356,8 +370,10 @@ class H264Decoder(Decoder):
         self._dec_count += 1
         do_deblock = (not self.pps.deblocking_filter_control_present
                       or sh.disable_deblock != 1)
-        all_inter = not bool(np.any(res["kind"] >= 2))
-        if self._use_device() and all_inter and not is_b and self._dpb:
+        n_intra = int(np.count_nonzero(res["kind"] >= 2))
+        dev_ok = (self._use_device() and not is_b and self._dpb
+                  and n_intra <= _INTRA_CAP_MAX)
+        if dev_ok:
             y, u, v = self._decode_device(res, mb_w, mb_h, sh,
                                           do_deblock)
             if nal.ref_idc:
@@ -422,8 +438,9 @@ class H264Decoder(Decoder):
                           pts=pkt.pts, time_base=tb), poc
 
     def _decode_device(self, res, mb_w, mb_h, sh, do_deblock):
-        """All-inter frame on device: sparse coefficient upload, DPB
-        stays in HBM (codecs/h264/device_recon.py)."""
+        """P frame on device: sparse coefficient upload, DPB stays in
+        HBM; scattered intra MBs rebuilt by a raster-order device scan
+        (codecs/h264/device_recon.py)."""
         import jax.numpy as jnp
 
         from librempeg_tpu.codecs.h264 import device_recon as D
@@ -441,15 +458,33 @@ class H264Decoder(Decoder):
         flat = res["coeffs"].astype(np.int32).ravel()
         idx = np.flatnonzero(flat).astype(np.int32)
         vals = flat[idx].astype(np.int16)
+        # pad sparse + intra lists to size buckets: one XLA program per
+        # bucket, not one per frame-specific count
+        nz, nzv = idx, vals
+        cap = _bucket(len(nz), 4096, flat.size)
+        # pad with a POSITIVE out-of-bounds index: scatter mode="drop"
+        # drops those, while negative indices would wrap around
+        idx = np.full(cap, flat.size, np.int32)
+        idx[:len(nz)] = nz
+        vals = np.zeros(cap, np.int16)
+        vals[:len(nz)] = nzv
+        intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
+        icap = _bucket(len(intra), 32, _INTRA_CAP_MAX) if len(intra) \
+            else 0
+        ilist = np.full(max(icap, 1), -1, np.int32)
+        ilist[:len(intra)] = intra
         mv = jnp.asarray(res["mv"])
         ref = jnp.asarray(res["ref"])
         qp = jnp.asarray(res["qp"])
+        kind = jnp.asarray(res["kind"])
         y, u, v = D.recon_p_frame(
             luma4, upad, vpad, jnp.asarray(idx), jnp.asarray(vals), mv,
-            ref, qp, mb_w, mb_h, self.pps.chroma_qp_index_offset)
+            ref, qp, kind, jnp.asarray(res["info"]),
+            jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
+            mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
         if do_deblock:
             y, u, v = D.deblock_frame(
                 y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv, ref,
-                qp, mb_w, mb_h, self.pps.chroma_qp_index_offset,
+                qp, kind, mb_w, mb_h, self.pps.chroma_qp_index_offset,
                 sh.alpha_off, sh.beta_off)
         return y, u, v

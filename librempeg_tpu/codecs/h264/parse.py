@@ -47,41 +47,34 @@ class ExpGolombReader:
 
 
 def remove_emulation_prevention(data: bytes) -> bytes:
-    """00 00 03 -> 00 00 (rbsp extraction)."""
-    out = bytearray()
-    i = 0
-    n = len(data)
-    while i < n:
-        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and \
-                data[i + 2] == 3:
-            out += data[i:i + 2]
-            i += 3
-        else:
-            out.append(data[i])
-            i += 1
-    return bytes(out)
+    """00 00 03 -> 00 00 (rbsp extraction). bytes.replace scans
+    left-to-right non-overlapping, exactly the escape-removal order."""
+    return data.replace(b"\x00\x00\x03", b"\x00\x00")
 
 
 def split_annexb(data: bytes) -> list[bytes]:
-    """Split an annex-B stream into NAL units (without start codes)."""
-    nals = []
-    i = 0
+    """Split an annex-B stream into NAL units (without start codes).
+
+    Start-code positions found vectorized (the 3-byte pattern cannot
+    self-overlap, so every candidate is a real boundary)."""
+    import numpy as np
+
     n = len(data)
-    start = None
-    while i + 2 < n:
-        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
-            if start is not None:
-                end = i
-                while end > start and data[end - 1] == 0:
-                    end -= 1
-                nals.append(data[start:end])
-            i += 3
-            start = i
-        else:
-            i += 1
-    if start is not None:
-        nals.append(data[start:])
-    return [x for x in nals if x]
+    if n < 4:
+        return []
+    a = np.frombuffer(data, np.uint8)
+    sc = np.flatnonzero((a[:-2] == 0) & (a[1:-1] == 0) & (a[2:] == 1))
+    if sc.size == 0:
+        return []
+    nals = []
+    for k in range(sc.size):
+        start = int(sc[k]) + 3
+        end = int(sc[k + 1]) if k + 1 < sc.size else n
+        while end > start and data[end - 1] == 0:
+            end -= 1
+        if end > start:
+            nals.append(data[start:end])
+    return nals
 
 
 @dataclass

@@ -105,17 +105,21 @@ def test_device_recon_and_deblock_match_host():
         assert np.array_equal(np.asarray(luma4[2]), pack.Hm)
         assert np.array_equal(np.asarray(luma4[3]), pack.J)
         idx, vals = _sparse(res)
+        kind = jnp.asarray(res["kind"])
+        none_list = jnp.asarray(np.full(1, -1, np.int32))
         yd, ud, vd = D.recon_p_frame(
             luma4[None], up[None], vp[None], idx, vals,
             jnp.asarray(res["mv"]), jnp.asarray(res["ref"]),
-            jnp.asarray(res["qp"]), mb_w, mb_h, 0)
+            jnp.asarray(res["qp"]), kind, jnp.asarray(res["info"]),
+            jnp.asarray(res["i4modes"]), none_list, mb_w, mb_h, 0, 0)
         assert np.array_equal(np.asarray(yd), yh), "luma recon"
         assert np.array_equal(np.asarray(ud), uh), "u recon"
         assert np.array_equal(np.asarray(vd), vh), "v recon"
 
         ydd, udd, vdd = D.deblock_frame(
             yd, ud, vd, idx, vals, jnp.asarray(res["mv"]),
-            jnp.asarray(res["ref"]), jnp.asarray(res["qp"]), mb_w, mb_h)
+            jnp.asarray(res["ref"]), jnp.asarray(res["qp"]), kind,
+            mb_w, mb_h)
         assert np.array_equal(np.asarray(ydd), ydb), "luma deblock"
         assert np.array_equal(np.asarray(udd), udb), "u deblock"
         assert np.array_equal(np.asarray(vdd), vdb), "v deblock"
@@ -144,9 +148,10 @@ def test_decoder_device_mode_bit_exact():
 
 
 def test_decoder_device_mode_variety_torture():
-    """Device mode on variety streams (all MB shapes, intra refreshes):
-    the all-inter gate must route intra frames to the host path and the
-    outputs stay bit-exact."""
+    """Device mode on variety streams (all MB shapes incl. I_4x4 and
+    I_16x16 intra-in-P -> exercises the device intra scan and bS 3/4
+    strong deblocking; IDR frames route to the host path). Outputs stay
+    bit-exact vs the host decoder."""
     from librempeg_tpu.codecs.h264.codec import H264Decoder
 
     w, h = 80, 48
@@ -162,6 +167,52 @@ def test_decoder_device_mode_variety_torture():
                                  pts=i, time_base=Rational(1, 25)))
     enc = H264Encoder(width=w, height=h, qp=30, g=4, variety=1)
     pkts = [enc.encode(f)[0] for f in frames]
+    d_dev = H264Decoder(enc.codec_parameters(), device=1)
+    d_host = H264Decoder(enc.codec_parameters(), device=0)
+    for pkt in pkts:
+        for a, b in zip(d_dev.decode(pkt), d_host.decode(pkt)):
+            for pa, pb in zip(a.planes, b.planes):
+                assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_decoder_device_mode_intra_heavy():
+    """P frames with DENSE intra-in-P (scene-change band refreshed with
+    fresh noise every frame -> runs of adjacent intra MBs incl. frame
+    edges): the device intra scan must handle neighbor chains where an
+    intra MB's left/top/top-right neighbors are themselves intra."""
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 96, 64
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.uint8)
+    frames = []
+    for i in range(6):
+        y = base[i:h + i, i * 2:w + i * 2].copy()
+        # top band + a center block get uncorrelated noise each frame:
+        # motion search fails there and the encoder falls back to intra
+        y[:16, :] = rng.integers(0, 256, (16, w))
+        y[32:64, 32:80] = rng.integers(0, 256, (32, 48))
+        u = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                 width=w, height=h, pts=i,
+                                 time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=28, g=6)
+    pkts = [enc.encode(f)[0] for f in frames]
+
+    # sanity: the stream really has P frames with many intra MBs
+    sps = P.parse_sps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[0]).rbsp)
+    pps = P.parse_pps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[1]).rbsp)
+    max_intra = 0
+    for pkt in pkts[1:]:
+        sh, res = _entropy(pkt, sps, pps)
+        if sh.slice_type == "P":
+            max_intra = max(max_intra,
+                            int(np.count_nonzero(res["kind"] >= 2)))
+    assert max_intra >= 6, f"want dense intra-in-P, got {max_intra}"
+
     d_dev = H264Decoder(enc.codec_parameters(), device=1)
     d_host = H264Decoder(enc.codec_parameters(), device=0)
     for pkt in pkts:
