@@ -74,10 +74,13 @@ class H264Encoder(Encoder):
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
                  framerate: Rational = Rational(25, 1), **opts):
         super().__init__(**opts)
-        if width % 16 or height % 16:
-            raise Unsupported("h264: dimensions must be 16-aligned "
-                              "(cropping lands with the mp4 path)")
+        if width % 2 or height % 2:
+            raise Unsupported("h264: 4:2:0 dimensions must be even "
+                              "(SPS crop units are 2 luma samples)")
         self.width, self.height = width, height
+        # coded size is the next MB multiple; the SPS crops back
+        self._cw = (width + 15) // 16 * 16
+        self._ch = (height + 15) // 16 * 16
         self.framerate = framerate
         self.time_base = Rational(framerate.den, framerate.num)
         self._idx = 0
@@ -107,8 +110,10 @@ class H264Encoder(Encoder):
 
     def _headers(self) -> bytes:
         reorder = 1 if self.opts["bf"] else 0
-        return I.build_sps(self.width // 16, self.height // 16,
-                           reorder=reorder) + I.build_pps()
+        return I.build_sps(self._cw // 16, self._ch // 16,
+                           reorder=reorder,
+                           crop_r=self._cw - self.width,
+                           crop_b=self._ch - self.height) + I.build_pps()
 
     def _mk_packet(self, data: bytes, pts, is_idr: bool) -> Packet:
         """dts: with B frames the k-th coded packet gets the (k-1)-th
@@ -137,7 +142,7 @@ class H264Encoder(Encoder):
         from librempeg_tpu.codecs.h264.inter_enc import FrameEncoder
         from librempeg_tpu.native import build as native
 
-        mb_w, mb_h = self.width // 16, self.height // 16
+        mb_w, mb_h = self._cw // 16, self._ch // 16
         fe = FrameEncoder(mb_w, mb_h, self.opts["qp"],
                           search_range=self.opts["sr"],
                           variety=bool(self.opts["variety"]))
@@ -169,7 +174,7 @@ class H264Encoder(Encoder):
         """Encode a non-reference B frame between two decoded refs."""
         from librempeg_tpu.codecs.h264.inter_enc import BFrameEncoder
 
-        mb_w, mb_h = self.width // 16, self.height // 16
+        mb_w, mb_h = self._cw // 16, self._ch // 16
         fe = BFrameEncoder(mb_w, mb_h, self.opts["qp"],
                            search_range=self.opts["sr"])
         poc = 2 * (disp - self._gop_start)
@@ -180,6 +185,11 @@ class H264Encoder(Encoder):
         if frame.format not in ("yuv420p", "yuvj420p"):
             raise Unsupported("h264: input must be yuv420p")
         y, u, v = (np.asarray(p) for p in frame.planes)
+        if self._cw != self.width or self._ch != self.height:
+            py, px = self._ch - self.height, self._cw - self.width
+            y = np.pad(y, ((0, py), (0, px)), mode="edge")
+            u = np.pad(u, ((0, py // 2), (0, px // 2)), mode="edge")
+            v = np.pad(v, ((0, py // 2), (0, px // 2)), mode="edge")
         disp = self._idx
         self._idx += 1
         pts = frame.pts if frame.pts != NOPTS else self._next_pts
@@ -483,8 +493,24 @@ class H264Decoder(Decoder):
             jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
             mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
         if do_deblock:
-            y, u, v = D.deblock_frame(
-                y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv, ref,
-                qp, kind, mb_w, mb_h, self.pps.chroma_qp_index_offset,
-                sh.alpha_off, sh.beta_off)
+            import jax
+
+            if jax.default_backend() not in ("cpu",):
+                # Pallas kernel: raster-sequential grid, VMEM planes
+                # (~35x the XLA wavefront scan on a v5e)
+                from librempeg_tpu.codecs.h264.deblock_pallas import (
+                    deblock_frame_pallas,
+                )
+
+                y, u, v = deblock_frame_pallas(
+                    y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv,
+                    ref, qp, kind, mb_w, mb_h,
+                    self.pps.chroma_qp_index_offset,
+                    sh.alpha_off, sh.beta_off)
+            else:
+                y, u, v = D.deblock_frame(
+                    y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv,
+                    ref, qp, kind, mb_w, mb_h,
+                    self.pps.chroma_qp_index_offset,
+                    sh.alpha_off, sh.beta_off)
         return y, u, v

@@ -1,0 +1,301 @@
+"""H.264 in-loop deblocking as a Pallas TPU kernel.
+
+The XLA wavefront scan in device_recon.deblock_frame is algorithmically
+right but each scan step pays for full-plane gathers/scatters with
+computed indices (~650 ms/frame at 1080p on a v5e). This kernel removes
+all of that: the planes live in VMEM for the whole frame and the grid
+iterates macroblocks in raster order -- TPU Pallas grids execute
+SEQUENTIALLY, so spec §8.7 MB order (vertical edges then horizontal,
+MB by MB) is exact by construction.
+
+Mosaic constraints shape the implementation (probed on v5e):
+* dynamic lane offsets must be provable multiples of 128 -> each MB
+  loads one 128-aligned [32, 256] window and normalizes with a dynamic
+  lane roll (dynamic shifts ARE supported), so every edge lands at a
+  STATIC window column;
+* dynamic sublane offsets need pl.multiple_of hints -> planes are
+  padded so windows start at my*16 / my*8;
+* value-level scatter/dynamic_slice are unsupported, and concatenate
+  is layout-picky -> all tile updates are jnp.where with STATIC
+  broadcasted_iota masks; filtered samples are splat-broadcast back
+  into the tile;
+* 8-bit vector arithmetic is unsupported -> load uint8, compute int32,
+  store uint8.
+
+Edge decisions (bS, alpha, beta, tc0) depend only on pre-deblock data
+(MB kinds, nnz, refs, MVs, qp), so they are precomputed OUTSIDE the
+kernel with plain vectorized XLA, packed one-int32-per-edge
+(bits 0..2 bS, 3..10 alpha, 11..15 beta, 16..20 tc0) and laid out per
+MB as an [8, 16] block so every in-kernel parameter access is a [1, 1]
+static slice splat.
+
+Behavioral reference: /root/reference/libavcodec/h264_loopfilter.c
+(reimplemented; bit-exactness vs native/h264.cpp asserted in
+tests/test_h264_device.py)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from librempeg_tpu.codecs.h264 import device_recon as DR
+
+_TS = (32, 256)                       # window tile shape
+
+
+def _align_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pack_params(bs, ia, ib):
+    """bs/ia/ib [H4, W4] table-index maps -> packed int32 value map."""
+    alpha = jnp.asarray(DR._ALPHA)[ia]
+    beta = jnp.asarray(DR._BETA)[ib]
+    tc0 = jnp.asarray(DR._TC0)[ia, jnp.clip(bs - 1, 0, 2)]
+    return (bs | (alpha << 3) | (beta << 11) | (tc0 << 16)) \
+        .astype(jnp.int32)
+
+
+def _mbize(m, mb_w, mb_h):
+    """[H4, W4] per-block-edge map -> [nmb, 4, 4] (mb, row, col)."""
+    return m.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3) \
+        .reshape(mb_h * mb_w, 4, 4)
+
+
+def _filt_luma_vals(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta,
+                    tc0):
+    """§8.7.2.3/8.7.2.4 luma filters on parallel sample vectors.
+    Returns the six written sample vectors (p2' p1' p0' q0' q1' q2')."""
+    fmask = ((bs > 0) & (jnp.abs(p0 - q0) < alpha)
+             & (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta))
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    tc = tc0 + ap + aq
+    delta = jnp.clip((((q0 - p0) * 4) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0n = jnp.clip(p0 + delta, 0, 255)
+    q0n = jnp.clip(q0 - delta, 0, 255)
+    p1n = p1 + jnp.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1,
+                        -tc0, tc0)
+    q1n = q1 + jnp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1,
+                        -tc0, tc0)
+    close = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = ap & close
+    sq = aq & close
+    p0s = jnp.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    p1s = (p2 + p1 + p0 + q0 + 2) >> 2
+    p2s = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+    q0s = jnp.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    q1s = (q2 + q1 + q0 + p0 + 2) >> 2
+    q2s = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+    bs4 = bs == 4
+    return (
+        jnp.where(fmask & bs4 & sp, p2s, p2),
+        jnp.where(fmask, jnp.where(bs4, jnp.where(sp, p1s, p1),
+                                   jnp.where(ap, p1n, p1)), p1),
+        jnp.where(fmask, jnp.where(bs4, p0s, p0n), p0),
+        jnp.where(fmask, jnp.where(bs4, q0s, q0n), q0),
+        jnp.where(fmask, jnp.where(bs4, jnp.where(sq, q1s, q1),
+                                   jnp.where(aq, q1n, q1)), q1),
+        jnp.where(fmask & bs4 & sq, q2s, q2),
+    )
+
+
+def _filt_chroma_vals(p1, p0, q0, q1, bs, alpha, beta, tc0):
+    """Chroma filter; returns (p0', q0')."""
+    fmask = ((bs > 0) & (jnp.abs(p0 - q0) < alpha)
+             & (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta))
+    tc = tc0 + 1
+    delta = jnp.clip((((q0 - p0) * 4) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0n = jnp.clip(p0 + delta, 0, 255)
+    q0n = jnp.clip(q0 - delta, 0, 255)
+    p0s = (2 * p1 + p0 + q1 + 2) >> 2
+    q0s = (2 * q1 + q0 + p1 + 2) >> 2
+    bs4 = bs == 4
+    return (jnp.where(fmask, jnp.where(bs4, p0s, p0n), p0),
+            jnp.where(fmask, jnp.where(bs4, q0s, q0n), q0))
+
+
+def _row_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (_TS[0], 1), 0)
+
+
+def _col_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, _TS[1]), 1)
+
+
+def _seg_param(prm, picks, iota, seg, r0):
+    """Build a packed-parameter field ([32, 1] for row-varying edges,
+    [1, 256] for column-varying) from [1, 1] splats: value k applies
+    where iota is in [r0 + k*seg, r0 + (k+1)*seg) (zero elsewhere ->
+    bS 0 -> no-op). Single-dim broadcasts only: Mosaic rejects
+    broadcasting sublanes and lanes in one op."""
+    shape = iota.shape
+    out = jnp.zeros(shape, jnp.int32)
+    for k, p in enumerate(picks):
+        splat = jnp.broadcast_to(prm[p[0]:p[0] + 1, p[1]:p[1] + 1],
+                                 shape)
+        lo = r0 + k * seg
+        out = jnp.where((iota >= lo) & (iota < lo + seg), splat, out)
+    return out
+
+
+def _unpack(pp):
+    return pp & 7, (pp >> 3) & 255, (pp >> 11) & 31, (pp >> 16) & 31
+
+
+def _apply_edge_v(t, q, pfield, luma):
+    """Filter the vertical edge whose q0 column is window col q (static)
+    on tile t [32, 256]; pfield = packed params (bS 0 outside rows)."""
+    ci = _col_iota()
+    bs, alpha, beta, tc0 = _unpack(pfield)
+    if luma:
+        cols = [t[:, q + d:q + d + 1] for d in range(-4, 4)]
+        sb = jnp.broadcast_to
+        outs = _filt_luma_vals(*(sb(c, _TS) for c in cols),
+                               bs, alpha, beta, tc0)
+        for d, nv in zip(range(-3, 3), outs):
+            t = jnp.where(ci == q + d, nv, t)
+    else:
+        cols = [t[:, q + d:q + d + 1] for d in range(-2, 2)]
+        sb = jnp.broadcast_to
+        outs = _filt_chroma_vals(*(sb(c, _TS) for c in cols),
+                                 bs, alpha, beta, tc0)
+        for d, nv in zip(range(-1, 1), outs):
+            t = jnp.where(ci == q + d, nv, t)
+    return t
+
+
+def _apply_edge_h(t, q, pfield, luma):
+    """Filter the horizontal edge whose q0 row is window row q."""
+    ri = _row_iota()
+    bs, alpha, beta, tc0 = _unpack(pfield)
+    if luma:
+        rows = [t[q + d:q + d + 1, :] for d in range(-4, 4)]
+        sb = jnp.broadcast_to
+        outs = _filt_luma_vals(*(sb(r, _TS) for r in rows),
+                               bs, alpha, beta, tc0)
+        for d, nv in zip(range(-3, 3), outs):
+            t = jnp.where(ri == q + d, nv, t)
+    else:
+        rows = [t[q + d:q + d + 1, :] for d in range(-2, 2)]
+        sb = jnp.broadcast_to
+        outs = _filt_chroma_vals(*(sb(r, _TS) for r in rows),
+                                 bs, alpha, beta, tc0)
+        for d, nv in zip(range(-1, 1), outs):
+            t = jnp.where(ri == q + d, nv, t)
+    return t
+
+
+def _deblock_kernel(mb_w: int, mb_h: int,
+                    p_ref, yi, ui, vi, yo, uo, vo):
+    """One grid step = one macroblock, raster order (sequential).
+    Planes are aliased in/out: read and write through yo/uo/vo."""
+    i = pl.program_id(0)
+    my = i // mb_w
+    mx = i % mb_w
+    prm = p_ref[pl.ds(pl.multiple_of(i * 8, 8), 8), :]        # [8, 16]
+    ri = _row_iota()
+    ci = _col_iota()
+
+    # ---------------- luma ----------------
+    x = mx * 16                      # padded window col (pad left = 4)
+    xa = pl.multiple_of((x // 128) * 128, 128)
+    off = x - xa                     # multiple of 16, 0..127
+    r0 = pl.multiple_of(my * 16, 16)
+    t = yo[pl.ds(r0, 32), pl.ds(xa, 256)].astype(jnp.int32)
+    t = pltpu.roll(t, -off, 1)
+    # window geometry: col 0 = unpadded mx*16-4; MB rows/cols = 4..20
+    for e in range(4):
+        # vertical edge e: bS varies by block row (rows 4..20, seg 4)
+        pf = _seg_param(prm, [(r, e) for r in range(4)], ri, 4, 4)
+        t = _apply_edge_v(t, 4 + 4 * e, pf, luma=True)
+    for e in range(4):
+        # horizontal edge e: bS varies by block col (cols 4..20, seg 4)
+        pf = _seg_param(prm, [(4 + e, c) for c in range(4)], ci, 4, 4)
+        t = _apply_edge_h(t, 4 + 4 * e, pf, luma=True)
+    t = pltpu.roll(t, off, 1)
+    yo[pl.ds(r0, 32), pl.ds(xa, 256)] = t.astype(yo.dtype)
+
+    # ---------------- chroma (4:2:0) ----------------
+    cx = mx * 8                      # padded window col (pad left = 2)
+    ca = pl.multiple_of((cx // 128) * 128, 128)
+    coff = cx - ca                   # multiple of 8
+    cr0 = pl.multiple_of(my * 8, 8)
+    for c_ref in (uo, vo):
+        ct = c_ref[pl.ds(cr0, 32), pl.ds(ca, 256)].astype(jnp.int32)
+        ct = pltpu.roll(ct, -coff, 1)
+        # window col 0 = unpadded mx*8-2; MB rows/cols = 2..10
+        for e in range(2):
+            # chroma vertical edge: luma block col mx*4 + 2e; bS per
+            # block row spans 2 chroma rows (rows 2..10, seg 2)
+            pf = _seg_param(prm, [(r, 4 + e) for r in range(4)], ri, 2,
+                            2)
+            ct = _apply_edge_v(ct, 2 + 4 * e, pf, luma=False)
+        for e in range(2):
+            pf = _seg_param(prm, [(4 + e, 4 + c) for c in range(4)],
+                            ci, 2, 2)
+            ct = _apply_edge_h(ct, 2 + 4 * e, pf, luma=False)
+        ct = pltpu.roll(ct, coff, 1)
+        c_ref[pl.ds(cr0, 32), pl.ds(ca, 256)] = ct.astype(c_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h",
+                                             "chroma_qp_off",
+                                             "alpha_off", "beta_off",
+                                             "interpret"))
+def deblock_frame_pallas(y, u, v, coeff_idx, coeff_val, mv, ref, qp,
+                         kind, mb_w: int, mb_h: int,
+                         chroma_qp_off: int = 0, alpha_off: int = 0,
+                         beta_off: int = 0, interpret: bool = False):
+    """Pallas deblock, same contract as device_recon.deblock_frame."""
+    nmb = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    coeffs = jnp.zeros(nmb * 27 * 16, jnp.int32).at[coeff_idx].set(
+        coeff_val.astype(jnp.int32), mode="drop").reshape(nmb, 27, 16)
+    bs_v, bs_h = DR._bs_maps(coeffs, mv, ref, kind, mb_w, mb_h)
+    ep = DR._edge_params(qp, mb_w, mb_h, chroma_qp_off, alpha_off,
+                         beta_off)
+    vl = _mbize(_pack_params(bs_v, ep["lav"], ep["lbv"]), mb_w, mb_h)
+    hl = _mbize(_pack_params(bs_h, ep["lah"], ep["lbh"]), mb_w, mb_h)
+    vc = _mbize(_pack_params(bs_v, ep["cav"], ep["cbv"]), mb_w, mb_h)
+    hc = _mbize(_pack_params(bs_h, ep["cah"], ep["cbh"]), mb_w, mb_h)
+    # per-MB [8, 16] parameter block (see module docstring)
+    P = jnp.zeros((nmb, 8, 16), jnp.int32)
+    P = P.at[:, 0:4, 0:4].set(vl)                  # luma V [row, edge]
+    P = P.at[:, 4:8, 0:4].set(hl)                  # luma H [edge, col]
+    P = P.at[:, 0:4, 4:6].set(vc[:, :, 0::2])      # chroma V [row, e]
+    P = P.at[:, 4:6, 4:8].set(hc[:, 0::2, :])      # chroma H [e, col]
+    P = P.reshape(nmb * 8, 16)
+
+    # padded planes: left/top pad so window geometry is uniform,
+    # right/bottom so the largest [32, 256] aligned window fits
+    wp = max(_align_up(max(W - 16, 0), 128) + 256, _align_up(W + 8, 128))
+    hp = H + 32
+    wc = max(_align_up(max(W // 2 - 8, 0), 128) + 256,
+             _align_up(W // 2 + 8, 128))
+    hc2 = H // 2 + 32
+    yp = jnp.pad(y, ((4, hp - H - 4), (4, wp - W - 4)))
+    up = jnp.pad(u, ((2, hc2 - H // 2 - 2), (2, wc - W // 2 - 2)))
+    vp = jnp.pad(v, ((2, hc2 - H // 2 - 2), (2, wc - W // 2 - 2)))
+
+    kern = functools.partial(_deblock_kernel, mb_w, mb_h)
+    yd, ud, vd = pl.pallas_call(
+        kern,
+        grid=(nmb,),
+        out_shape=[jax.ShapeDtypeStruct(yp.shape, yp.dtype),
+                   jax.ShapeDtypeStruct(up.shape, up.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, vp.dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(P, yp, up, vp)
+    return (yd[4:4 + H, 4:4 + W], ud[2:2 + H // 2, 2:2 + W // 2],
+            vd[2:2 + H // 2, 2:2 + W // 2])

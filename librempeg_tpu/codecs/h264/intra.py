@@ -161,9 +161,12 @@ def _rbsp_to_nal(rbsp: bytes, nal_type: int, ref_idc: int) -> bytes:
     return bytes(out)
 
 
-def build_sps(mb_w: int, mb_h: int, reorder: int = 0) -> bytes:
+def build_sps(mb_w: int, mb_h: int, reorder: int = 0,
+              crop_r: int = 0, crop_b: int = 0) -> bytes:
     """reorder > 0 (B frames) switches to main profile and signals
-    max_num_reorder_frames through the VUI bitstream restriction."""
+    max_num_reorder_frames through the VUI bitstream restriction.
+    crop_r/crop_b: right/bottom crop in luma samples (even; 4:2:0 crop
+    units are 2) for non-16-aligned display sizes (§7.4.2.1.1)."""
     bw = BitWriterMSB()
     bw.write(77 if reorder else 66, 8)   # main / baseline
     bw.write(0, 8)
@@ -178,7 +181,14 @@ def build_sps(mb_w: int, mb_h: int, reorder: int = 0) -> bytes:
     _write_ue(bw, mb_h - 1)
     bw.write(1, 1)       # frame_mbs_only
     bw.write(1, 1)       # direct_8x8
-    bw.write(0, 1)       # no crop
+    if crop_r or crop_b:
+        bw.write(1, 1)   # frame_cropping
+        _write_ue(bw, 0)             # left
+        _write_ue(bw, crop_r // 2)   # right (crop unit 2 in 4:2:0)
+        _write_ue(bw, 0)             # top
+        _write_ue(bw, crop_b // 2)   # bottom
+    else:
+        bw.write(0, 1)   # no crop
     if reorder:
         bw.write(1, 1)   # vui present
         bw.write(0, 1)   # aspect_ratio_info

@@ -299,3 +299,52 @@ def test_native_recon_matches_numpy():
     for a, b in zip(fast, slow):
         for pa, pb in zip(a.planes, b.planes):
             assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_encoder_sps_cropping_non_aligned():
+    """Non-16-aligned (even) dimensions: the encoder pads to the coded
+    MB grid and signals SPS frame cropping (§7.4.2.1.1); our decoder
+    and the reference decoder both return the display size, bit-exact.
+    (Reference: h264_ps.c crop handling.)"""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from librempeg_tpu.codecs.h264.codec import H264Decoder, H264Encoder
+
+    w, h = 84, 52                    # coded 96x64, crop 12/12
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(4):
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                 width=w, height=h, pts=i,
+                                 time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=24, g=4)
+    pkts = [enc.encode(f)[0] for f in frames]
+
+    dec = H264Decoder(enc.codec_parameters())
+    outs = [f for p in pkts for f in dec.decode(p)]
+    assert len(outs) == 4
+    for f in outs:
+        assert (f.width, f.height) == (w, h)
+        assert np.asarray(f.planes[0]).shape == (h, w)
+
+    ref = shutil.which("ffmpeg", path="/root/repo/.refbuild")
+    if ref:
+        with tempfile.TemporaryDirectory() as td:
+            bs = f"{td}/s.264"
+            raw = f"{td}/o.yuv"
+            open(bs, "wb").write(b"".join(bytes(p.data) for p in pkts))
+            subprocess.run([ref, "-v", "error", "-i", bs, "-f",
+                            "rawvideo", raw], check=True)
+            data = open(raw, "rb").read()
+            fsz = w * h * 3 // 2
+            assert len(data) == 4 * fsz, "reference decoded 4 frames"
+            for i, f in enumerate(outs):
+                got = np.frombuffer(data[i * fsz:i * fsz + w * h],
+                                    np.uint8).reshape(h, w)
+                assert np.array_equal(np.asarray(f.planes[0]), got), \
+                    f"frame {i} luma vs reference (crop applied)"

@@ -219,3 +219,47 @@ def test_decoder_device_mode_intra_heavy():
         for a, b in zip(d_dev.decode(pkt), d_host.decode(pkt)):
             for pa, pb in zip(a.planes, b.planes):
                 assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_pallas_deblock_interpret_bit_exact():
+    """The Pallas deblock kernel (deblock_pallas.py), run in interpret
+    mode on CPU, matches the native C++ deblock bit-exactly -- incl.
+    intra bS 3/4 strong filtering (frames with intra-in-P kept)."""
+    from librempeg_tpu.codecs.h264.deblock_pallas import (
+        deblock_frame_pallas,
+    )
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 96, 64
+    mb_w, mb_h = w // 16, h // 16
+    enc, pkts = _stream(w, h, 5)
+    sps = P.parse_sps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[0]).rbsp)
+    pps = P.parse_pps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[1]).rbsp)
+    dec = H264Decoder(enc.codec_parameters())
+    ref_host = tuple(np.ascontiguousarray(p)
+                     for p in dec.decode(pkts[0])[0].planes)
+    n = 0
+    for pkt in pkts[1:]:
+        sh, res = _entropy(pkt, sps, pps)
+        pack = R.RefPack(*ref_host)
+        yh, uh, vh = (np.ascontiguousarray(x) for x in
+                      R.reconstruct_frame_native(res, mb_w, mb_h, 0,
+                                                 [pack]))
+        ydb, udb, vdb = yh.copy(), uh.copy(), vh.copy()
+        native.h264_deblock_frame(ydb, udb, vdb, res["kind"], res["qp"],
+                                  res["mv"], res["ref"], res["ncoef"],
+                                  mb_w, mb_h)
+        idx, vals = _sparse(res)
+        yp, up, vp = deblock_frame_pallas(
+            jnp.asarray(yh), jnp.asarray(uh), jnp.asarray(vh), idx,
+            vals, jnp.asarray(res["mv"]), jnp.asarray(res["ref"]),
+            jnp.asarray(res["qp"]), jnp.asarray(res["kind"]),
+            mb_w, mb_h, interpret=True)
+        assert np.array_equal(np.asarray(yp), ydb), "luma"
+        assert np.array_equal(np.asarray(up), udb), "u"
+        assert np.array_equal(np.asarray(vp), vdb), "v"
+        ref_host = (ydb, udb, vdb)
+        n += 1
+    assert n >= 4
