@@ -487,11 +487,41 @@ class H264Decoder(Decoder):
         ref = jnp.asarray(res["ref"])
         qp = jnp.asarray(res["qp"])
         kind = jnp.asarray(res["kind"])
-        y, u, v = D.recon_p_frame(
-            luma4, upad, vpad, jnp.asarray(idx), jnp.asarray(vals), mv,
-            ref, qp, kind, jnp.asarray(res["info"]),
-            jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
-            mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            # Pallas MC: windowed DMA over tiled refs (mc_pallas.py)
+            from librempeg_tpu.codecs.h264 import mc_pallas as M
+
+            for ent in self._dpb:
+                if len(ent[4]) == 3:         # tile lazily, once per ref
+                    ent[4] = tuple(ent[4]) + M.tile_refpack(*ent[4])
+            lt = jnp.concatenate([ent[4][3] for ent in self._dpb])
+            ct = jnp.concatenate([ent[4][4] for ent in self._dpb])
+            nmb = mb_w * mb_h
+            selA, selB = M.build_selectors(
+                res, mb_w, mb_h, self._dpb[0][4][0].shape[1],
+                self._dpb[0][4][0].shape[2],
+                self._dpb[0][4][1].shape[0], self._dpb[0][4][1].shape[1])
+            lenb = len(selB) // 16
+            nb = _bucket(max(lenb, 1), 4, nmb)
+            sb = np.zeros((nb * 16, 6), np.int32)
+            sb[:] = selA[0]                  # valid windows for padding
+            sb[:, 5] = nmb << 4              # dummy slot
+            sb[:len(selB)] = selB
+            py, pu, pv = M.mc_predict(lt, ct, jnp.asarray(selA),
+                                      jnp.asarray(sb), nmb, nb)
+            y, u, v = D.recon_p_frame_pred(
+                py, pu, pv, jnp.asarray(idx), jnp.asarray(vals), qp,
+                kind, jnp.asarray(res["info"]),
+                jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
+                mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
+        else:
+            y, u, v = D.recon_p_frame(
+                luma4, upad, vpad, jnp.asarray(idx), jnp.asarray(vals),
+                mv, ref, qp, kind, jnp.asarray(res["info"]),
+                jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
+                mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
         if do_deblock:
             import jax
 

@@ -588,6 +588,52 @@ def recon_p_frame(luma4, upad, vpad, coeff_idx, coeff_val, mv, ref, qp,
     return y, u, v
 
 
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h",
+                                             "chroma_qp_off", "icap"))
+def recon_p_frame_pred(pred_y, pred_u, pred_v, coeff_idx, coeff_val,
+                       qp, kind, info, i4modes, intra_list,
+                       mb_w: int, mb_h: int, chroma_qp_off: int,
+                       icap: int = 0):
+    """recon_p_frame with the inter prediction precomputed in MB-tile
+    form (pred_y [nMB, 16, 16], pred_u/v [nMB, 8, 8] uint8 -- the
+    mc_pallas.mc_predict output): residual add + intra scan only."""
+    nmb = mb_w * mb_h
+    W, H = mb_w * 16, mb_h * 16
+    coeffs = jnp.zeros(nmb * 27 * 16, jnp.int32).at[coeff_idx].set(
+        coeff_val.astype(jnp.int32), mode="drop").reshape(nmb, 27, 16)
+    is_i16 = kind == 3
+    lres, cres = _residuals(coeffs, qp, chroma_qp_off, nmb,
+                            is_i16=is_i16 if icap else None)
+
+    # MB-tile residual layouts
+    lres_t = lres.reshape(nmb, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(nmb, 16, 16)
+    rec_y = jnp.clip(pred_y.astype(jnp.int32) + lres_t, 0, 255)
+    y = rec_y.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3) \
+        .reshape(H, W).astype(jnp.uint8)
+
+    def cplane(pred, res):
+        r = res.transpose(0, 1, 3, 2, 4).reshape(nmb, 8, 8)
+        rec = jnp.clip(pred.astype(jnp.int32) + r, 0, 255)
+        return rec.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(H // 2, W // 2).astype(jnp.uint8)
+
+    u = cplane(pred_u, cres[:, 0])
+    v = cplane(pred_v, cres[:, 1])
+
+    if icap:
+        crespl = cres.reshape(nmb, 2, 2, 2, 4, 4)
+        yp = jnp.pad(y, ((1, 8), (1, 8)))
+        up = jnp.pad(u, ((1, 8), (1, 8)))
+        vp = jnp.pad(v, ((1, 8), (1, 8)))
+        yp, up, vp = _intra_scan(yp, up, vp, intra_list, kind, info,
+                                 i4modes, lres, crespl, mb_w, mb_h)
+        y = yp[1:H + 1, 1:W + 1]
+        u = up[1:H // 2 + 1, 1:W // 2 + 1]
+        v = vp[1:H // 2 + 1, 1:W // 2 + 1]
+    return y, u, v
+
+
 # ---------------------------------------------------------------------------
 # in-loop deblocking (§8.7) as an anti-diagonal MB wavefront
 # ---------------------------------------------------------------------------

@@ -263,3 +263,64 @@ def test_pallas_deblock_interpret_bit_exact():
         ref_host = (ydb, udb, vdb)
         n += 1
     assert n >= 4
+
+
+def test_pallas_mc_and_pred_recon_bit_exact():
+    """The Pallas MC path (mc_pallas.mc_predict windowed DMA, interpret
+    mode) + recon_p_frame_pred matches recon_p_frame (XLA gather MC)
+    bit-exactly, tiers A and B, on real stream data."""
+    from librempeg_tpu.codecs.h264 import mc_pallas as M
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 96, 64
+    mb_w, mb_h = w // 16, h // 16
+    nmb = mb_w * mb_h
+    enc, pkts = _stream(w, h, 5)
+    sps = P.parse_sps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[0]).rbsp)
+    pps = P.parse_pps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[1]).rbsp)
+    dec = H264Decoder(enc.codec_parameters())
+    ref_host = tuple(np.ascontiguousarray(np.asarray(p))
+                     for p in dec.decode(pkts[0])[0].planes)
+    n = 0
+    for pkt in pkts[1:]:
+        sh, res = _entropy(pkt, sps, pps)
+        luma4, up, vp = D.make_refpack(*[jnp.asarray(p)
+                                         for p in ref_host])
+        idx, vals = _sparse(res)
+        kind = jnp.asarray(res["kind"])
+        intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
+        icap = max(len(intra), 0)
+        ilist = np.full(max(icap, 1), -1, np.int32)
+        ilist[:len(intra)] = intra
+        args = (jnp.asarray(res["qp"]), kind, jnp.asarray(res["info"]),
+                jnp.asarray(res["i4modes"]), jnp.asarray(ilist))
+        y0, u0, v0 = D.recon_p_frame(
+            luma4[None], up[None], vp[None], idx, vals,
+            jnp.asarray(res["mv"]), jnp.asarray(res["ref"]), *args,
+            mb_w, mb_h, 0, icap)
+
+        lt, ct = M.tile_refpack(luma4, up, vp)
+        selA, selB = M.build_selectors(res, mb_w, mb_h, luma4.shape[1],
+                                       luma4.shape[2], up.shape[0],
+                                       up.shape[1])
+        nb = max(len(selB) // 16, 1)
+        sb = np.zeros((nb * 16, 6), np.int32)
+        sb[:] = selA[0]
+        sb[:, 5] = nmb << 4
+        sb[:len(selB)] = selB
+        py, pu, pv = M.mc_predict(lt, ct, jnp.asarray(selA),
+                                  jnp.asarray(sb), nmb, nb,
+                                  interpret=True)
+        y1, u1, v1 = D.recon_p_frame_pred(py, pu, pv, idx, vals, *args,
+                                          mb_w, mb_h, 0, icap)
+        assert np.array_equal(np.asarray(y0), np.asarray(y1)), "luma"
+        assert np.array_equal(np.asarray(u0), np.asarray(u1)), "u"
+        assert np.array_equal(np.asarray(v0), np.asarray(v1)), "v"
+        fs = dec.decode(pkt)
+        if fs:
+            ref_host = tuple(np.ascontiguousarray(np.asarray(p))
+                             for p in fs[-1].planes)
+        n += 1
+    assert n >= 4
