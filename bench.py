@@ -98,7 +98,7 @@ def main() -> None:
     }))
 
 
-def _bench_e2e(warm: int = 4, measured: int = 12) -> float:
+def _bench_e2e(warm: int = 16, measured: int = 24) -> float:
     """Steady-state fps of the real bitstream->bitstream transcode on
     the committed 48-frame 1080p H.264 asset."""
     import os

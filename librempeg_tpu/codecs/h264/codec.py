@@ -511,10 +511,13 @@ class H264Decoder(Decoder):
             sb[:len(selB)] = selB
             py, pu, pv = M.mc_predict(lt, ct, jnp.asarray(selA),
                                       jnp.asarray(sb), nmb, nb)
+            # i4modes only matters inside the intra scan: skip the
+            # 130 KB/frame tunnel upload when there is none
+            i4m = jnp.asarray(res["i4modes"]) if icap else                 jnp.zeros((nmb, 16), jnp.int8)
             y, u, v = D.recon_p_frame_pred(
                 py, pu, pv, jnp.asarray(idx), jnp.asarray(vals), qp,
-                kind, jnp.asarray(res["info"]),
-                jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
+                kind, jnp.asarray(res["info"]), i4m,
+                jnp.asarray(ilist),
                 mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
         else:
             y, u, v = D.recon_p_frame(

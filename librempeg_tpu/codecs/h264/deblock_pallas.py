@@ -150,23 +150,22 @@ def _unpack(pp):
 
 def _apply_edge_v(t, q, pfield, luma):
     """Filter the vertical edge whose q0 column is window col q (static)
-    on tile t [32, 256]; pfield = packed params (bS 0 outside rows)."""
+    on tile t [32, 256]; pfield [32, 1] packed params (bS 0 outside
+    rows). The filter math runs on [32, 1] column vectors (256x less
+    VPU work than full-tile); only the six outputs broadcast for the
+    masked write-back."""
     ci = _col_iota()
     bs, alpha, beta, tc0 = _unpack(pfield)
     if luma:
-        cols = [t[:, q + d:q + d + 1] for d in range(-4, 4)]
-        sb = jnp.broadcast_to
-        outs = _filt_luma_vals(*(sb(c, _TS) for c in cols),
-                               bs, alpha, beta, tc0)
-        for d, nv in zip(range(-3, 3), outs):
-            t = jnp.where(ci == q + d, nv, t)
+        cols = [t[:, q + d:q + d + 1] for d in range((-4), 4)]
+        outs = _filt_luma_vals(*cols, bs, alpha, beta, tc0)
+        rng = range(-3, 3)
     else:
         cols = [t[:, q + d:q + d + 1] for d in range(-2, 2)]
-        sb = jnp.broadcast_to
-        outs = _filt_chroma_vals(*(sb(c, _TS) for c in cols),
-                                 bs, alpha, beta, tc0)
-        for d, nv in zip(range(-1, 1), outs):
-            t = jnp.where(ci == q + d, nv, t)
+        outs = _filt_chroma_vals(*cols, bs, alpha, beta, tc0)
+        rng = range(-1, 1)
+    for d, nv in zip(rng, outs):
+        t = jnp.where(ci == q + d, jnp.broadcast_to(nv, _TS), t)
     return t
 
 

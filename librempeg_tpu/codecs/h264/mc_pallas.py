@@ -93,43 +93,46 @@ def build_selectors(res: dict, mb_w: int, mb_h: int, hp: int, wp: int,
     slots; selB [k, 6] int32 per 4x4 block of non-tier-A inter MBs).
     Packing per row: [wA, wB, wC, rollL, rollCW, slot]."""
     kind = res["kind"]
-    mv = res["mv"].astype(np.int64)
+    mv = res["mv"]
     ref = res["ref"]
     nmb = mb_w * mb_h
     inter = (kind == 0) | (kind == 1)
 
     bidx = np.arange(16)
-    mby = np.arange(nmb) // mb_w
-    mbx = np.arange(nmb) % mb_w
-    ys = mby[:, None] * 16 + (bidx // 4)[None, :] * 4    # [nmb, 16]
-    xs = mbx[:, None] * 16 + (bidx % 4)[None, :] * 4
-    mvx = mv[:, :, 0]
-    mvy = mv[:, :, 1]
-    ridx = ref[:, ((bidx // 4) // 2) * 2 + (bidx % 4) // 2] \
-        .astype(np.int64)                                # [nmb, 16]
-    ridx = np.maximum(ridx, 0)
+    mby = np.arange(nmb, dtype=np.int32) // mb_w
+    mbx = np.arange(nmb, dtype=np.int32) % mb_w
+    y0 = mby * 16
+    x0 = mbx * 16
+    mvx0 = mv[:, 0, 0].astype(np.int32)
+    mvy0 = mv[:, 0, 1].astype(np.int32)
+    r0 = np.maximum(ref[:, 0].astype(np.int32), 0)
 
-    # luma source coords (clipped exactly like mc_luma_blocks)
-    iyc = np.clip(ys + (mvy >> 2) + PAD, 3, hp - 8)
-    ixc = np.clip(xs + (mvx >> 2) + PAD, 3, wp - 8)
-    fx = (mvx & 3).astype(np.int64)
-    fy = (mvy & 3).astype(np.int64)
-    # chroma source coords (mc_chroma_blocks)
-    ciy = np.clip(ys // 2 + (mvy >> 3) + PADC, 0, hc - 4)
-    cix = np.clip(xs // 2 + (mvx >> 3) + PADC, 0, wc - 4)
+    # cheap uniformity pre-check on the raw arrays
+    mveq = (mv == mv[:, :1, :]).all(axis=(1, 2))
+    refeq = (ref == ref[:, :1]).all(axis=1)
 
-    roff = (bidx // 4) * 4
-    coff = (bidx % 4) * 4
-    uni = (inter
-           & (iyc == iyc[:, :1] + roff[None, :]).all(1)
-           & (ixc == ixc[:, :1] + coff[None, :]).all(1)
-           & (fx == fx[:, :1]).all(1) & (fy == fy[:, :1]).all(1)
-           & (ridx == ridx[:, :1]).all(1)
-           & (ciy == ciy[:, :1] + (roff // 2)[None, :]).all(1)
-           & (cix == cix[:, :1] + (coff // 2)[None, :]).all(1))
+    def luma_clip(y, x):
+        return (np.clip(y + PAD, 3, hp - 8),
+                np.clip(x + PAD, 3, wp - 8))
+
+    def chroma_clip(y, x):
+        return (np.clip(y + PADC, 0, hc - 4),
+                np.clip(x + PADC, 0, wc - 4))
+
+    # corner-block clip consistency: clip is monotone/identity inside
+    # the linear region, so corners (blocks 0 and 15) matching the
+    # uniform pattern implies all 16 blocks match
+    iy0, ix0 = luma_clip(y0 + (mvy0 >> 2), x0 + (mvx0 >> 2))
+    iy15, ix15 = luma_clip(y0 + 12 + (mvy0 >> 2), x0 + 12 + (mvx0 >> 2))
+    cy0, cx0 = chroma_clip(y0 // 2 + (mvy0 >> 3), x0 // 2 + (mvx0 >> 3))
+    cy15, cx15 = chroma_clip(y0 // 2 + 6 + (mvy0 >> 3),
+                             x0 // 2 + 6 + (mvx0 >> 3))
+    uni = (inter & mveq & refeq
+           & (iy15 == iy0 + 12) & (ix15 == ix0 + 12)
+           & (cy15 == cy0 + 6) & (cx15 == cx0 + 6))
 
     qm = DR._QM                                          # [16, 6] np
-    key = (fy * 4 + fx)[:, 0]                            # per MB
+    key = (mvy0 & 3) * 4 + (mvx0 & 3)                    # per MB
     q = qm[key]                                          # [nmb, 6]
 
     def pack_w(p, sy, sx):
@@ -137,15 +140,15 @@ def build_selectors(res: dict, mb_w: int, mb_h: int, hp: int, wp: int,
         tx, rx = sx >> 7, sx & 127
         return (p << 16) | (ty << 8) | tx, ry, rx
 
-    syA = iyc[:, 0] + q[:, 1]
-    sxA = ixc[:, 0] + q[:, 2]
-    syB = iyc[:, 0] + q[:, 4]
-    sxB = ixc[:, 0] + q[:, 5]
-    wA, ryA, rxA = pack_w(ridx[:, 0] * 4 + q[:, 0], syA, sxA)
-    wB, ryB, rxB = pack_w(ridx[:, 0] * 4 + q[:, 3], syB, sxB)
-    wC, ryC, rxC = pack_w(ridx[:, 0] * 2, ciy[:, 0], cix[:, 0])
-    dxw = (mvx[:, 0] & 7).astype(np.int64)
-    dyw = (mvy[:, 0] & 7).astype(np.int64)
+    syA = iy0 + q[:, 1]
+    sxA = ix0 + q[:, 2]
+    syB = iy0 + q[:, 4]
+    sxB = ix0 + q[:, 5]
+    wA, ryA, rxA = pack_w(r0 * 4 + q[:, 0], syA, sxA)
+    wB, ryB, rxB = pack_w(r0 * 4 + q[:, 3], syB, sxB)
+    wC, ryC, rxC = pack_w(r0 * 2, cy0, cx0)
+    dxw = mvx0 & 7
+    dyw = mvy0 & 7
     rollL = (ryA << 24) | (rxA << 16) | (ryB << 8) | rxB
     rollCW = (ryC << 24) | (rxC << 16) | (dxw << 8) | dyw
 
@@ -157,22 +160,32 @@ def build_selectors(res: dict, mb_w: int, mb_h: int, hp: int, wp: int,
     selA[:, 4] = rollCW
     selA[:, 5] = np.where(uni, np.arange(nmb), nmb)      # dummy = nmb
 
-    # ---- tier B: per-4x4 for the rest ----
+    # ---- tier B: per-4x4 for the rest (small subset) ----
     rest = np.flatnonzero(inter & ~uni)
     if rest.size:
-        m = rest[:, None].repeat(16, 1)
-        b = np.broadcast_to(bidx, m.shape)
-        keyb = fy[m, b] * 4 + fx[m, b]
+        mvb = mv[rest].astype(np.int32)                  # [k, 16, 2]
+        mvxb = mvb[:, :, 0]
+        mvyb = mvb[:, :, 1]
+        ridb = np.maximum(ref[rest].astype(np.int32), 0)[
+            :, ((bidx // 4) // 2) * 2 + (bidx % 4) // 2]  # [k, 16]
+        ys = (y0[rest][:, None] + (bidx // 4)[None, :] * 4)
+        xs = (x0[rest][:, None] + (bidx % 4)[None, :] * 4)
+        iyb, ixb = luma_clip(ys + (mvyb >> 2), xs + (mvxb >> 2))
+        cyb, cxb = chroma_clip(ys // 2 + (mvyb >> 3),
+                               xs // 2 + (mvxb >> 3))
+        keyb = (mvyb & 3) * 4 + (mvxb & 3)
         qb = qm[keyb]                                    # [k, 16, 6]
-        syA = iyc[m, b] + qb[..., 1]
-        sxA = ixc[m, b] + qb[..., 2]
-        syB = iyc[m, b] + qb[..., 4]
-        sxB = ixc[m, b] + qb[..., 5]
-        wA, ryA, rxA = pack_w(ridx[m, b] * 4 + qb[..., 0], syA, sxA)
-        wB, ryB, rxB = pack_w(ridx[m, b] * 4 + qb[..., 3], syB, sxB)
-        wC, ryC, rxC = pack_w(ridx[m, b] * 2, ciy[m, b], cix[m, b])
-        dxw = (mvx[m, b] & 7).astype(np.int64)
-        dyw = (mvy[m, b] & 7).astype(np.int64)
+        syA = iyb + qb[..., 1]
+        sxA = ixb + qb[..., 2]
+        syB = iyb + qb[..., 4]
+        sxB = ixb + qb[..., 5]
+        wA, ryA, rxA = pack_w(ridb * 4 + qb[..., 0], syA, sxA)
+        wB, ryB, rxB = pack_w(ridb * 4 + qb[..., 3], syB, sxB)
+        wC, ryC, rxC = pack_w(ridb * 2, cyb, cxb)
+        dxw = mvxb & 7
+        dyw = mvyb & 7
+        m = rest[:, None]
+        b = bidx[None, :]
         selB = np.zeros((rest.size * 16, 6), np.int32)
         selB[:, 0] = wA.ravel()
         selB[:, 1] = wB.ravel()

@@ -541,7 +541,10 @@ class Mpeg4Encoder(Encoder):
         if not hasattr(self, "_sp_cap"):
             total = ((self.ch // 8) * (self.cw // 8)
                      + 2 * (self.ch // 16) * (self.cw // 16)) * 64
-            self._sp_cap = max(4096, total // 12)
+            # start small: the packed fetch crosses the tunnel every
+            # frame; overflow re-dispatches with 4x cap (cached
+            # program per cap, so steady state settles immediately)
+            self._sp_cap = max(4096, total // 40)
             self._sp_total = total
         return self._sp_cap
 
