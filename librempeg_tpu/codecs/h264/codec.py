@@ -384,14 +384,20 @@ class H264Decoder(Decoder):
         dev_ok = (self._use_device() and not is_b and self._dpb
                   and n_intra <= _INTRA_CAP_MAX)
         if dev_ok:
-            y, u, v = self._decode_device(res, mb_w, mb_h, sh,
-                                          do_deblock)
+            y, u, v, pack, tiles = self._decode_device(
+                res, mb_w, mb_h, sh, do_deblock,
+                make_ref=bool(nal.ref_idc))
             if nal.ref_idc:
-                from librempeg_tpu.codecs.h264 import device_recon as D
+                if pack is None:
+                    from librempeg_tpu.codecs.h264 import (
+                        device_recon as D,
+                    )
 
+                    pack = D.make_refpack(y, u, v)
+                ent4 = tuple(pack) + (tuple(tiles) if tiles is not None
+                                      else ())
                 self._dpb.insert(0, [sh.frame_num, None, None,
-                                     (y, u, v), D.make_refpack(y, u, v),
-                                     poc])
+                                     (y, u, v), ent4, poc])
                 del self._dpb[max(1, self.sps.max_num_ref_frames):]
         else:
             # host path needs host planes for every reference: device-
@@ -447,10 +453,16 @@ class H264Decoder(Decoder):
                           format="yuv420p", width=w, height=h,
                           pts=pkt.pts, time_base=tb), poc
 
-    def _decode_device(self, res, mb_w, mb_h, sh, do_deblock):
+    def _decode_device(self, res, mb_w, mb_h, sh, do_deblock,
+                       make_ref=False):
         """P frame on device: sparse coefficient upload, DPB stays in
-        HBM; scattered intra MBs rebuilt by a raster-order device scan
-        (codecs/h264/device_recon.py)."""
+        HBM; scattered intra MBs rebuilt by a raster-order device scan.
+        On TPU backends the whole frame (Pallas MC + residuals + intra
+        scan + Pallas deblock + next refpack) runs as ONE jitted call
+        with ONE packed upload (decode_step.py); the CPU/test path
+        keeps the separate XLA stages. Returns (y, u, v, pack, tiles)
+        (pack/tiles None unless produced)."""
+        import jax
         import jax.numpy as jnp
 
         from librempeg_tpu.codecs.h264 import device_recon as D
@@ -459,91 +471,86 @@ class H264Decoder(Decoder):
             raise InvalidData("h264: ref idx out of range")
         for ent in self._dpb:
             if ent[4] is None:          # host-decoded frame: upload once
-                ent[4] = D.make_refpack(jnp.asarray(ent[1][0]),
-                                        jnp.asarray(ent[1][1]),
-                                        jnp.asarray(ent[1][2]))
-        luma4 = jnp.stack([ent[4][0] for ent in self._dpb])
-        upad = jnp.stack([ent[4][1] for ent in self._dpb])
-        vpad = jnp.stack([ent[4][2] for ent in self._dpb])
+                ent[4] = tuple(D.make_refpack(jnp.asarray(ent[1][0]),
+                                              jnp.asarray(ent[1][1]),
+                                              jnp.asarray(ent[1][2])))
         flat = res["coeffs"].astype(np.int32).ravel()
-        idx = np.flatnonzero(flat).astype(np.int32)
-        vals = flat[idx].astype(np.int16)
+        nz = np.flatnonzero(flat).astype(np.int32)
+        nzv = flat[nz].astype(np.int16)
         # pad sparse + intra lists to size buckets: one XLA program per
-        # bucket, not one per frame-specific count
-        nz, nzv = idx, vals
+        # bucket, not one per frame-specific count. Pad with a POSITIVE
+        # out-of-bounds index: scatter mode="drop" drops those, while
+        # negative indices would wrap around
         cap = _bucket(len(nz), 4096, flat.size)
-        # pad with a POSITIVE out-of-bounds index: scatter mode="drop"
-        # drops those, while negative indices would wrap around
         idx = np.full(cap, flat.size, np.int32)
         idx[:len(nz)] = nz
         vals = np.zeros(cap, np.int16)
         vals[:len(nz)] = nzv
         intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
-        icap = _bucket(len(intra), 32, _INTRA_CAP_MAX) if len(intra) \
+        icap = _bucket(len(intra), 256, _INTRA_CAP_MAX) if len(intra) \
             else 0
         ilist = np.full(max(icap, 1), -1, np.int32)
         ilist[:len(intra)] = intra
-        mv = jnp.asarray(res["mv"])
-        ref = jnp.asarray(res["ref"])
-        qp = jnp.asarray(res["qp"])
-        kind = jnp.asarray(res["kind"])
-        import jax
+        cqo = self.pps.chroma_qp_index_offset
 
         if jax.default_backend() not in ("cpu",):
-            # Pallas MC: windowed DMA over tiled refs (mc_pallas.py)
+            # fused device path (Pallas MC/deblock, single dispatch)
+            from librempeg_tpu.codecs.h264 import decode_step as DS
             from librempeg_tpu.codecs.h264 import mc_pallas as M
 
             for ent in self._dpb:
                 if len(ent[4]) == 3:         # tile lazily, once per ref
-                    ent[4] = tuple(ent[4]) + M.tile_refpack(*ent[4])
-            lt = jnp.concatenate([ent[4][3] for ent in self._dpb])
-            ct = jnp.concatenate([ent[4][4] for ent in self._dpb])
+                    ent[4] = tuple(ent[4]) + tuple(
+                        M.tile_refpack(*ent[4]))
+            if len(self._dpb) == 1:
+                lt, ct = self._dpb[0][4][3], self._dpb[0][4][4]
+            else:
+                lt = jnp.concatenate([e[4][3] for e in self._dpb])
+                ct = jnp.concatenate([e[4][4] for e in self._dpb])
             nmb = mb_w * mb_h
             selA, selB = M.build_selectors(
                 res, mb_w, mb_h, self._dpb[0][4][0].shape[1],
                 self._dpb[0][4][0].shape[2],
-                self._dpb[0][4][1].shape[0], self._dpb[0][4][1].shape[1])
+                self._dpb[0][4][1].shape[0],
+                self._dpb[0][4][1].shape[1])
             lenb = len(selB) // 16
-            nb = _bucket(max(lenb, 1), 4, nmb)
+            # generous floor: a handful of wasted dummy steps is far
+            # cheaper than another XLA compile over the tunnel
+            nb = _bucket(max(lenb, 1), 64, nmb)
             sb = np.zeros((nb * 16, 6), np.int32)
             sb[:] = selA[0]                  # valid windows for padding
             sb[:, 5] = nmb << 4              # dummy slot
             sb[:len(selB)] = selB
-            py, pu, pv = M.mc_predict(lt, ct, jnp.asarray(selA),
-                                      jnp.asarray(sb), nmb, nb)
-            # i4modes only matters inside the intra scan: skip the
-            # 130 KB/frame tunnel upload when there is none
-            i4m = jnp.asarray(res["i4modes"]) if icap else                 jnp.zeros((nmb, 16), jnp.int8)
-            y, u, v = D.recon_p_frame_pred(
-                py, pu, pv, jnp.asarray(idx), jnp.asarray(vals), qp,
-                kind, jnp.asarray(res["info"]), i4m,
-                jnp.asarray(ilist),
-                mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
-        else:
-            y, u, v = D.recon_p_frame(
-                luma4, upad, vpad, jnp.asarray(idx), jnp.asarray(vals),
-                mv, ref, qp, kind, jnp.asarray(res["info"]),
-                jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
-                mb_w, mb_h, self.pps.chroma_qp_index_offset, icap)
+            i4m = res["i4modes"] if icap else \
+                np.zeros((nmb, 16), np.int8)
+            buf, layout = DS.pack_args(idx, vals,
+                                       res["qp"].astype(np.int32),
+                                       res["kind"].astype(np.int32),
+                                       res["info"].astype(np.int32),
+                                       i4m, ilist, selA, sb,
+                                       res["mv"], res["ref"])
+            y, u, v, pack, tiles = DS.decode_p_step(
+                jnp.asarray(buf), lt, ct, layout, mb_w, mb_h, cqo,
+                icap, nb, sh.alpha_off, sh.beta_off, do_deblock,
+                make_ref)
+            return y, u, v, pack, tiles
+
+        # CPU / test path: separate XLA stages
+        luma4 = jnp.stack([ent[4][0] for ent in self._dpb])
+        upad = jnp.stack([ent[4][1] for ent in self._dpb])
+        vpad = jnp.stack([ent[4][2] for ent in self._dpb])
+        mv = jnp.asarray(res["mv"])
+        ref = jnp.asarray(res["ref"])
+        qp = jnp.asarray(res["qp"])
+        kind = jnp.asarray(res["kind"])
+        y, u, v = D.recon_p_frame(
+            luma4, upad, vpad, jnp.asarray(idx), jnp.asarray(vals),
+            mv, ref, qp, kind, jnp.asarray(res["info"]),
+            jnp.asarray(res["i4modes"]), jnp.asarray(ilist),
+            mb_w, mb_h, cqo, icap)
         if do_deblock:
-            import jax
-
-            if jax.default_backend() not in ("cpu",):
-                # Pallas kernel: raster-sequential grid, VMEM planes
-                # (~35x the XLA wavefront scan on a v5e)
-                from librempeg_tpu.codecs.h264.deblock_pallas import (
-                    deblock_frame_pallas,
-                )
-
-                y, u, v = deblock_frame_pallas(
-                    y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv,
-                    ref, qp, kind, mb_w, mb_h,
-                    self.pps.chroma_qp_index_offset,
-                    sh.alpha_off, sh.beta_off)
-            else:
-                y, u, v = D.deblock_frame(
-                    y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv,
-                    ref, qp, kind, mb_w, mb_h,
-                    self.pps.chroma_qp_index_offset,
-                    sh.alpha_off, sh.beta_off)
-        return y, u, v
+            y, u, v = D.deblock_frame(
+                y, u, v, jnp.asarray(idx), jnp.asarray(vals), mv,
+                ref, qp, kind, mb_w, mb_h, cqo,
+                sh.alpha_off, sh.beta_off)
+        return y, u, v, None, None

@@ -137,8 +137,8 @@ def _seg_param(prm, picks, iota, seg, r0):
     shape = iota.shape
     out = jnp.zeros(shape, jnp.int32)
     for k, p in enumerate(picks):
-        splat = jnp.broadcast_to(prm[p[0]:p[0] + 1, p[1]:p[1] + 1],
-                                 shape)
+        f = p[0] * 16 + p[1]          # prm is one [1, 128] row (8x16)
+        splat = jnp.broadcast_to(prm[0:1, f:f + 1], shape)
         lo = r0 + k * seg
         out = jnp.where((iota >= lo) & (iota < lo + seg), splat, out)
     return out
@@ -170,23 +170,21 @@ def _apply_edge_v(t, q, pfield, luma):
 
 
 def _apply_edge_h(t, q, pfield, luma):
-    """Filter the horizontal edge whose q0 row is window row q."""
+    """Filter the horizontal edge whose q0 row is window row q; the
+    filter math runs on [1, 256] row vectors, outputs broadcast only
+    for the masked write-back."""
     ri = _row_iota()
     bs, alpha, beta, tc0 = _unpack(pfield)
     if luma:
         rows = [t[q + d:q + d + 1, :] for d in range(-4, 4)]
-        sb = jnp.broadcast_to
-        outs = _filt_luma_vals(*(sb(r, _TS) for r in rows),
-                               bs, alpha, beta, tc0)
-        for d, nv in zip(range(-3, 3), outs):
-            t = jnp.where(ri == q + d, nv, t)
+        outs = _filt_luma_vals(*rows, bs, alpha, beta, tc0)
+        rng = range(-3, 3)
     else:
         rows = [t[q + d:q + d + 1, :] for d in range(-2, 2)]
-        sb = jnp.broadcast_to
-        outs = _filt_chroma_vals(*(sb(r, _TS) for r in rows),
-                                 bs, alpha, beta, tc0)
-        for d, nv in zip(range(-1, 1), outs):
-            t = jnp.where(ri == q + d, nv, t)
+        outs = _filt_chroma_vals(*rows, bs, alpha, beta, tc0)
+        rng = range(-1, 1)
+    for d, nv in zip(rng, outs):
+        t = jnp.where(ri == q + d, jnp.broadcast_to(nv, _TS), t)
     return t
 
 
@@ -197,7 +195,7 @@ def _deblock_kernel(mb_w: int, mb_h: int,
     i = pl.program_id(0)
     my = i // mb_w
     mx = i % mb_w
-    prm = p_ref[pl.ds(pl.multiple_of(i * 8, 8), 8), :]        # [8, 16]
+    prm = p_ref[pl.ds(i, 1), :]       # [1, 128]: the MB's 8x16 block
     ri = _row_iota()
     ci = _col_iota()
 
@@ -269,7 +267,9 @@ def deblock_frame_pallas(y, u, v, coeff_idx, coeff_val, mv, ref, qp,
     P = P.at[:, 4:8, 0:4].set(hl)                  # luma H [edge, col]
     P = P.at[:, 0:4, 4:6].set(vc[:, :, 0::2])      # chroma V [row, e]
     P = P.at[:, 4:6, 4:8].set(hc[:, 0::2, :])      # chroma H [e, col]
-    P = P.reshape(nmb * 8, 16)
+    # one [1, 128] row per MB: a [nmb*8, 16] layout pads lanes 16->128
+    # in VMEM (8x memory -> scoped-vmem OOM inside fused programs)
+    P = P.reshape(nmb, 128)
 
     # padded planes: left/top pad so window geometry is uniform,
     # right/bottom so the largest [32, 256] aligned window fits
