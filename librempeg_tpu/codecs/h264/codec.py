@@ -35,6 +35,12 @@ from librempeg_tpu.core.rational import NOPTS, Rational
 _INTRA_CAP_MAX = 1024
 
 
+# fused single-dispatch decode step vs per-stage dispatches: on the
+# benchmark tunnel the split form measures slightly faster (stage
+# uploads overlap device execution of earlier stages)
+_FUSED_STEP = True
+
+
 def _bucket(n: int, lo: int, hi: int) -> int:
     """Smallest power-of-two >= n, in [lo, hi] (static-shape buckets so
     XLA compiles one program per bucket, not one per frame)."""
@@ -523,17 +529,42 @@ class H264Decoder(Decoder):
             sb[:len(selB)] = selB
             i4m = res["i4modes"] if icap else \
                 np.zeros((nmb, 16), np.int8)
-            buf, layout = DS.pack_args(idx, vals,
-                                       res["qp"].astype(np.int32),
-                                       res["kind"].astype(np.int32),
-                                       res["info"].astype(np.int32),
-                                       i4m, ilist, selA, sb,
-                                       res["mv"], res["ref"])
-            y, u, v, pack, tiles = DS.decode_p_step(
-                jnp.asarray(buf), lt, ct, layout, mb_w, mb_h, cqo,
-                icap, nb, sh.alpha_off, sh.beta_off, do_deblock,
-                make_ref)
-            return y, u, v, pack, tiles
+            if _FUSED_STEP:
+                buf, layout = DS.pack_args(idx, vals,
+                                           res["qp"].astype(np.int32),
+                                           res["kind"].astype(np.int32),
+                                           res["info"].astype(np.int32),
+                                           i4m, ilist, selA, sb,
+                                           res["mv"], res["ref"])
+                return DS.decode_p_step(
+                    jnp.asarray(buf), lt, ct, layout, mb_w, mb_h, cqo,
+                    icap, nb, sh.alpha_off, sh.beta_off, do_deblock,
+                    make_ref)
+            # split dispatch: stages pipeline with their own uploads
+            from librempeg_tpu.codecs.h264.deblock_pallas import (
+                deblock_frame_pallas,
+            )
+
+            idxj = jnp.asarray(idx)
+            valsj = jnp.asarray(vals)
+            qpj = jnp.asarray(res["qp"].astype(np.int32))
+            kindj = jnp.asarray(res["kind"])
+            py, pu, pv = M.mc_predict(lt, ct, jnp.asarray(selA),
+                                      jnp.asarray(sb), nmb, nb)
+            y, u, v = D.recon_p_frame_pred(
+                py, pu, pv, idxj, valsj, qpj, kindj,
+                jnp.asarray(res["info"]), jnp.asarray(i4m),
+                jnp.asarray(ilist), mb_w, mb_h, cqo, icap)
+            if do_deblock:
+                y, u, v = deblock_frame_pallas(
+                    y, u, v, idxj, valsj, jnp.asarray(res["mv"]),
+                    jnp.asarray(res["ref"]), qpj, kindj, mb_w, mb_h,
+                    cqo, sh.alpha_off, sh.beta_off)
+            if make_ref:
+                pack = D.make_refpack(y, u, v)
+                tiles = M.tile_refpack(*pack)
+                return y, u, v, pack, tiles
+            return y, u, v, None, None
 
         # CPU / test path: separate XLA stages
         luma4 = jnp.stack([ent[4][0] for ent in self._dpb])

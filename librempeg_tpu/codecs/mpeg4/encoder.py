@@ -502,8 +502,13 @@ class Mpeg4Encoder(Encoder):
         the tunnel transfer + host VLC with the next frame's decode."""
         q, is_i = h["q"], h["is_i"]
         while True:
-            flat, tail = self._unsparsify(np.asarray(h["packed"]),
-                                          h["cap"])
+            # a batching pipeline may have pre-fetched the packed array
+            # (amortizing tunnel latency across frames); the overflow
+            # retry below re-dispatches, so consume it exactly once
+            pre = h.pop("packed_np", None)
+            flat, tail = self._unsparsify(
+                pre if pre is not None else np.asarray(h["packed"]),
+                h["cap"])
             if flat is not None:
                 break
             # sparse overflow: re-dispatch this frame with a larger cap

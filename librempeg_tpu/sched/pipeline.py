@@ -153,27 +153,60 @@ class _StreamChain:
             import queue
             import threading
 
-            self._pq: Any = queue.Queue(maxsize=2)
+            self._pq: Any = queue.Queue(maxsize=4)
             self._perr: Exception | None = None
             self._pworker = threading.Thread(
                 target=self._drain_encodes, daemon=True)
             self._pworker.start()
 
     def _drain_encodes(self) -> None:
+        import queue
+
         while True:
             item = self._pq.get()
             if item is None:
                 self._pq.task_done()
                 return
-            handle, mux = item
+            # drain everything already queued: fetching several frames'
+            # device results in ONE device_get amortizes the transfer
+            # round-trip latency (the dominant fixed cost on a tunneled
+            # accelerator) across the batch
+            batch = [item]
+            while True:
+                try:
+                    nxt = self._pq.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._pq.put(None)      # re-queue the sentinel
+                    self._pq.task_done()
+                    break
+                batch.append(nxt)
             try:
-                for pkt in self.encoder.encode_finish(handle):
-                    mux.write(pkt.replace(
-                        stream_index=self.out_stream.index))
-            except Exception as e:              # propagated on next call
-                self._perr = e
-            finally:
-                self._pq.task_done()
+                import jax
+
+                packed = [h.get("packed") if isinstance(h, dict)
+                          else None for h, _ in batch]
+                import numpy as np
+
+                if len(batch) > 1 and all(
+                        p is not None and not isinstance(p, np.ndarray)
+                        for p in packed):
+                    for (h, _), val in zip(
+                            batch, jax.device_get(packed)):
+                        h["packed_np"] = np.asarray(val)
+
+            except Exception:
+                pass                        # per-frame fetch fallback
+            for handle, mux in batch:
+                try:
+                    for pkt in self.encoder.encode_finish(handle):
+                        mux.write(pkt.replace(
+                            stream_index=self.out_stream.index))
+                except Exception as e:      # propagated on next call
+                    self._perr = e
+                finally:
+                    self._pq.task_done()
 
     def sync(self) -> None:
         """Block until every dispatched frame is packed and muxed."""
