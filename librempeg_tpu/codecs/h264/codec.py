@@ -71,6 +71,9 @@ class H264Encoder(Encoder):
         Option("variety", int, 0, min=0, max=1,
                help="cycle all partition/intra shapes (conformance "
                     "torture streams)"),
+        Option("pcm", int, 1, min=0, max=1,
+               help="allow I_PCM macroblocks in variety streams "
+                    "(lossless escape; CABAC recode cannot carry them)"),
         Option("cabac", int, 0, min=0, max=1,
                help="CABAC entropy coding (-coder 1 analog): the CAVLC "
                     "frame is entropy-recoded through the native CABAC "
@@ -151,7 +154,9 @@ class H264Encoder(Encoder):
         mb_w, mb_h = self._cw // 16, self._ch // 16
         fe = FrameEncoder(mb_w, mb_h, self.opts["qp"],
                           search_range=self.opts["sr"],
-                          variety=bool(self.opts["variety"]))
+                          variety=bool(self.opts["variety"]),
+                          variety_pcm=bool(self.opts["pcm"])
+                          and not self.opts["cabac"])
         data = b""
         if is_idr:
             if self._coded == 0:
@@ -388,7 +393,8 @@ class H264Decoder(Decoder):
                       or sh.disable_deblock != 1)
         n_intra = int(np.count_nonzero(res["kind"] >= 2))
         dev_ok = (self._use_device() and not is_b and self._dpb
-                  and n_intra <= _INTRA_CAP_MAX)
+                  and n_intra <= _INTRA_CAP_MAX
+                  and not np.any(res["kind"] >= 4))   # I_PCM: host path
         if dev_ok:
             y, u, v, pack, tiles = self._decode_device(
                 res, mb_w, mb_h, sh, do_deblock,

@@ -124,6 +124,11 @@ class EntropyTranscoder:
                 if res["last_mb"] != mb_w * mb_h or sh.first_mb != 0:
                     raise InvalidData(
                         "entropy transcode: multi-slice frame")
+                if np.any(res["kind"] >= 4):
+                    # CABAC I_PCM needs an engine re-init mid-slice
+                    # (§9.3.1.2), which the recode path does not carry
+                    raise InvalidData(
+                        "entropy transcode: I_PCM macroblocks")
                 payload = native.h264_encode_slice_cabac(
                     res, mb_w, mb_h, st, sh.qp, sh.num_ref_idx_l0, 0,
                     sh.num_ref_idx_l1)

@@ -184,12 +184,15 @@ class FrameEncoder:
     needed for the in-loop deblock (shared layout with the decoder)."""
 
     def __init__(self, mb_w, mb_h, qp, chroma_qp_off=0, search_range=8,
-                 variety=False):
+                 variety=False, variety_pcm=True):
         self.mb_w, self.mb_h = mb_w, mb_h
         self.qp = qp
         self.qpc = I.chroma_qp_of(qp, chroma_qp_off)
         self.sr = search_range
         self.variety = variety
+        # I_PCM needs CABAC engine re-init mid-slice, which the
+        # CAVLC->CABAC entropy transcoder does not support yet
+        self.variety_pcm = variety_pcm
         nmb = mb_w * mb_h
         self.kind = np.full(nmb, -1, np.int32)
         self.qp_arr = np.full(nmb, qp, np.int32)
@@ -262,16 +265,21 @@ class FrameEncoder:
 
         if not is_p:
             _ = skip_run
+            f = "pcm" if (self.variety and self.variety_pcm
+                          and mb % 10 == 9) else None
             self._encode_intra(bw, y, u, v, ry, ru, rv, my, mx, mc,
-                               mb_type_offset=0)
+                               mb_type_offset=0, force=f)
             return 0
 
         # --- P: search all partition shapes (or the forced one) ---
         forced = None
         if self.variety:
-            forced = ("16x16", "16x8", "8x16", "sub0", "sub1", "sub2",
-                      "sub3", "i16", "i4")[mb % 9]
-        if forced in ("i16", "i4"):
+            cyc = ("16x16", "16x8", "8x16", "sub0", "sub1", "sub2",
+                   "sub3", "i16", "i4", "pcm")
+            forced = cyc[mb % 10]
+            if forced == "pcm" and not self.variety_pcm:
+                forced = "i4"
+        if forced in ("i16", "i4", "pcm"):
             _write_ue(bw, skip_run)
             self._encode_intra(bw, y, u, v, ry, ru, rv, my, mx, mc,
                                mb_type_offset=5, force=forced)
@@ -556,6 +564,10 @@ class FrameEncoder:
         if force == "i16":
             use_i4 = False
 
+        if force == "pcm":
+            self._encode_pcm(bw, y, u, v, ry, ru, rv, my, mx, mc,
+                             mb_type_offset)
+            return
         if use_i4:
             self._encode_i4x4(bw, y, u, v, ry, ru, rv, my, mx,
                               mb_type_offset)
@@ -570,6 +582,34 @@ class FrameEncoder:
         mc.fill_intra(mx, my)
         self.ref_arr[mb] = -1
         self.qp_arr[mb] = self.qp
+
+    def _encode_pcm(self, bw, y, u, v, ry, ru, rv, my, mx, mc,
+                    mb_type_offset):
+        """I_PCM macroblock (§7.3.5, mb_type 25): pcm_alignment_zero_
+        bit(s) then 256 luma + 2x64 chroma raw sample bytes -- the
+        spec's lossless escape. Deblocking reads qp 0 for these MBs
+        (h264_cavlc.c:754 role); nnz contexts read 16."""
+        mb = my * self.mb_w + mx
+        _write_ue(bw, 25 + mb_type_offset)
+        bw.write(0, (8 - bw._n) % 8)          # pcm_alignment_zero_bit
+        sy = y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16]
+        su = u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+        sv = v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+        for plane in (sy, su, sv):
+            for b8 in np.asarray(plane, np.uint8).ravel():
+                bw.write(int(b8), 8)
+        ry[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = sy
+        ru[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = su
+        rv[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = sv
+        self.ncY.t[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+        self.ncU.t[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+        self.ncV.t[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+        self.i4g[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+        self.kind[mb] = 4
+        mc.fill_intra(mx, my)
+        self.ref_arr[mb] = -1
+        self.qp_arr[mb] = 0                   # deblock quantizer
+        self.ncoef[mb] = 16
 
     def _encode_i4x4(self, bw, y, u, v, ry, ru, rv, my, mx,
                      mb_type_offset):

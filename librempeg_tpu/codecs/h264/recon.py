@@ -420,8 +420,8 @@ def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
 
     W, H = mb_w * 16, mb_h * 16
     kind = res["kind"]
-    if np.any(kind >= 4):
-        raise InvalidData("h264: unsupported mb kind (I_PCM)")
+    if np.any(kind > 4):
+        raise InvalidData("h264: unsupported mb kind")
     if not ref_packs and np.any((kind == 0) | (kind == 1)):
         raise InvalidData("h264: P slice without reference frame")
     y = np.zeros((H, W), np.uint8)
@@ -430,6 +430,21 @@ def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
     native.h264_recon_frame(y, u, v, res, mb_w, mb_h, chroma_qp_off,
                             ref_packs, ref_packs_l1)
     return y, u, v
+
+
+def _copy_ipcm(res: dict, y, u, v, mb_w: int) -> None:
+    """I_PCM macroblocks carry raw samples through the coeffs rows
+    (384 bytes: 256 luma raster + 8x8 U + 8x8 V); overwrite the recon
+    pixels directly (§8.3.5)."""
+    for m in np.flatnonzero(res["kind"] == 4):
+        my, mx = divmod(int(m), mb_w)
+        raw = res["coeffs"][m].reshape(-1)[:384].astype(np.uint8)
+        y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+            raw[:256].reshape(16, 16)
+        u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+            raw[256:320].reshape(8, 8)
+        v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+            raw[320:384].reshape(8, 8)
 
 
 def reconstruct_frame(res: dict, mb_w: int, mb_h: int,
@@ -530,9 +545,11 @@ def reconstruct_frame(res: dict, mb_w: int, mb_h: int,
         rec_v[cyy, cxx] = np.clip(pred_v + rc[1][cyy, cxx], 0, 255)
 
     # ---- intra assembly (serial, §8.3 dependency order; native) ----
-    if np.any(kind >= 4):
-        raise InvalidData("h264: unsupported mb kind (I_PCM)")
-    if np.any(kind >= 2):
+    if np.any(kind > 4):
+        raise InvalidData("h264: unsupported mb kind")
+    # I_PCM pixels land BEFORE intra: neighbors predict from them
+    _copy_ipcm(res, rec_y, rec_u, rec_v, mb_w)
+    if np.any((kind >= 2) & (kind < 4)):
         from librempeg_tpu.native import build as native
 
         # residuals to MB-raster layout for the native pass

@@ -642,7 +642,41 @@ extern "C" int h264_decode_slice_cavlc(
                     c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
                 }
         } else {
-            FAIL(-5);  // I_PCM: unsupported in this round's entropy layer
+            // ---------------- I_PCM (intra_mbt == 25) ----------------
+            // pcm_alignment_zero_bit(s) then 256 luma + 2x64 chroma raw
+            // bytes (§7.3.5, 4:2:0 8-bit). Pixels travel to the recon
+            // layer through the coeffs rows (384 int16 slots of the
+            // MB's 27x16 block).
+            b.pos = (b.pos + 7) & ~7;
+            if (b.pos + 384 * 8 > b.nbits) FAIL(-2);
+            int16_t* mbco = coeffs + (size_t)mb * 27 * 16;
+            for (int k = 0; k < 384; k++)
+                mbco[k] = (int16_t)hb_read(&b, 8);
+            int16_t* mbnc = ncoef + (size_t)mb * 27;
+            for (int k = 0; k < 27; k++) mbnc[k] = 16;
+            // deblocking quantizer is 0 (h264_cavlc.c:754); the slice
+            // qp PREDICTOR is unchanged. All nnz contexts read 16.
+            qp_out[mb] = 0;
+            int x4 = mx * 4, y4 = my * 4;
+            for (int i = 0; i < 4; i++) ref_out[mb * 4 + i] = -1;
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.refg1[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+                    c.tcY[(y4 + y) * c.w4 + x4 + x] = 16;
+                }
+            for (int y = 0; y < 2; y++)
+                for (int x = 0; x < 2; x++) {
+                    c.tcU[(my * 2 + y) * c.wc + mx * 2 + x] = 16;
+                    c.tcV[(my * 2 + y) * c.wc + mx * 2 + x] = 16;
+                }
+            mb_kind[mb] = K_IPCM;
+            mb_info[mb] = 0;
+            c.decoded[mb] = 1;
+            mb++;
+            if (!is_p && !hb_more(&b)) break;
+            continue;
         }
         if (b.error) FAIL(-2);
 
@@ -1331,7 +1365,8 @@ extern "C" void h264_intra_recon(
         for (int mx = 0; mx < mb_w; mx++) {
             const int mb = my * mb_w + mx;
             const int k = mb_kind[mb];
-            if (k < 2) continue;            // inter / skip / undecoded
+            if (k < 2 || k >= 4) continue;  // inter/skip/undecoded;
+                                            // I_PCM copied by caller
             const int16_t* ry = resid_y + (size_t)mb * 256;
             if (k == 3) {                   // I_16x16
                 pred16(Y, width, my, mx, mb_info[mb] & 15, pred);
@@ -1850,6 +1885,24 @@ extern "C" int h264_recon_frame(
     }
 
     // ---- intra MBs (raster order, §8.3 dependency order) ----
+    // I_PCM samples must land BEFORE the intra pass: intra MBs below/
+    // right of a PCM MB predict from its reconstructed pixels (§8.3)
+    for (int mb = 0; mb < nmb; mb++) {
+        if (kind[mb] != 4) continue;
+        const int my = mb / mb_w, mx = mb % mb_w;
+        const int16_t* cf = coeffs + (size_t)mb * 27 * 16;
+        for (int yy = 0; yy < 16; yy++)
+            for (int xx = 0; xx < 16; xx++)
+                Y[(size_t)(my * 16 + yy) * W + mx * 16 + xx] =
+                    (uint8_t)cf[yy * 16 + xx];
+        for (int yy = 0; yy < 8; yy++)
+            for (int xx = 0; xx < 8; xx++) {
+                U[(size_t)(my * 8 + yy) * (W / 2) + mx * 8 + xx] =
+                    (uint8_t)cf[256 + yy * 8 + xx];
+                V[(size_t)(my * 8 + yy) * (W / 2) + mx * 8 + xx] =
+                    (uint8_t)cf[320 + yy * 8 + xx];
+            }
+    }
     if (have_intra)
         h264_intra_recon(Y, U, V, W, H, kind, info, i4modes,
                          resid_y, resid_c, mb_w, mb_h);

@@ -52,7 +52,7 @@ def _dec(data):
 
 
 @pytest.mark.parametrize("opts", [
-    dict(qp=26, g=4, variety=1),     # every MB shape, intra refreshes
+    dict(qp=26, g=4, variety=1, pcm=0),  # every CABAC-codable shape
     dict(qp=35, g=8),                # high qp, sparse residuals
     dict(qp=12, g=3),                # low qp, dense residuals + escapes
 ])
@@ -69,7 +69,7 @@ def test_cabac_recode_bit_exact_ours(opts):
 @pytest.mark.skipif(reference_ffmpeg() is None,
                     reason="reference not built")
 @pytest.mark.parametrize("opts", [
-    dict(qp=26, g=4, variety=1),
+    dict(qp=26, g=4, variety=1, pcm=0),
     dict(qp=30, g=6),
 ])
 def test_cabac_recode_reference_decodes(opts):

@@ -348,3 +348,61 @@ def test_encoder_sps_cropping_non_aligned():
                                     np.uint8).reshape(h, w)
                 assert np.array_equal(np.asarray(f.planes[0]), got), \
                     f"frame {i} luma vs reference (crop applied)"
+
+
+def test_ipcm_macroblocks_bit_exact():
+    """I_PCM macroblocks (§7.3.5 mb_type 25, the lossless escape) in
+    both I and P slices: raw-sample passthrough, deblocking quantizer 0
+    (h264_cavlc.c:754), nnz contexts 16, and intra prediction from PCM
+    neighbors -- bit-exact vs the reference decoder."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from librempeg_tpu.codecs.h264.codec import H264Decoder, H264Encoder
+
+    w, h = 80, 48
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(6):
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                 width=w, height=h, pts=i,
+                                 time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=30, g=3, variety=1)
+    pkts = [enc.encode(f)[0] for f in frames]
+
+    dec = H264Decoder(enc.codec_parameters())
+    outs = [f for p in pkts for f in dec.decode(p)]
+    assert len(outs) == 6
+
+    # PCM MBs' pixels survive losslessly through encode+decode
+    mb_w = w // 16
+    for fi in (0, 3):                       # IDR frames, PCM at mb 9
+        my, mx = divmod(9, mb_w)
+        src = np.asarray(frames[fi].planes[0])[
+            my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+        # deblocking may touch the PCM MB edges; interior is lossless
+        got = np.asarray(outs[fi].planes[0])[
+            my * 16 + 3:my * 16 + 13, mx * 16 + 3:mx * 16 + 13]
+        assert np.array_equal(got, src[3:13, 3:13])
+
+    ref = shutil.which("ffmpeg", path="/root/repo/.refbuild")
+    if ref:
+        with tempfile.TemporaryDirectory() as td:
+            bs = f"{td}/s.264"
+            raw = f"{td}/o.yuv"
+            open(bs, "wb").write(b"".join(bytes(p.data) for p in pkts))
+            subprocess.run([ref, "-v", "error", "-i", bs, "-f",
+                            "rawvideo", raw], check=True)
+            data = open(raw, "rb").read()
+            fsz = w * h * 3 // 2
+            assert len(data) == 6 * fsz
+            for i, f in enumerate(outs):
+                got = np.frombuffer(data[i * fsz:(i + 1) * fsz],
+                                    np.uint8)
+                ours = np.concatenate([np.asarray(p).ravel()
+                                       for p in f.planes])
+                assert np.array_equal(ours, got), f"frame {i}"
