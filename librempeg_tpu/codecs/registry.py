@@ -18,6 +18,7 @@ _MODULES = (
     "librempeg_tpu.codecs.mpegaudio",
     "librempeg_tpu.codecs.mp3dec",
     "librempeg_tpu.codecs.vorbis.decoder",
+    "librempeg_tpu.codecs.opus.codec",
     "librempeg_tpu.codecs.rawvideo",
     "librempeg_tpu.codecs.gif",
     "librempeg_tpu.codecs.jpeg.decoder",

@@ -181,6 +181,18 @@ class OggDemuxer(Demuxer):
             par = CodecParameters(codec_type="audio", codec_id="vorbis",
                                   sample_rate=sr, nb_channels=ch,
                                   extradata=extradata)
+        elif head[:8] == b"OpusHead":
+            # Ogg Opus mapping (RFC 7845; oggparseopus.c analog): the
+            # OpusHead packet is the extradata; OpusTags is dropped.
+            # Granule positions count 48 kHz samples regardless of the
+            # original rate.
+            ch = head[9]
+            sr = 48000
+            if packets and packets[0][1][:8] == b"OpusTags":
+                packets.pop(0)
+            par = CodecParameters(codec_type="audio", codec_id="opus",
+                                  sample_rate=sr, nb_channels=ch,
+                                  extradata=head)
         else:
             raise Unsupported("ogg: unsupported codec mapping")
         self.streams = [Stream(index=0, codecpar=par,
