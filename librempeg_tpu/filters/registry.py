@@ -10,4 +10,5 @@ from librempeg_tpu.filters import (  # noqa: F401
     misc2,
     biquads,
     video3,
+    drawtext,
 )

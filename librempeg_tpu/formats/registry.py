@@ -15,6 +15,8 @@ _MODULES = (
     "librempeg_tpu.formats.lavfi",
     "librempeg_tpu.formats.ogg",
     "librempeg_tpu.formats.hls",
+    "librempeg_tpu.formats.rtp",
+    "librempeg_tpu.formats.rtsp",
     "librempeg_tpu.formats.hlsdemux",
     "librempeg_tpu.formats.adts",
     "librempeg_tpu.formats.yuv4mpeg",
