@@ -43,6 +43,11 @@ LEVELS = (0, 3, 7, 15, 31)          # bap 1..4 (bap3 7-level direct)
 _UNGROUP3 = np.array([[i // 9, (i % 9) // 3, i % 3] for i in range(27)])
 _UNGROUP5 = np.array([[i // 25, (i % 25) // 5, i % 5] for i in range(128)])
 _UNGROUP11 = np.array([[i // 11, i % 11] for i in range(121)])
+# per-bap bit widths for ungrouped reads (grouped baps 1/2/4 read only
+# on tuple leaders — handled separately)
+_BAP_BITS = np.array([0, 0, 0, 3, 0, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                      14, 16], np.int64)
+_QUANT_BITS_ARR = np.array(QUANT_BITS, np.int64)
 
 
 def _sym(code: int, levels: int) -> float:
@@ -382,17 +387,21 @@ class Ac3FrameDecoder:
             for _ in range(skipl):
                 br.read(8)
 
-        # mantissas
+        # mantissas — the bitstream read order is ch1, [cpl after the
+        # first coupled channel], ch2, ...; build that segment order
+        # and decode every mantissa of the block in one vectorized pass
         coeffs = np.zeros((self.channels + 1, 256), np.float64)
-        m = {"b1": [], "b2": [], "b4": []}
+        cplc = np.zeros(256, np.float64)
+        order = []
         got_cpl = False
         for ch in range(1, self.channels + 1):
-            self._decode_mantissas(br, ch, coeffs[ch], m)
+            order.append((ch, coeffs[ch]))
+            if ch <= fbw and self.channel_in_cpl[ch] and not got_cpl:
+                order.append((CPL, cplc))
+                got_cpl = True
+        self._decode_mantissas_block(br, order)
+        for ch in range(1, self.channels + 1):
             if ch <= fbw and self.channel_in_cpl[ch]:
-                if not got_cpl:
-                    cplc = np.zeros(256, np.float64)
-                    self._decode_mantissas(br, CPL, cplc, m)
-                    got_cpl = True
                 # uncouple
                 bin0 = st.start_freq[CPL]
                 for bnd, size in enumerate(self.cpl_band_sizes):
@@ -552,87 +561,113 @@ class Ac3FrameDecoder:
             return
         psd = st.psd[ch]
         mask = st.mask[ch]
-        b = start
-        band = T.BIN_TO_BAND_TAB[start]
-        while True:
-            mval = (max(int(mask[band]) - snr - floor, 0) & 0x1FE0) + floor
-            band += 1
-            band_end = min(T.BAND_START_TAB[band], end)
-            while b < band_end:
-                addr = min(max((int(psd[b]) - mval) >> 5, 0), 63)
-                bap[b] = T.BAP_TAB[addr]
-                b += 1
-            if end <= band_end:
-                break
+        # per-band mask value, spread to bins, then the 6-bit psd-mask
+        # address lookup — all vectorized
+        bands = np.asarray(T.BIN_TO_BAND_TAB[start:end])
+        mval = (np.maximum(mask[bands].astype(np.int64) - snr - floor,
+                           0) & 0x1FE0) + floor
+        addr = np.clip((psd[start:end].astype(np.int64) - mval) >> 5,
+                       0, 63)
+        bap[start:end] = np.asarray(T.BAP_TAB)[addr]
 
-    def _decode_mantissas(self, br, ch, out, m):
+    def _decode_mantissas_block(self, br, order):
+        """Decode every mantissa of one block in one vectorized pass.
+
+        Bit widths are fully determined by the bap sequence in read
+        order: grouped baps (1: 3 levels x3 in 5 bits, 2: 5 levels x3
+        in 7 bits, 4: 11 levels x2 in 7 bits) consume bits only on the
+        first member of each tuple — tuples span channel boundaries and
+        leftovers die with the block (7.3.5 semantics, matching the
+        reference's grouped-mantissa state) — so per-bin widths follow
+        from occurrence counts, offsets are a cumsum, and all values
+        extract in parallel from the byte buffer.
+        """
         st = self.st
-        start, end = st.start_freq[ch], st.end_freq[ch]
-        bap = st.bap[ch]
-        exps = st.dexps[ch]
-        for f in range(start, end):
-            b = int(bap[f])
-            if b == 0:
-                mant = 0.0                       # dither omitted
-            elif b == 1:
-                if m["b1"]:
-                    mant = m["b1"].pop()
-                else:
-                    g = _UNGROUP3[br.read(5)]
-                    mant = _sym(int(g[0]), 3)
-                    m["b1"] = [_sym(int(g[2]), 3), _sym(int(g[1]), 3)]
-            elif b == 2:
-                if m["b2"]:
-                    mant = m["b2"].pop()
-                else:
-                    g = _UNGROUP5[br.read(7)]
-                    mant = _sym(int(g[0]), 5)
-                    m["b2"] = [_sym(int(g[2]), 5), _sym(int(g[1]), 5)]
-            elif b == 3:
-                mant = _sym(br.read(3), 7)
-            elif b == 4:
-                if m["b4"]:
-                    mant = m["b4"].pop()
-                else:
-                    g = _UNGROUP11[br.read(7)]
-                    mant = _sym(int(g[0]), 11)
-                    m["b4"] = [_sym(int(g[1]), 11)]
-            elif b == 5:
-                mant = _sym(br.read(4), 15)
-            else:
-                qb = QUANT_BITS[b]
-                v = br.read(qb)
-                if v >= 1 << (qb - 1):
-                    v -= 1 << qb
-                mant = v / (1 << qb) * 2.0
-            out[f] = mant * 2.0 ** (-int(exps[f]))
+        segs = [(ch, out, st.start_freq[ch], st.end_freq[ch])
+                for ch, out in order]
+        baps = np.concatenate(
+            [st.bap[ch][s:e] for ch, _, s, e in segs]).astype(np.int64)
+        nb = len(baps)
+        if nb == 0:
+            return
+        width = _BAP_BITS[baps]
+        lead = {}
+        for b, gsz, w in ((1, 3, 5), (2, 3, 7), (4, 2, 7)):
+            isb = baps == b
+            occ = np.cumsum(isb) - 1
+            ld = isb & (occ % gsz == 0)
+            width[ld] = w
+            lead[b] = (np.flatnonzero(isb), ld)
+        off = br.pos + np.concatenate(
+            ([0], np.cumsum(width[:-1], dtype=np.int64)))
+        total = int(width.sum())
+        if br.pos + total > len(br.data) * 8:
+            raise InvalidData("ac3: mantissa overrun")
+        cache = getattr(self, "_mantbuf", None)
+        if cache is None or cache[0] is not br.data:
+            buf = np.frombuffer(br.data, np.uint8).astype(np.int64)
+            buf = np.concatenate([buf, np.zeros(3, np.int64)])
+            self._mantbuf = cache = (br.data, buf)
+        buf = cache[1]
+        b0 = off >> 3
+        win = (buf[b0] << 16) | (buf[b0 + 1] << 8) | buf[b0 + 2]
+        raw = (win >> (24 - (off & 7) - width)) & ((1 << width) - 1)
+        vals = np.zeros(nb, np.float64)
+        for b, tab, lev in ((1, _UNGROUP3, 3), (2, _UNGROUP5, 5),
+                            (4, _UNGROUP11, 11)):
+            occ, ld = lead[b]
+            if not len(occ):
+                continue
+            gsz = tab.shape[1]
+            codes = np.minimum(raw[occ[::gsz]], len(tab) - 1)
+            k = np.arange(len(occ))
+            vals[occ] = (tab[codes[k // gsz], k % gsz]
+                         - (lev >> 1)) / lev
+        m3 = baps == 3
+        vals[m3] = (raw[m3] - 3) / 7.0
+        m5 = baps == 5
+        vals[m5] = (raw[m5] - 7) / 15.0
+        hi = baps >= 6
+        if hi.any():
+            qb = _QUANT_BITS_ARR[baps[hi]]
+            v = raw[hi]
+            v = v - (v >> (qb - 1)) * (1 << qb)   # two's complement
+            vals[hi] = v / (1 << qb) * 2.0
+        br.pos += total
+        pos = 0
+        for ch, out, s, e in segs:
+            n = e - s
+            out[s:e] = vals[pos:pos + n] * \
+                np.exp2(-st.dexps[ch][s:e].astype(np.float64))
+            pos += n
 
     # ------------------------------------------------------------------
     def _imdct_blocks(self, coeffs) -> np.ndarray:
+        # host numpy matmuls on purpose: the transforms are 256-point
+        # per block and a per-block jax dispatch costs more than the
+        # whole math (this decode path is host-side entropy anyway)
         from librempeg_tpu.ops import tx
-        import jax.numpy as jnp
 
         if self._window is None:
-            w = tx.kbd_window(256, 5.0)
+            w = np.asarray(tx.kbd_window(256, 5.0))
             self._window = np.concatenate([w, w[::-1]])
+            self._inv256 = tx._mdct_inv_basis(256).T.copy()
+            self._inv128 = tx._mdct_inv_basis(128).T.copy()
+        spec = coeffs[1:self.channels + 1] * self.dynrng
+        segs = spec @ self._inv256                # [nch, 512]
+        for ch in range(1, min(self.fbw, self.channels) + 1):
+            if self.block_switch[ch]:
+                # blksw: two 128-coefficient transforms (even/odd)
+                t1 = spec[ch - 1, 0::2] @ self._inv128
+                t2 = spec[ch - 1, 1::2] @ self._inv128
+                segs[ch - 1] = np.concatenate([t1, t2])
+        segs *= self._window[None]
         out = np.zeros((self.channels, 256), np.float64)
         for ch in range(1, self.channels + 1):
-            spec = coeffs[ch] * self.dynrng
-            if ch <= self.fbw and self.block_switch[ch]:
-                # blksw: two 128-coefficient transforms (even/odd)
-                t1 = np.asarray(tx.imdct(jnp.asarray(
-                    spec[0::2][None], jnp.float32)))[0].astype(np.float64)
-                t2 = np.asarray(tx.imdct(jnp.asarray(
-                    spec[1::2][None], jnp.float32)))[0].astype(np.float64)
-                seg = np.concatenate([t1, t2]) * \
-                    np.concatenate([self._window[:256], self._window[256:]])
-            else:
-                t = np.asarray(tx.imdct(jnp.asarray(
-                    spec[None], jnp.float32)))[0].astype(np.float64)
-                seg = t * self._window
             prev = self.st.delay.get(ch, np.zeros(256))
-            out[ch - 1] = (prev + seg[:256]) * (OUTPUT_GAIN / 2.0)
-            self.st.delay[ch] = seg[256:]
+            out[ch - 1] = (prev + segs[ch - 1, :256]) * \
+                (OUTPUT_GAIN / 2.0)
+            self.st.delay[ch] = segs[ch - 1, 256:].copy()
         return out
 
 

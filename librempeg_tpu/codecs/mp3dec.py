@@ -481,22 +481,58 @@ class Mp3Decoder(Decoder):
         super().__init__(params, **opts)
 
     def decode(self, pkt: Packet):
-        data = bytes(pkt.data)
-        hdr = FrameHeader.parse(data)
-        if hdr is None:
+        # Packets may carry several MPEG frames or split one across a
+        # boundary (mpegts PES payloads); keep a carry buffer and an
+        # in-band resync like the reference's mpegaudio parser, and
+        # dispatch layer II frames to the layer-2 frame decoder
+        # (mpegaudiodec decodes layers I-III under one codec id).
+        carry = getattr(self, "_buf", b"")
+        tick = getattr(self, "_tick", None)
+        if not carry and pkt.pts != NOPTS:
+            # trust sample-accurate continuity over per-PES pts jitter;
+            # resync only on a real discontinuity (> 2 frames off)
+            if tick is None or abs(pkt.pts - self._pts) > 2 * tick:
+                self._pts = pkt.pts
+        buf = carry + bytes(pkt.data)
+        pos = 0
+        out = []
+        tb = (pkt.time_base
+              if pkt.time_base.valid and pkt.time_base.num else None)
+        while True:
+            hdr = None
+            while pos + 4 <= len(buf):
+                hdr = FrameHeader.parse(buf[pos:pos + 4])
+                if hdr is not None:
+                    break
+                pos += 1
+            if hdr is None or pos + hdr.frame_size > len(buf):
+                break
+            data = buf[pos:pos + hdr.frame_size]
+            pos += hdr.frame_size
+            if hdr.layer == 2:
+                from librempeg_tpu.codecs.mpegaudio import \
+                    Mp2FrameDecoder
+
+                if not isinstance(self._dec, Mp2FrameDecoder):
+                    self._dec = Mp2FrameDecoder(hdr.channels)
+            elif hdr.layer == 3:
+                if not isinstance(self._dec, Mp3FrameDecoder):
+                    self._dec = Mp3FrameDecoder(hdr.channels)
+            else:
+                continue                          # layer I: skip frame
+            pcm = self._dec.decode_frame(data, hdr)
+            if pcm.shape[1] == 0:
+                continue
+            ftb = tb or Rational(1, hdr.sample_rate)
+            out.append(AudioFrame(
+                data=pcm, sample_rate=hdr.sample_rate,
+                sample_fmt="fltp",
+                layout=ChannelLayout.default(pcm.shape[0]),
+                pts=self._pts, time_base=ftb))
+            self._tick = round(pcm.shape[1] * ftb.den
+                               / (hdr.sample_rate * ftb.num))
+            self._pts += self._tick
+        self._buf = buf[pos:]
+        if not out and carry == b"" and pos == 0 and len(buf) >= 4:
             raise InvalidData("mp3: bad frame header")
-        if hdr.layer != 3:
-            raise InvalidData(f"mp3: layer {hdr.layer} packet")
-        if self._dec is None:
-            self._dec = Mp3FrameDecoder(hdr.channels)
-        pcm = self._dec.decode_frame(data, hdr)
-        if pcm.shape[1] == 0:
-            return []
-        pts = pkt.pts if pkt.pts != NOPTS else self._pts
-        self._pts = pts + pcm.shape[1]
-        return [AudioFrame(
-            data=pcm, sample_rate=hdr.sample_rate, sample_fmt="fltp",
-            layout=ChannelLayout.default(pcm.shape[0]), pts=pts,
-            time_base=pkt.time_base
-            if pkt.time_base.valid and pkt.time_base.num
-            else Rational(1, hdr.sample_rate))]
+        return out

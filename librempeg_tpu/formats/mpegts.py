@@ -201,6 +201,41 @@ class MpegTsDemuxer(Demuxer):
         self._cursor = 0
         if not self.streams:
             raise InvalidData("mpegts: no recognized streams")
+        self._probe_audio_params()
+
+    def _probe_audio_params(self):
+        """Fill sample_rate/channels from the first elementary frame
+        (avformat_find_stream_info role — PMT carries no audio
+        parameters, downstream muxers need them)."""
+        from librempeg_tpu.formats.adts import _RATES as _AAC_RATES
+        from librempeg_tpu.formats.mp3 import FrameHeader
+
+        for st in self.streams:
+            par = st.codecpar
+            if par.codec_type != "audio" or par.sample_rate:
+                continue
+            pkt = next((p for p in self._packets
+                        if p.stream_index == st.index), None)
+            if pkt is None:
+                continue
+            data = bytes(pkt.data)
+            if par.codec_id == "mp3":
+                for i in range(len(data) - 4):
+                    h = FrameHeader.parse(data[i:i + 4])
+                    if h is not None:
+                        par.sample_rate = h.sample_rate
+                        par.nb_channels = h.channels
+                        break
+            elif par.codec_id == "aac":
+                for i in range(len(data) - 7):
+                    if data[i] == 0xFF and (data[i + 1] & 0xF6) == 0xF0:
+                        sr = (data[i + 2] >> 2) & 0xF
+                        ch = ((data[i + 2] & 1) << 2) | \
+                            (data[i + 3] >> 6)
+                        if sr < len(_AAC_RATES) and ch:
+                            par.sample_rate = _AAC_RATES[sr]
+                            par.nb_channels = ch
+                            break
 
     def _parse_all(self):
         data = self._data
@@ -264,6 +299,9 @@ class MpegTsDemuxer(Demuxer):
         self._packets.sort(key=lambda pk: (pk.dts if pk.dts != NOPTS else 0))
 
     def _register(self, pid, codec):
+        if pid in self._pid_stream:      # PMT repeats periodically
+            return
+        self._pid_codec[pid] = codec
         ctype = "video" if codec in ("mpeg4", "h264", "mpeg1video",
                                      "mpeg2video") else "audio"
         par = CodecParameters(codec_type=ctype, codec_id=codec,

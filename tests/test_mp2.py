@@ -83,3 +83,47 @@ class TestCliAudioNotSilent:
         pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
         rms = float(np.sqrt((pcm.astype(float) ** 2).mean()))
         assert rms > 1000.0, f"silent output (rms={rms})"
+
+
+@needs_ref
+def test_mp2_in_mpegts_multiframe_packets(tmp_path):
+    """mpegts tags layer II as the mp3 codec id and PES payloads carry
+    several (possibly split) frames; the decoder must resync, iterate
+    and dispatch layers per frame (mpegaudiodec decode.c semantics)."""
+    pcm = tmp_path / "in.pcm"
+    rate = 48000
+    t = np.arange(rate * 2) / rate
+    pcm.write_bytes((np.sin(2 * np.pi * 440 * t) * 0.4 * 32767)
+                    .astype(np.int16).tobytes())
+    ts = tmp_path / "t.ts"
+    subprocess.run([REF, "-v", "error", "-f", "s16le", "-ar", str(rate),
+                    "-ac", "1", "-i", str(pcm), "-c:a", "mp2", "-b:a",
+                    "192k", "-f", "mpegts", str(ts), "-y"], check=True)
+    d = open_input(str(ts))
+    cp = d.streams[0].codecpar
+    dec = decoders()[cp.codec_id](cp)
+    outs = []
+    for p in d.packets():
+        outs += dec.decode(p)
+    ours = np.concatenate([np.asarray(f.data) for f in outs], axis=1)
+    # nearly all samples must come out (not one frame per PES packet)
+    assert ours.shape[1] > rate * 2 - 2 * 1152
+    refp = tmp_path / "ref.f32"
+    subprocess.run([REF, "-v", "error", "-i", str(ts), "-f", "f32le",
+                    str(refp), "-y"], check=True)
+    ref = np.frombuffer(refp.read_bytes(), np.float32)
+    # align for the reference's decoder delay then gate on SNR
+    best = min(range(1000), key=lambda o: float(
+        ((ours[0, :4000] - ref[o:o + 4000]) ** 2).sum()))
+    n = min(ours.shape[1], len(ref) - best)
+    err = ours[0, :n] - ref[best:best + n]
+    snr = 10 * np.log10(float((ref[best:best + n] ** 2).mean())
+                        / max(float((err ** 2).mean()), 1e-12))
+    assert snr > 25.0, f"{snr:.1f} dB"
+    # pts continuity in the container time base (90 kHz): one frame is
+    # 1152 samples -> 2160 ticks (the first frame is short by the
+    # initial codec-delay trim, so its delta is smaller)
+    pts = [f.pts for f in outs]
+    d_pts = np.diff(pts)
+    assert (d_pts[1:] == 2160).all(), d_pts[:8]
+    assert 0 < d_pts[0] <= 2160
