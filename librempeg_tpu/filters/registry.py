@@ -11,4 +11,5 @@ from librempeg_tpu.filters import (  # noqa: F401
     biquads,
     video3,
     drawtext,
+    color,
 )
