@@ -301,6 +301,24 @@ class CeltDecoder:
         self.pf_gains_new = np.zeros((2, 3), np.float32)
         self.emph_coeff = [0.0, 0.0]
 
+    def flush(self):
+        """Reset inter-frame state (ff_celt_flush role) — called when
+        a packet stream switches away from the CELT layer."""
+        if getattr(self, "_flushed", False):
+            return
+        self.energy[:] = 0
+        self.prev_energy[:] = ENERGY_SILENCE
+        self.buf[:] = 0
+        self.pf_period = [0, 0]
+        self.pf_period_old = [0, 0]
+        self.pf_period_new = [0, 0]
+        self.pf_gains[:] = 0
+        self.pf_gains_old[:] = 0
+        self.pf_gains_new[:] = 0
+        self.emph_coeff = [0.0, 0.0]
+        self.seed = 0
+        self._flushed = True
+
     def _rng(self):
         self.seed = (1664525 * self.seed + 1013904223) & 0xFFFFFFFF
         return self.seed
@@ -312,6 +330,7 @@ class CeltDecoder:
         """Decode one CELT frame; returns [output_channels, frame_size]
         float32 PCM at 48 kHz."""
         f = self
+        self._flushed = False
         self.channels = channels
         self.start_band = start_band
         self.end_band = end_band

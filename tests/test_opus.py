@@ -94,16 +94,18 @@ def test_celt_decode_matches_reference(ch, bitrate):
     assert worst >= 60.0, f"worst 20ms window {worst:.1f} dB"
 
 
-def test_silk_mode_raises_unsupported():
+def test_silk_mode_decodes():
+    """SILK configs decode (full coverage in test_opus_silk.py);
+    an all-zero payload is a valid inactive frame -> near-silence."""
     from librempeg_tpu.codecs.opus.codec import OpusDecoder
-    from librempeg_tpu.core.errors import Unsupported
     from librempeg_tpu.core.packet import Packet
     from librempeg_tpu.formats.api import CodecParameters
 
     dec = OpusDecoder(CodecParameters(codec_type="audio",
                                       codec_id="opus", nb_channels=1,
                                       sample_rate=48000))
-    # config 4 (SILK NB 20ms), code 0
-    with pytest.raises(Unsupported):
-        dec.decode(Packet(data=bytes([4 << 3]) + b"\x00" * 10,
-                          pts=0, dts=0))
+    # config 5 (SILK MB 20ms), code 0
+    out = dec.decode(Packet(data=bytes([5 << 3]) + b"\x00" * 10,
+                            pts=0, dts=0))
+    assert len(out) == 1 and out[0].data.shape == (1, 960)
+    assert float(np.abs(np.asarray(out[0].data)).max()) < 0.1
