@@ -120,8 +120,8 @@ def _filt_chroma_vals(p1, p0, q0, q1, bs, alpha, beta, tc0):
             jnp.where(fmask, jnp.where(bs4, q0s, q0n), q0))
 
 
-def _row_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (_TS[0], 1), 0)
+def _row_iota(n=32):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
 
 def _col_iota():
@@ -148,97 +148,127 @@ def _unpack(pp):
     return pp & 7, (pp >> 3) & 255, (pp >> 11) & 31, (pp >> 16) & 31
 
 
-def _apply_edge_v(t, q, pfield, luma):
-    """Filter the vertical edge whose q0 column is window col q (static)
-    on tile t [32, 256]; pfield [32, 1] packed params (bS 0 outside
-    rows). The filter math runs on [32, 1] column vectors (256x less
-    VPU work than full-tile); only the six outputs broadcast for the
-    masked write-back."""
-    ci = _col_iota()
-    bs, alpha, beta, tc0 = _unpack(pfield)
-    if luma:
-        cols = [t[:, q + d:q + d + 1] for d in range((-4), 4)]
-        outs = _filt_luma_vals(*cols, bs, alpha, beta, tc0)
-        rng = range(-3, 3)
-    else:
-        cols = [t[:, q + d:q + d + 1] for d in range(-2, 2)]
-        outs = _filt_chroma_vals(*cols, bs, alpha, beta, tc0)
-        rng = range(-1, 1)
-    for d, nv in zip(rng, outs):
-        t = jnp.where(ci == q + d, jnp.broadcast_to(nv, _TS), t)
-    return t
+def _vpass_luma(t, prm, ri, base):
+    """All 4 vertical luma edges of the MB whose left window column is
+    `base` (static). Column math is lane-hostile on TPU (every [32, 1]
+    slice is a relayout), so the 32-column subtile is TRANSPOSED once,
+    the edges run as cheap full-lane ROW ops, and one transpose brings
+    it back; §8.7's progressive filtering is kept by updating row
+    variables in order."""
+    sub = t[:, base:base + 32].T          # [32, 32]; row c = col c
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    rows = [sub[c:c + 1, :] for c in range(20)]
+    for e in range(4):
+        # bS varies by original block ROW -> lane-varying field here
+        pf = _seg_param(prm, [(r, e) for r in range(4)], li, 4, 4)
+        bs, alpha, beta, tc0 = _unpack(pf)
+        q = 4 + 4 * e
+        outs = _filt_luma_vals(*rows[q - 4:q + 4], bs, alpha, beta,
+                               tc0)
+        rows[q - 3:q + 3] = list(outs)
+    sub = jnp.concatenate([sub[:1]] + rows[1:19] + [sub[19:]], axis=0)
+    parts = ([t[:, :base]] if base else []) \
+        + [sub.T, t[:, base + 32:]]
+    return jnp.concatenate(parts, axis=1)
 
 
-def _apply_edge_h(t, q, pfield, luma):
-    """Filter the horizontal edge whose q0 row is window row q; the
-    filter math runs on [1, 256] row vectors, outputs broadcast only
-    for the masked write-back."""
-    ri = _row_iota()
-    bs, alpha, beta, tc0 = _unpack(pfield)
-    if luma:
-        rows = [t[q + d:q + d + 1, :] for d in range(-4, 4)]
-        outs = _filt_luma_vals(*rows, bs, alpha, beta, tc0)
-        rng = range(-3, 3)
-    else:
-        rows = [t[q + d:q + d + 1, :] for d in range(-2, 2)]
-        outs = _filt_chroma_vals(*rows, bs, alpha, beta, tc0)
-        rng = range(-1, 1)
-    for d, nv in zip(rng, outs):
-        t = jnp.where(ri == q + d, jnp.broadcast_to(nv, _TS), t)
-    return t
+def _hpass_luma(t, prm, ci, base):
+    """All 4 horizontal luma edges, row-variable form ([1, 256]
+    vectors), one sublane concatenation. `base` shifts the per-column
+    parameter field for the right MB of a pair."""
+    rows = [t[r:r + 1, :] for r in range(20)]
+    for e in range(4):
+        pf = _seg_param(prm, [(4 + e, c) for c in range(4)], ci, 4,
+                        4 + base)
+        bs, alpha, beta, tc0 = _unpack(pf)
+        q = 4 + 4 * e
+        outs = _filt_luma_vals(*rows[q - 4:q + 4], bs, alpha, beta,
+                               tc0)
+        rows[q - 3:q + 3] = list(outs)
+    return jnp.concatenate([t[:1]] + rows[1:19] + [t[19:]], axis=0)
+
+
+def _vpass_chroma(ct, prm, ri, base):
+    sub = ct[:, base:base + 16].T         # [16, 16]
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+    rows = [sub[c:c + 1, :] for c in range(8)]
+    for e in range(2):
+        pf = _seg_param(prm, [(r, 4 + e) for r in range(4)], li, 2, 2)
+        bs, alpha, beta, tc0 = _unpack(pf)
+        q = 2 + 4 * e
+        outs = _filt_chroma_vals(*rows[q - 2:q + 2], bs, alpha, beta,
+                                 tc0)
+        rows[q - 1:q + 1] = list(outs)
+    sub = jnp.concatenate([sub[:1]] + rows[1:7] + [sub[7:]], axis=0)
+    parts = ([ct[:, :base]] if base else []) \
+        + [sub.T, ct[:, base + 16:]]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _hpass_chroma(ct, prm, ci, base):
+    rows = [ct[r:r + 1, :] for r in range(10)]
+    for e in range(2):
+        pf = _seg_param(prm, [(4 + e, 4 + c) for c in range(4)], ci, 2,
+                        2 + base)
+        bs, alpha, beta, tc0 = _unpack(pf)
+        q = 2 + 4 * e
+        outs = _filt_chroma_vals(*rows[q - 2:q + 2], bs, alpha, beta,
+                                 tc0)
+        rows[q - 1:q + 1] = list(outs)
+    return jnp.concatenate([ct[:1]] + rows[1:10] + [ct[10:]], axis=0)
 
 
 def _deblock_kernel(mb_w: int, mb_h: int,
                     p_ref, yi, ui, vi, yo, uo, vo):
-    """One grid step = one macroblock, raster order (sequential).
-    Planes are aliased in/out: read and write through yo/uo/vo."""
+    """One grid step = a HORIZONTAL PAIR of macroblocks, raster order
+    (identical to spec §8.7 MB order — left MB fully filtered before
+    the right one, via per-MB pass sequencing inside the step). Pairing
+    halves the sequential step count and amortizes the window
+    load/roll/store. Planes are aliased in/out through yo/uo/vo."""
     i = pl.program_id(0)
-    my = i // mb_w
-    mx = i % mb_w
-    prm = p_ref[pl.ds(i, 1), :]       # [1, 128]: the MB's 8x16 block
+    wpairs = (mb_w + 1) // 2
+    my = i // wpairs
+    px = i % wpairs
+    # two [1, 128] rows per pair (lane-offset sub-slices of a wider
+    # row break Mosaic's layout inference)
+    prm0 = p_ref[pl.ds(2 * i, 1), :]
+    prm1 = p_ref[pl.ds(2 * i + 1, 1), :]   # zeros for a phantom MB
     ri = _row_iota()
     ci = _col_iota()
 
     # ---------------- luma ----------------
-    x = mx * 16                      # padded window col (pad left = 4)
+    x = px * 32                      # padded window col (pad left = 4)
     xa = pl.multiple_of((x // 128) * 128, 128)
-    off = x - xa                     # multiple of 16, 0..127
+    off = x - xa                     # multiple of 32, 0..96
     r0 = pl.multiple_of(my * 16, 16)
     t = yo[pl.ds(r0, 32), pl.ds(xa, 256)].astype(jnp.int32)
     t = pltpu.roll(t, -off, 1)
-    # window geometry: col 0 = unpadded mx*16-4; MB rows/cols = 4..20
-    for e in range(4):
-        # vertical edge e: bS varies by block row (rows 4..20, seg 4)
-        pf = _seg_param(prm, [(r, e) for r in range(4)], ri, 4, 4)
-        t = _apply_edge_v(t, 4 + 4 * e, pf, luma=True)
-    for e in range(4):
-        # horizontal edge e: bS varies by block col (cols 4..20, seg 4)
-        pf = _seg_param(prm, [(4 + e, c) for c in range(4)], ci, 4, 4)
-        t = _apply_edge_h(t, 4 + 4 * e, pf, luma=True)
+    # window geometry: col 0 = unpadded px*32-4; left MB cols 4..20,
+    # right MB cols 20..36
+    t = _vpass_luma(t, prm0, ri, 0)
+    t = _hpass_luma(t, prm0, ci, 0)
+    t = _vpass_luma(t, prm1, ri, 16)
+    t = _hpass_luma(t, prm1, ci, 16)
     t = pltpu.roll(t, off, 1)
     yo[pl.ds(r0, 32), pl.ds(xa, 256)] = t.astype(yo.dtype)
 
     # ---------------- chroma (4:2:0) ----------------
-    cx = mx * 8                      # padded window col (pad left = 2)
+    cx = px * 16                     # padded window col (pad left = 2)
     ca = pl.multiple_of((cx // 128) * 128, 128)
-    coff = cx - ca                   # multiple of 8
+    coff = cx - ca                   # multiple of 16
     cr0 = pl.multiple_of(my * 8, 8)
+    ri16 = _row_iota(16)
     for c_ref in (uo, vo):
-        ct = c_ref[pl.ds(cr0, 32), pl.ds(ca, 256)].astype(jnp.int32)
+        ct = c_ref[pl.ds(cr0, 16), pl.ds(ca, 256)].astype(jnp.int32)
         ct = pltpu.roll(ct, -coff, 1)
-        # window col 0 = unpadded mx*8-2; MB rows/cols = 2..10
-        for e in range(2):
-            # chroma vertical edge: luma block col mx*4 + 2e; bS per
-            # block row spans 2 chroma rows (rows 2..10, seg 2)
-            pf = _seg_param(prm, [(r, 4 + e) for r in range(4)], ri, 2,
-                            2)
-            ct = _apply_edge_v(ct, 2 + 4 * e, pf, luma=False)
-        for e in range(2):
-            pf = _seg_param(prm, [(4 + e, 4 + c) for c in range(4)],
-                            ci, 2, 2)
-            ct = _apply_edge_h(ct, 2 + 4 * e, pf, luma=False)
+        # window col 0 = unpadded px*16-2; left MB cols 2..10,
+        # right MB cols 10..18
+        ct = _vpass_chroma(ct, prm0, ri16, 0)
+        ct = _hpass_chroma(ct, prm0, ci, 0)
+        ct = _vpass_chroma(ct, prm1, ri16, 8)
+        ct = _hpass_chroma(ct, prm1, ci, 8)
         ct = pltpu.roll(ct, coff, 1)
-        c_ref[pl.ds(cr0, 32), pl.ds(ca, 256)] = ct.astype(c_ref.dtype)
+        c_ref[pl.ds(cr0, 16), pl.ds(ca, 256)] = ct.astype(c_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h",
@@ -268,8 +298,14 @@ def deblock_frame_pallas(y, u, v, coeff_idx, coeff_val, mv, ref, qp,
     P = P.at[:, 0:4, 4:6].set(vc[:, :, 0::2])      # chroma V [row, e]
     P = P.at[:, 4:6, 4:8].set(hc[:, 0::2, :])      # chroma H [e, col]
     # one [1, 128] row per MB: a [nmb*8, 16] layout pads lanes 16->128
-    # in VMEM (8x memory -> scoped-vmem OOM inside fused programs)
+    # in VMEM (8x memory -> scoped-vmem OOM inside fused programs);
+    # pair layout: [mb_h * wpairs, 256] — each row holds a horizontal
+    # MB pair (right half zero for a phantom MB on odd widths)
     P = P.reshape(nmb, 128)
+    wpairs = (mb_w + 1) // 2
+    Pp = jnp.zeros((mb_h, wpairs * 2, 128), jnp.int32)
+    Pp = Pp.at[:, :mb_w].set(P.reshape(mb_h, mb_w, 128))
+    P = Pp.reshape(mb_h * wpairs * 2, 128)
 
     # padded planes: left/top pad so window geometry is uniform,
     # right/bottom so the largest [32, 256] aligned window fits
@@ -285,7 +321,7 @@ def deblock_frame_pallas(y, u, v, coeff_idx, coeff_val, mv, ref, qp,
     kern = functools.partial(_deblock_kernel, mb_w, mb_h)
     yd, ud, vd = pl.pallas_call(
         kern,
-        grid=(nmb,),
+        grid=(mb_h * wpairs,),
         out_shape=[jax.ShapeDtypeStruct(yp.shape, yp.dtype),
                    jax.ShapeDtypeStruct(up.shape, up.dtype),
                    jax.ShapeDtypeStruct(vp.shape, vp.dtype)],

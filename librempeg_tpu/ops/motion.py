@@ -73,15 +73,19 @@ def full_search(cur: jax.Array, ref: jax.Array, search_range: int = 8,
     return mv.astype(jnp.int32), cost
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "block_size"))
+@functools.partial(jax.jit, static_argnames=("search_range",
+                                             "block_size", "step"))
 def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
-                       search_range: int = 8, block_size: int = 16):
+                       search_range: int = 8, block_size: int = 16,
+                       step: int = 1):
     """Fused exhaustive search + motion compensation, pure XLA.
 
     One lax.scan over candidate displacements carries (best cost, best
     mv, prediction); each step is whole-frame shifted-SAD (bf16 loads,
     f32 accumulate) plus a masked overwrite of winning blocks — no
     data-dependent gathers, which XLA-on-TPU executes poorly.
+    `step` restricts the candidate lattice (step=2: even-pel search at
+    full resolution — cheaper than downsampling AND it fuses the MC).
 
     Returns (mv [N,bh,bw,2] int32, cost [N,bh,bw] f32, pred [N,H,W] f32).
     """
@@ -91,7 +95,7 @@ def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
     curb = cur.astype(jnp.bfloat16)
     refb = ref.astype(jnp.bfloat16)
     ref_pad = jnp.pad(refb, ((0, 0), (r, r), (r, r)), mode="edge")
-    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    dy, dx = np.mgrid[-r:r + 1:step, -r:r + 1:step]
     cands = jnp.asarray(np.stack([dy.ravel() + r, dx.ravel() + r], axis=1))
 
     def body(carry, cand):
@@ -108,15 +112,15 @@ def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
         pred = jnp.where(take_pix, shifted, pred)
         return (best_cost, best_idx, pred), None
 
-    side = 2 * r + 1
-    idx_col = jnp.arange(side * side, dtype=jnp.int32)[:, None]
+    ncand = cands.shape[0]
+    idx_col = jnp.arange(ncand, dtype=jnp.int32)[:, None]
     cands3 = jnp.concatenate([cands.astype(jnp.int32), idx_col], axis=1)
     bh, bw = h // bs, w // bs
     init = (jnp.full((n, bh, bw), 3.4e38, jnp.float32),
             jnp.zeros((n, bh, bw), jnp.int32),
             jnp.zeros((n, h, w), jnp.bfloat16))
     (cost, idx, pred), _ = jax.lax.scan(body, init, cands3)
-    mv = jnp.stack([idx // side - r, idx % side - r], axis=-1)
+    mv = (cands.astype(jnp.int32) - r)[idx]      # tiny-table lookup
     return mv, cost, pred.astype(jnp.float32)
 
 
@@ -191,7 +195,37 @@ def hierarchical_search(cur: jax.Array, ref: jax.Array,
     return mv.astype(jnp.int32), jnp.min(costs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
+@functools.partial(jax.jit, static_argnames=("block_size",
+                                             "search_range"))
+def motion_compensate_scan(ref: jax.Array, mv: jax.Array,
+                           block_size: int, search_range: int
+                           ) -> jax.Array:
+    """Gather-free motion compensation for small integer MV ranges:
+    scan the (2r+1)^2 displacement lattice, masked-select the blocks
+    whose MV matches. XLA gathers cost ~12 ns/element on v5e — for a
+    720p plane that is ~11 ms; this scan is bandwidth-bound instead.
+
+    ref: [N, H, W]; mv: [N, bh, bw, 2] with |mv| <= search_range.
+    """
+    n, h, w = ref.shape
+    bs = block_size
+    r = search_range
+    ref_pad = jnp.pad(ref, ((0, 0), (r, r), (r, r)), mode="edge")
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    cands = jnp.asarray(
+        np.stack([dy.ravel(), dx.ravel()], axis=1).astype(np.int32))
+
+    def body(pred, cand):
+        shifted = jax.lax.dynamic_slice(
+            ref_pad, (0, cand[0] + r, cand[1] + r), (n, h, w))
+        take = (mv[..., 0] == cand[0]) & (mv[..., 1] == cand[1])
+        take_pix = jnp.repeat(jnp.repeat(take, bs, axis=1), bs, axis=2)
+        return jnp.where(take_pix, shifted, pred), None
+
+    pred, _ = jax.lax.scan(body, jnp.zeros_like(ref), cands)
+    return pred
+
+
 def motion_compensate(ref: jax.Array, mv: jax.Array, block_size: int = 16
                       ) -> jax.Array:
     """Build the prediction frame from per-block integer MVs.
