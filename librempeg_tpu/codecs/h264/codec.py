@@ -270,6 +270,9 @@ class H264Decoder(Decoder):
         self._poc_state = (0, 0)   # prev ref (msb, lsb), §8.2.1.1
         self._dec_count = 0        # decoded-frame counter (poc fallback)
         self._reorder = []         # output queue [(poc, frame)]
+        self._reorder_depth = 0    # dynamic floor (see _effective_depth)
+        self._last_out_poc = None  # highest POC already emitted this GOP
+        self._seen_b_slices = False
         super().__init__(params, **opts)
         self._device_mode = None    # resolved lazily
 
@@ -307,12 +310,43 @@ class H264Decoder(Decoder):
                 r = self._decode_slice(nal, pkt)
                 if r is not None:
                     f, poc = r
+                    if (self._last_out_poc is not None
+                            and poc < self._last_out_poc):
+                        # a frame that should precede already-emitted
+                        # output arrived: the declared reorder window is
+                        # too small (third-party stream without VUI
+                        # bitstream_restriction) -- grow it so further
+                        # frames come out in display order, like the
+                        # reference's has_b_frames re-estimation
+                        self._reorder_depth += 1
                     self._reorder.append((poc, f))
                     self._reorder.sort(key=lambda t: t[0])
-                    maxr = self.sps.num_reorder_frames if self.sps else 0
+                    maxr = self._effective_depth()
                     while len(self._reorder) > maxr:
-                        frames.append(self._reorder.pop(0)[1])
+                        poc0, f0 = self._reorder.pop(0)
+                        self._last_out_poc = poc0
+                        frames.append(f0)
         return frames
+
+    def _effective_depth(self) -> int:
+        """Output reorder window.
+
+        The VUI bitstream_restriction depth when the stream declares
+        one; otherwise a conservative default for streams that can
+        carry B slices (reference h264_ps.c: absent restriction =>
+        sps->num_reorder_frames defaults from the DPB bound, surfaced
+        as has_b_frames), further grown dynamically whenever an
+        out-of-order POC is actually observed.
+        """
+        if self.sps is None:
+            return 0
+        if self.sps.bitstream_restriction:
+            base = self.sps.num_reorder_frames
+        elif self._seen_b_slices:
+            base = max(1, min(self.sps.max_num_ref_frames, 16))
+        else:
+            base = 0
+        return max(base, self._reorder_depth)
 
     def flush(self):
         return self._drain_reorder()
@@ -320,6 +354,7 @@ class H264Decoder(Decoder):
     def _drain_reorder(self):
         out = [f for _, f in sorted(self._reorder, key=lambda t: t[0])]
         self._reorder.clear()
+        self._last_out_poc = None   # POC restarts at the IDR boundary
         return out
 
     def _compute_poc(self, sh, nal) -> int:
@@ -356,6 +391,8 @@ class H264Decoder(Decoder):
         if self.pps.constrained_intra_pred:
             raise Unsupported("h264: constrained intra prediction")
         is_b = sh.slice_type == "B"
+        if is_b:
+            self._seen_b_slices = True
 
         mb_w = self.sps.pic_width_in_mbs
         mb_h = self.sps.pic_height_in_map_units

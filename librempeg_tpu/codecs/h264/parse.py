@@ -117,6 +117,7 @@ class SPS:
     bit_depth_chroma: int = 8
     delta_pic_order_always_zero: bool = False
     num_reorder_frames: int = 0
+    bitstream_restriction: bool = False  # VUI carried an explicit depth
 
     @property
     def width(self) -> int:
@@ -201,6 +202,7 @@ def parse_sps(rbsp: bytes) -> SPS:
                 g.ue()
                 g.ue()
                 s.num_reorder_frames = g.ue()
+                s.bitstream_restriction = True
                 g.ue()
     except Exception:
         pass

@@ -20,10 +20,28 @@ from librempeg_tpu.formats.io import MemoryIO, open_io
 
 
 def _resolve(base_url: str, ref: str) -> str:
+    """Resolve a segment reference against the playlist URL.
+
+    Security (CVE-2016-1897 class, hls.c open_url checks): when the
+    playlist came from the network, every segment ref is resolved with
+    urljoin and MUST stay on a network scheme compatible with the
+    playlist's -- a remote m3u8/MPD must not be able to direct the
+    demuxer at local files (file:// or bare paths).
+    """
+    if "://" in base_url:
+        base_scheme = urllib.parse.urlsplit(base_url).scheme.lower()
+        resolved = urllib.parse.urljoin(base_url, ref)
+        scheme = urllib.parse.urlsplit(resolved).scheme.lower()
+        allowed = {base_scheme}
+        if base_scheme == "http":
+            allowed.add("https")  # http playlist may upgrade to https
+        if scheme not in allowed:
+            raise InvalidData(
+                f"hls/dash: segment scheme {scheme!r} not allowed from a "
+                f"{base_scheme!r} playlist: {resolved!r}")
+        return resolved
     if "://" in ref or ref.startswith("/"):
         return ref
-    if "://" in base_url:
-        return urllib.parse.urljoin(base_url, ref)
     d = posixpath.dirname(base_url)
     return posixpath.join(d, ref) if d else ref
 

@@ -175,10 +175,16 @@ class _AacDepay:
         au_bits = struct.unpack(">H", pl[:2])[0]
         off = 2
         hdr_bits = self.sizelength + self.indexlength
+        # AU-headers-length is untrusted: bound it by the payload size
+        # (rtpdec_mpeg4.c rfc 3640 parse checks) before indexing.
+        if off + (au_bits + 7) // 8 > len(pl):
+            raise InvalidData("rtp aac: AU-headers exceed payload")
         naus = max(au_bits // max(hdr_bits, 1), 1)
         sizes = []
         bitpos = 0
         for _ in range(naus):
+            if off + ((bitpos + self.sizelength - 1) >> 3) >= len(pl):
+                raise InvalidData("rtp aac: truncated AU-header")
             v = 0
             for _ in range(self.sizelength):
                 byte = pl[off + (bitpos >> 3)]
@@ -187,6 +193,8 @@ class _AacDepay:
             bitpos += self.indexlength
             sizes.append(v)
         off += (au_bits + 7) // 8
+        if sum(sizes) > len(pl) - off:
+            raise InvalidData("rtp aac: AU sizes exceed payload")
         out = []
         ts = p.ts
         for sz in sizes:
@@ -291,8 +299,31 @@ class RtpStreamCtx:
         self.codec_id = codec_id
         self.codec_type = ctype
         self.first_ts = None
+        self._last_ts = 0      # last raw 32-bit RTP timestamp seen
+        self._ts_base = 0      # accumulated unwrapped pts of _last_ts
         self._reorder: dict[int, RtpPacket] = {}
         self._next_seq = None
+
+    def _unwrap_ts(self, ts: int) -> int:
+        """32-bit RTP timestamp -> monotonic-ish 64-bit pts.
+
+        Signed wrap handling (rtpdec.c timestamp unwrapping role): the
+        delta from the previous timestamp is interpreted as int32, so a
+        slightly-earlier reordered packet maps to a small negative pts
+        step and a mid-session 2^32 wrap continues smoothly instead of
+        jumping by ~2^32.
+        """
+        if self.first_ts is None:
+            self.first_ts = ts
+            self._last_ts = ts
+            self._ts_base = 0
+            return 0
+        delta = (ts - self._last_ts) & 0xFFFFFFFF
+        if delta >= 1 << 31:
+            delta -= 1 << 32
+        self._ts_base += delta
+        self._last_ts = ts
+        return max(self._ts_base, 0)
 
     def codecpar(self) -> CodecParameters:
         par = CodecParameters(codec_type=self.codec_type,
@@ -329,9 +360,7 @@ class RtpStreamCtx:
         for payload, ts, key in self.depay.feed(p):
             if not payload:
                 continue
-            if self.first_ts is None:
-                self.first_ts = ts
-            pts = (ts - self.first_ts) & 0xFFFFFFFF
+            pts = self._unwrap_ts(ts)
             pkts.append(Packet(
                 data=payload, pts=pts, dts=pts, duration=0,
                 flags=PktFlags.KEY if key else 0,
@@ -342,9 +371,7 @@ class RtpStreamCtx:
     def flush(self):
         pkts = []
         for payload, ts, key in self.depay.flush():
-            if self.first_ts is None:
-                self.first_ts = ts
-            pts = (ts - self.first_ts) & 0xFFFFFFFF
+            pts = self._unwrap_ts(ts)
             pkts.append(Packet(
                 data=payload, pts=pts, dts=pts, duration=0,
                 flags=PktFlags.KEY if key else 0,
@@ -417,7 +444,8 @@ class SdpDemuxer(Demuxer):
                 idx = self._socks.index(sock)
                 try:
                     self._queue += self._ctx[idx].push(data)
-                except InvalidData:
+                except (InvalidData, IndexError, struct.error):
+                    # one malformed datagram must not kill the session
                     continue
         return self._queue.pop(0)
 

@@ -17,6 +17,8 @@ Behavioral reference: libavformat/rtsp.c, rtspdec.c (reimplemented).
 """
 from __future__ import annotations
 
+import struct
+
 import socket
 import urllib.parse as up
 
@@ -284,7 +286,7 @@ class RtspDemuxer(Demuxer):
                 continue
             try:
                 q += self._ctx[idx].push(data)
-            except InvalidData:
+            except (InvalidData, IndexError, struct.error):
                 continue
         return q.pop(0)
 

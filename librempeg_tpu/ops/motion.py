@@ -226,6 +226,7 @@ def motion_compensate_scan(ref: jax.Array, mv: jax.Array,
     return pred
 
 
+@functools.partial(jax.jit, static_argnames=("block_size",))
 def motion_compensate(ref: jax.Array, mv: jax.Array, block_size: int = 16
                       ) -> jax.Array:
     """Build the prediction frame from per-block integer MVs.
