@@ -523,18 +523,30 @@ class H264Decoder(Decoder):
                 ent[4] = tuple(D.make_refpack(jnp.asarray(ent[1][0]),
                                               jnp.asarray(ent[1][1]),
                                               jnp.asarray(ent[1][2])))
-        flat = res["coeffs"].astype(np.int32).ravel()
-        nz = np.flatnonzero(flat).astype(np.int32)
-        nzv = flat[nz].astype(np.int16)
+        total = res["coeffs"].size
+        from librempeg_tpu.native import build as native_b
+
+        # native compact scan (ncoef-pruned): ~16 ms/frame cheaper than
+        # numpy flatnonzero over the dense tensor at 1080p
+        buf_n = getattr(self, "_sp_bufn", 1 << 17)
+        while True:
+            nzi = np.empty(buf_n, np.int32)
+            nzv16 = np.empty(buf_n, np.int16)
+            k = native_b.h264_sparse_coeffs(res["coeffs"], res["ncoef"],
+                                            nzi, nzv16)
+            if k >= 0:
+                break
+            buf_n *= 4
+        self._sp_bufn = buf_n
         # pad sparse + intra lists to size buckets: one XLA program per
         # bucket, not one per frame-specific count. Pad with a POSITIVE
         # out-of-bounds index: scatter mode="drop" drops those, while
         # negative indices would wrap around
-        cap = _bucket(len(nz), 4096, flat.size)
-        idx = np.full(cap, flat.size, np.int32)
-        idx[:len(nz)] = nz
+        cap = _bucket(k, 4096, total)
+        idx = np.full(cap, total, np.int32)
+        idx[:k] = nzi[:k]
         vals = np.zeros(cap, np.int16)
-        vals[:len(nz)] = nzv
+        vals[:k] = nzv16[:k]
         intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
         icap = _bucket(len(intra), 256, _INTRA_CAP_MAX) if len(intra) \
             else 0

@@ -120,6 +120,9 @@ def get() -> ctypes.CDLL | None:
         lib.h264_intra_recon.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
             i32p, i32p, i8p, i16p, i16p, ctypes.c_int, ctypes.c_int]
+        lib.h264_sparse_coeffs.restype = ctypes.c_int
+        lib.h264_sparse_coeffs.argtypes = [
+            i16p, i16p, ctypes.c_int, i32p, i16p, ctypes.c_int]
         lib.h264_deblock_frame.restype = None
         lib.h264_deblock_frame.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -323,6 +326,19 @@ def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
             "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
             "mv1": mv1, "ref1": ref1,
             "end_bit": int(end[0]), "last_mb": int(end[1])}
+
+
+def h264_sparse_coeffs(coeffs: np.ndarray, ncoef: np.ndarray,
+                       idx_out: np.ndarray, val_out: np.ndarray) -> int:
+    """Compact (flat zigzag index, level) extraction from the dense
+    [nMB,27,16] tensor, pruned by ncoef. Returns the entry count, or
+    -1 when idx_out/val_out (same length) would overflow."""
+    lib = get()
+    assert lib is not None
+    nmb = coeffs.shape[0]
+    return lib.h264_sparse_coeffs(
+        _i16(coeffs), _i16(ncoef), nmb,
+        _i32(idx_out), _i16(val_out), len(idx_out))
 
 
 def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -3108,3 +3108,37 @@ done:
     return err;
     #undef CFAIL
 }
+
+// ---------------------------------------------------------------------
+// Sparse coefficient extraction for the device decode path.
+//
+// The device reconstruction uploads coefficients as a compact
+// (flat_index, level) list scattered on device (decode_step.py); numpy
+// flatnonzero over the dense [nMB*27*16] tensor costs ~16 ms per 1080p
+// frame, so the scan lives here: ncoef (CAVLC/CABAC total_coeff per
+// block) prunes all-zero blocks, making this a sub-millisecond pass.
+// flat index = (mb*27 + blk)*16 + zigzag_pos, matching the dense
+// layout documented above h264_decode_slice_cavlc.
+// Returns the entry count, or -1 if cap would overflow.
+extern "C" int h264_sparse_coeffs(
+    const int16_t* coeffs, const int16_t* ncoef, int nMB,
+    int32_t* idx_out, int16_t* val_out, int cap)
+{
+    int n = 0;
+    for (int mb = 0; mb < nMB; mb++) {
+        const int16_t* nc = ncoef + (size_t)mb * 27;
+        for (int blk = 0; blk < 27; blk++) {
+            if (!nc[blk]) continue;
+            const int16_t* cf = coeffs + ((size_t)mb * 27 + blk) * 16;
+            int base = (mb * 27 + blk) * 16;
+            for (int k = 0; k < 16; k++) {
+                if (!cf[k]) continue;
+                if (n >= cap) return -1;
+                idx_out[n] = base + k;
+                val_out[n] = cf[k];
+                n++;
+            }
+        }
+    }
+    return n;
+}
