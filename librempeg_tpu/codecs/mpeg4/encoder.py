@@ -31,7 +31,7 @@ import numpy as np
 from librempeg_tpu.codecs.api import CodecInfo, Encoder, register_encoder
 from librempeg_tpu.codecs.mpeg4 import tables as T
 from librempeg_tpu.codecs.mpeg4.bits import BitWriter
-from librempeg_tpu.core.errors import Unsupported
+from librempeg_tpu.core.errors import InvalidData, Unsupported
 from librempeg_tpu.core.frame import VideoFrame
 from librempeg_tpu.core.options import Option, OptionTable
 from librempeg_tpu.core.packet import Packet, PktFlags
@@ -125,39 +125,141 @@ def _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma):
     return out
 
 
-def _sparsify(zz_flat, cap):
-    """Compact nonzero coefficients: the device->host tunnel is
-    bandwidth-bound (~25 MB/s), so fetch (index, value) pairs instead of
-    the ~95%-zero dense zigzag tensor. Returns int16 parts
-    [idx_as_2xi16 (2*cap), vals (cap), count (1 padded to 2)]."""
-    cnt = jnp.count_nonzero(zz_flat)
-    idx = jnp.flatnonzero(zz_flat, size=cap, fill_value=0).astype(jnp.int32)
-    vals = zz_flat[idx].astype(jnp.int16)
-    idx16 = jax.lax.bitcast_convert_type(idx, jnp.int16).ravel()
+def _pack_i8_pairs(x8):
+    """[n] int32 byte values -> [n/2] int16 (little-endian pair pack);
+    the host recovers them with ndarray.view(int8)."""
+    lo = x8[0::2] & 0xFF
+    hi = x8[1::2] & 0xFF
+    return jax.lax.bitcast_convert_type(
+        (lo | (hi << 8)).astype(jnp.uint16), jnp.int16)
+
+
+def _sparsify_fat(zz, cap, ecap):
+    """Worst-case compaction of coded coefficients for the fetch
+    (always correct; used for I frames and slim-overflow retries).
+
+    Two stages keep the flatnonzero scatter input bounded: (1) coded
+    8x8 BLOCKS (cheap 21K-element scatter + row-slice value gathers),
+    (2) element flatnonzero over the gathered [cap, 64] rows. The
+    block stage is internal: positions are mapped back to the dense
+    tensor on device, so only (position, value) events cross the
+    tunnel.
+
+    zz [nblk, 64] int16. Returns int16 parts
+    [pos_as_2xi16 (2*ecap), vals (ecap), counts (4xi16)]."""
+    coded = jnp.any(zz != 0, axis=1)
+    cnt_b = jnp.count_nonzero(coded)
+    bids = jnp.flatnonzero(coded, size=cap, fill_value=0).astype(jnp.int32)
+    # batch-dim + iota minor axis: the TPU backend emits row-slice
+    # loads for this index structure instead of per-element fetches
+    rows = zz[bids[:, None], jnp.arange(64)[None, :]].astype(jnp.int16)
+    # padding slots re-read block 0 (fill_value=0): zero them so the
+    # element stage doesn't count replicated coefficients
+    rows = jnp.where((jnp.arange(cap) < cnt_b)[:, None], rows, 0)
+    flat = rows.ravel()
+    cnt_e = jnp.count_nonzero(flat)
+    pos = jnp.flatnonzero(flat, size=ecap, fill_value=0).astype(jnp.int32)
+    vals = flat[pos].astype(jnp.int16)
+    gpos = bids[pos // 64] * 64 + pos % 64    # dense-tensor positions
+    pos16 = jax.lax.bitcast_convert_type(gpos, jnp.int16).ravel()
     cnt16 = jax.lax.bitcast_convert_type(
-        cnt.astype(jnp.int32)[None], jnp.int16).ravel()
-    return [idx16, vals, cnt16]
+        jnp.stack([cnt_b, cnt_e]).astype(jnp.int32), jnp.int16).ravel()
+    return [pos16, vals, cnt16]
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap):
+# slim-path capacities (static; one XLA program total — every distinct
+# cap is a separate ~30s tunnel compile, so these never adapt. Typical
+# 720p 4Mbps P frame measures ~6.4K DC events, ~2.7K hi blocks, ~4.9K
+# hi events, 0 escapes; the fetch is round-trip-latency dominated so
+# doubling the caps costs ~nothing. A frame that still overflows falls
+# back to the fat program AND downgrades the stream (see encode_finish):
+# re-dispatching every frame twice is far worse than fat's fetch size.)
+_SLIM_HCAP = 8192          # blocks with any AC coefficient
+_SLIM_ECAP = 16384         # AC events at zigzag positions 1..32
+_SLIM_TCAP = 512           # blocks with any coefficient beyond 32
+_SLIM_DCAP = 256           # |DC| > 127 escapes
+
+
+def _sparsify_slim(zz):
+    """Structure-aware compaction sized for typical P frames.
+
+    The fetch layout exploits how inter-MPEG4 coefficients actually
+    distribute (measured on the bench stream): ~55% of events are the
+    zigzag-DC coefficient and levels fit int8, so the DC column goes
+    DENSE as packed int8 (no device compaction at all); a 1-bit-per-
+    block map marks blocks with AC energy; their rows are gathered and
+    element-compacted only over zigzag 1..32 (bounding the scatter
+    input); the rare tail past 32 moves as whole rows.
+
+    zz [nblk, 64] int16, nblk even multiple of 16. Returns int16 parts
+    [dc8 (nblk/2), himap8 (nblk/16), eslot (E), ej (E), eval (E),
+    tslot (T), trows (T*31), dbid (D), dval (D), counts (8xi16)]."""
+    nblk = zz.shape[0]
+    dc = zz[:, 0].astype(jnp.int32)
+    esc = jnp.abs(dc) > 127
+    dc8 = _pack_i8_pairs(jnp.where(esc, -128, dc))
+    cnt_d = jnp.count_nonzero(esc)
+    dbid = jnp.flatnonzero(esc, size=_SLIM_DCAP,
+                           fill_value=0).astype(jnp.int16)
+    dval = dc[dbid.astype(jnp.int32)].astype(jnp.int16)
+
+    hi = jnp.any(zz[:, 1:] != 0, axis=1)
+    cnt_h = jnp.count_nonzero(hi)
+    bits = hi.reshape(nblk // 8, 8).astype(jnp.int32)
+    himap8 = _pack_i8_pairs(
+        (bits * (1 << jnp.arange(8))[None, :]).sum(axis=1))
+    hbids = jnp.flatnonzero(hi, size=_SLIM_HCAP,
+                            fill_value=0).astype(jnp.int32)
+    hrows = zz[hbids[:, None], jnp.arange(64)[None, :]].astype(jnp.int16)
+    hrows = jnp.where((jnp.arange(_SLIM_HCAP) < cnt_h)[:, None],
+                      hrows, 0)
+
+    flatA = hrows[:, 1:33].ravel()
+    cnt_e = jnp.count_nonzero(flatA)
+    pos = jnp.flatnonzero(flatA, size=_SLIM_ECAP,
+                          fill_value=0).astype(jnp.int32)
+    evals = flatA[pos].astype(jnp.int16)
+    eslot = (pos // 32).astype(jnp.int16)
+    ej = (pos % 32 + 1).astype(jnp.int16)
+
+    tail = jnp.any(hrows[:, 33:] != 0, axis=1)
+    cnt_t = jnp.count_nonzero(tail)
+    tslot = jnp.flatnonzero(tail, size=_SLIM_TCAP,
+                            fill_value=0).astype(jnp.int32)
+    trows = hrows[tslot[:, None], jnp.arange(33, 64)[None, :]]
+    trows = jnp.where((jnp.arange(_SLIM_TCAP) < cnt_t)[:, None],
+                      trows, 0)
+
+    cnt16 = jax.lax.bitcast_convert_type(
+        jnp.stack([cnt_h, cnt_e, cnt_t, cnt_d]).astype(jnp.int32),
+        jnp.int16).ravel()
+    return [dc8, himap8, eslot, ej, evals,
+            tslot.astype(jnp.int16), trows.ravel(), dbid, dval, cnt16]
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "ecap"))
+def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap, ecap):
     """I-VOP pass returning (packed int16, device recon planes): all the
     host-side data (sparse zz coefficients + dc levels) in ONE array so
     the tunnel round-trip is a single small fetch per frame."""
     out = _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma)
-    zz_flat = jnp.concatenate([out[k][1].ravel() for k in ("y", "u", "v")])
-    parts = _sparsify(zz_flat, cap)
+    zz_blocks = jnp.concatenate([out[k][1] for k in ("y", "u", "v")])
+    parts = _sparsify_fat(zz_blocks, cap, ecap)
     parts += [out[k][0].ravel().astype(jnp.int16) for k in ("y", "u", "v")]
     packed = jnp.concatenate(parts)
     return packed, (out["y"][2], out["u"][2], out["v"][2])
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "cap"))
-def _encode_p_packed(y, u, v, ry, ru, rv, qscale, search_range, cap):
+@functools.partial(jax.jit, static_argnames=("search_range", "slim",
+                                             "cap", "ecap"))
+def _encode_p_packed(y, u, v, ry, ru, rv, qscale, search_range, slim,
+                     cap=0, ecap=0):
     out = _encode_p_device(y, u, v, ry, ru, rv, qscale, search_range)
-    zz_flat = jnp.concatenate([out["y"][0].ravel(), out["u"][0].ravel(),
-                               out["v"][0].ravel()])
-    parts = _sparsify(zz_flat, cap)
+    zz_blocks = jnp.concatenate([out["y"][0], out["u"][0], out["v"][0]])
+    if slim:
+        parts = _sparsify_slim(zz_blocks)
+    else:
+        parts = _sparsify_fat(zz_blocks, cap, ecap)
     parts += [out["mv"].ravel().astype(jnp.int16)]
     packed = jnp.concatenate(parts)
     return packed, (out["y"][1], out["u"][1], out["v"][1])
@@ -475,15 +577,18 @@ class Mpeg4Encoder(Encoder):
             data0 = b""
 
         refs = self._ref
+        self._sp_init()
+        slim = not is_i and self._sp_slim_ok
         if is_i:
             packed, recon = _encode_i_packed(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                 jnp.int32(q), jnp.int32(T.dc_scaler(q, False)),
-                jnp.int32(T.dc_scaler(q, True)), self._cap())
+                jnp.int32(T.dc_scaler(q, True)), *self._fat_caps())
         else:
             packed, recon = _encode_p_packed(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *refs,
-                jnp.int32(q), self.opts["search_range"], self._cap())
+                jnp.int32(q), self.opts["search_range"], slim,
+                *(() if slim else self._fat_caps()))
         self._ref = recon
         self._packer.vop(bw, 0 if is_i else 1, self._frame_idx, q)
 
@@ -491,7 +596,7 @@ class Mpeg4Encoder(Encoder):
         self._next_pts = pts + 1
         handle = {"bw": bw, "data0": data0, "q": q, "is_i": is_i,
                   "packed": packed, "planes": (y, u, v), "refs": refs,
-                  "pts": pts, "cap": self._sp_cap}
+                  "pts": pts, "slim": slim}
         self._frame_idx += 1
         return handle
 
@@ -505,28 +610,47 @@ class Mpeg4Encoder(Encoder):
             # (amortizing tunnel latency across frames); the overflow
             # retry below re-dispatches, so consume it exactly once
             pre = h.pop("packed_np", None)
-            flat, tail = self._unsparsify(
-                pre if pre is not None else np.asarray(h["packed"]),
-                h["cap"])
+            raw = pre if pre is not None else np.asarray(h["packed"])
+            if h["slim"]:
+                flat, tail = self._unsparsify_slim(raw)
+            else:
+                flat, tail = self._unsparsify_fat(
+                    raw, h.get("caps", self._fat_caps()))
             if flat is not None:
                 break
-            # sparse overflow: re-dispatch this frame with a larger cap
-            self._sp_cap = min(self._sp_total, self._sp_cap * 4)
-            h["cap"] = self._sp_cap
+            # capacity overflow: re-run this frame through the next
+            # larger always-correct layout (slim -> fat -> full; each
+            # variant is a separate cached program, compiled only if a
+            # stream ever needs it)
             y, u, v = h["planes"]
+            if h["slim"]:
+                h["slim"] = False
+                # stream-level hysteresis: content that blows the slim
+                # caps once will keep doing it — dispatching every frame
+                # through BOTH programs halves throughput, so downgrade
+                # the stream to the fat layout from here on (benign
+                # cross-thread bool write; encode_async only reads it)
+                self._sp_slim_ok = False
+                caps = self._fat_caps()
+            else:
+                caps = (self._sp_nblk, self._sp_total)
+                if h.get("full"):
+                    raise InvalidData("mpeg4: sparse fetch overflow")
+                h["full"] = True
             # NOTE: recon is identical to the original dispatch (same
-            # inputs, only the fetch capacity differs) -- self._ref is
+            # inputs, only the fetch layout differs) -- self._ref is
             # left alone so a pipelined next-frame dispatch stays valid.
             if is_i:
                 h["packed"], _ = _encode_i_packed(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     jnp.int32(q), jnp.int32(T.dc_scaler(q, False)),
-                    jnp.int32(T.dc_scaler(q, True)), self._sp_cap)
+                    jnp.int32(T.dc_scaler(q, True)), *caps)
             else:
                 h["packed"], _ = _encode_p_packed(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     *h["refs"], jnp.int32(q), self.opts["search_range"],
-                    self._sp_cap)
+                    False, *caps)
+            h["caps"] = caps
         bw = h["bw"]
         if is_i:
             body = self._pack_i(bw, flat, tail, q)
@@ -540,31 +664,72 @@ class Mpeg4Encoder(Encoder):
             self._rc.update(len(payload) * 8, is_i)
         return [pkt]
 
-    def _cap(self) -> int:
-        """Sparse-fetch capacity: grows on overflow (recompile per cap)."""
-        if not hasattr(self, "_sp_cap"):
-            total = ((self.ch // 8) * (self.cw // 8)
-                     + 2 * (self.ch // 16) * (self.cw // 16)) * 64
-            # start small: the packed fetch crosses the tunnel every
-            # frame; overflow re-dispatches with 4x cap (cached
-            # program per cap, so steady state settles immediately)
-            self._sp_cap = max(4096, total // 40)
-            self._sp_total = total
-        return self._sp_cap
+    def _sp_init(self) -> None:
+        if not hasattr(self, "_sp_nblk"):
+            nblk = ((self.ch // 8) * (self.cw // 8)
+                    + 2 * (self.ch // 16) * (self.cw // 16))
+            self._sp_nblk = nblk
+            self._sp_total = nblk * 64
+            # the slim layout requires nblk % 16 == 0 (byte-pair packed
+            # maps) and only pays off on large frames
+            self._sp_slim_ok = nblk % 16 == 0 and nblk >= 4096
 
-    def _unsparsify(self, packed: np.ndarray, cap: int):
-        """Parse [idx16(2*cap), vals(cap), cnt(2), tail...] -> dense
-        flat zz int16 [total]; returns (flat, tail) or (None, None) on
-        overflow (caller grows cap and retries)."""
-        self._cap()                               # ensure _sp_total
-        idx = packed[:2 * cap].view(np.int32)
-        vals = packed[2 * cap:3 * cap]
-        cnt = int(packed[3 * cap:3 * cap + 2].view(np.int32)[0])
-        if cnt > cap:
+    def _fat_caps(self) -> tuple[int, int]:
+        """Worst-typical caps for the fat program (always-correct
+        fallback + I frames); static, so exactly one compile."""
+        self._sp_init()
+        return self._sp_nblk, min(self._sp_total, self._sp_nblk * 8)
+
+    def _unsparsify_fat(self, packed: np.ndarray, caps):
+        """Parse the fat layout [pos16(2*ecap), vals(ecap), cnt(4),
+        tail...] -> dense flat zz int16 [total]; (None, None) when the
+        event cap overflowed (scene-change outlier: caller re-runs with
+        full-size caps)."""
+        self._sp_init()
+        cap, ecap = caps
+        pos = packed[:2 * ecap].view(np.int32)
+        o = 2 * ecap
+        vals = packed[o:o + ecap]
+        o += ecap
+        cnt_b, cnt_e = packed[o:o + 4].view(np.int32)
+        o += 4
+        if cnt_b > cap or cnt_e > ecap:
             return None, None
         flat = np.zeros(self._sp_total, np.int16)
-        flat[idx[:cnt]] = vals[:cnt]
-        return flat, packed[3 * cap + 2:]
+        flat[pos[:cnt_e]] = vals[:cnt_e]
+        return flat, packed[o:]
+
+    def _unsparsify_slim(self, packed: np.ndarray):
+        """Parse the slim layout (see _sparsify_slim) -> dense flat zz
+        int16 [total]; (None, None) on any capacity overflow (caller
+        re-dispatches the fat program)."""
+        self._sp_init()
+        nblk = self._sp_nblk
+        H, E, T, D = (_SLIM_HCAP, _SLIM_ECAP, _SLIM_TCAP, _SLIM_DCAP)
+        o = 0
+        dc8 = packed[o:o + nblk // 2].view(np.int8); o += nblk // 2
+        himap = packed[o:o + nblk // 16].view(np.uint8); o += nblk // 16
+        eslot = packed[o:o + E]; o += E
+        ej = packed[o:o + E]; o += E
+        evals = packed[o:o + E]; o += E
+        tslot = packed[o:o + T]; o += T
+        trows = packed[o:o + T * 31].reshape(T, 31); o += T * 31
+        dbid = packed[o:o + D]; o += D
+        dval = packed[o:o + D]; o += D
+        cnt_h, cnt_e, cnt_t, cnt_d = packed[o:o + 8].view(np.int32)
+        o += 8
+        if cnt_h > H or cnt_e > E or cnt_t > T or cnt_d > D:
+            return None, None
+        blocks = np.zeros((nblk, 64), np.int16)
+        blocks[:, 0] = dc8
+        hbids = np.flatnonzero(np.unpackbits(
+            himap, bitorder="little"))           # ascending, == device
+        blocks[hbids[eslot[:cnt_e]], ej[:cnt_e]] = evals[:cnt_e]
+        if cnt_t:
+            blocks[hbids[tslot[:cnt_t]], 33:] = trows[:cnt_t]
+        if cnt_d:
+            blocks[dbid[:cnt_d], 0] = dval[:cnt_d]
+        return blocks.ravel(), packed[o:]
 
     def _pack_i(self, bw: BitWriter, flat, tail, q: int) -> bytes:
         H, W = self.ch, self.cw

@@ -33,6 +33,36 @@ def block_reduce(x: jax.Array, bs: int) -> jax.Array:
     return x.sum(axis=(-3, -1))
 
 
+def block_reduce_mm(x: jax.Array, bs: int) -> jax.Array:
+    """block_reduce as two MXU matmuls: [N, H, W] -> [N, H//bs, W//bs]
+    f32. On TPU the reshape form forces T(8,128) relayout copies every
+    scan step (~35 us/candidate at 720p, measured); the matmul form
+    rides the MXU instead. Exact for u8-magnitude inputs: bf16 holds
+    integers to 256, products are x*1, accumulation is f32."""
+    n, h, w = x.shape
+    a = np.zeros((h // bs, h), np.float32)
+    a[np.arange(h) // bs, np.arange(h)] = 1.0
+    b = np.zeros((w, w // bs), np.float32)
+    b[np.arange(w), np.arange(w) // bs] = 1.0
+    ab = jnp.asarray(a, jnp.bfloat16)
+    bb = jnp.asarray(b, jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        ab, xb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # [H//bs, N, W]
+    # rows can reach bs*255 > 256: split so each bf16 operand stays an
+    # exactly-representable integer (q <= 255, r <= bs-1)
+    q = jnp.floor(rows * (1.0 / bs))
+    r = rows - q * bs
+    dn = (((2,), (0,)), ((), ()))
+    out = bs * jax.lax.dot_general(
+        q.astype(jnp.bfloat16), bb, dn,
+        preferred_element_type=jnp.float32) + jax.lax.dot_general(
+        r.astype(jnp.bfloat16), bb, dn,
+        preferred_element_type=jnp.float32)         # [H//bs, N, W//bs]
+    return out.transpose(1, 0, 2)
+
+
 def _candidate_costs(cur: jax.Array, ref_pad: jax.Array,
                      cands: jax.Array, pad: int, bs: int) -> jax.Array:
     """SAD of every candidate displacement.
@@ -103,8 +133,7 @@ def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
         c_i = cand[2]
         shifted = jax.lax.dynamic_slice(ref_pad, (0, cand[0], cand[1]),
                                         (n, h, w))
-        sad = block_reduce(
-            jnp.abs(curb - shifted).astype(jnp.float32), bs)
+        sad = block_reduce_mm(jnp.abs(curb - shifted), bs)
         take = sad < best_cost
         best_cost = jnp.where(take, sad, best_cost)
         best_idx = jnp.where(take, c_i, best_idx)
