@@ -273,6 +273,8 @@ class H264Decoder(Decoder):
         self._reorder_depth = 0    # dynamic floor (see _effective_depth)
         self._last_out_poc = None  # highest POC already emitted this GOP
         self._seen_b_slices = False
+        self._max_lt_idx = -1       # MaxLongTermFrameIdx (-1 = none)
+        self._qmul = None           # cached (qmul4, qmul8) per PPS
         super().__init__(params, **opts)
         self._device_mode = None    # resolved lazily
 
@@ -296,7 +298,8 @@ class H264Decoder(Decoder):
         if nal.type == 7:
             self.sps = parse_sps(nal.rbsp)
         elif nal.type == 8:
-            self.pps = parse_pps(nal.rbsp)
+            self.pps = parse_pps(nal.rbsp, self.sps)
+            self._qmul = None
 
     def decode(self, pkt: Packet):
         frames = []
@@ -357,6 +360,184 @@ class H264Decoder(Decoder):
         self._last_out_poc = None   # POC restarts at the IDR boundary
         return out
 
+    def _qmul_tables(self):
+        """ff-form dequant multiplier tables for the active PPS
+        (h264_ps.c:596-647): qmul4 [6][52][16], qmul8 [2][52][64],
+        raster positions; (None, None) for flat-16 streams."""
+        if self._qmul is None:
+            if self.pps.scaling_matrix4 is None:
+                self._qmul = (None, None)
+            else:
+                from librempeg_tpu.codecs.h264 import high_tables as HT
+
+                qp = np.arange(52)
+                cls4 = (np.arange(16) & 1) + ((np.arange(16) >> 2) & 1)
+                i4 = np.array(HT.DEQUANT4_INIT)[qp % 6][:, cls4]
+                m4 = np.array(self.pps.scaling_matrix4)     # [6][16]
+                q4 = (m4[:, None, :] * i4[None])
+                q4 = (q4 << (qp // 6 + 2)[None, :, None]).astype(np.int32)
+                r8, c8 = np.arange(64) >> 3, np.arange(64) & 7
+                cls8 = np.array(HT.DEQUANT8_CLASS_SCAN)[
+                    4 * (r8 & 3) + (c8 & 3)]
+                i8 = np.array(HT.DEQUANT8_INIT)[qp % 6][:, cls8]
+                m8 = np.array(self.pps.scaling_matrix8)     # [2][64]
+                q8 = (m8[:, None, :] * i8[None])
+                q8 = (q8 << (qp // 6)[None, :, None]).astype(np.int32)
+                self._qmul = (q4, q8)
+        return self._qmul
+
+    def _pic_num(self, ent, cur_fn: int) -> int:
+        """Short-term PicNum (§8.2.4.1): FrameNumWrap for frame coding."""
+        max_fn = 1 << self.sps.log2_max_frame_num
+        fn = ent[0]
+        return fn - max_fn if fn > cur_fn else fn
+
+    def _init_ref_lists(self, sh, poc: int, is_b: bool):
+        """RefPicList initialization (§8.2.4.2) + modification
+        (§8.2.4.3). DPB entries are [frame_num, ..., poc, lt_idx]."""
+        st = [e for e in self._dpb if e[6] is None]
+        lt = sorted((e for e in self._dpb if e[6] is not None),
+                    key=lambda e: e[6])
+        if not is_b:
+            l0 = sorted(st, key=lambda e: -self._pic_num(e, sh.frame_num))
+            l0 += lt
+            lists = [l0, None]
+        else:
+            past = sorted((e for e in st if e[5] <= poc),
+                          key=lambda e: -e[5])
+            futr = sorted((e for e in st if e[5] > poc),
+                          key=lambda e: e[5])
+            l0, l1 = past + futr + lt, futr + past + lt
+            # §8.2.4.2.4: if l1 == l0 with >1 entries, swap its first two
+            if len(l1) > 1 and l1 == l0:
+                l1 = [l1[1], l1[0]] + l1[2:]
+            lists = [l0, l1]
+        max_pn = 1 << self.sps.log2_max_frame_num
+        for li, mods in enumerate(sh.ref_list_mods):
+            if not mods or lists[li] is None:
+                continue
+            num = sh.num_ref_idx_l0 if li == 0 else sh.num_ref_idx_l1
+            cur = list(lists[li])[:num]
+            while len(cur) < num and lists[li]:
+                cur.append(lists[li][-1])     # padding, never referenced
+            pred = sh.frame_num
+            idx = 0
+            for idc, val in mods:
+                if idc in (0, 1):
+                    ad = val + 1
+                    nowrap = pred - ad if idc == 0 else pred + ad
+                    if idc == 0 and nowrap < 0:
+                        nowrap += max_pn
+                    if idc == 1 and nowrap >= max_pn:
+                        nowrap -= max_pn
+                    pred = nowrap
+                    pn = nowrap - max_pn if nowrap > sh.frame_num \
+                        else nowrap
+                    pic = next((e for e in st
+                                if self._pic_num(e, sh.frame_num) == pn),
+                               None)
+                else:
+                    pic = next((e for e in lt if e[6] == val), None)
+                if pic is None:
+                    raise InvalidData("h264: ref list mod target absent")
+                # §8.2.4.3.1 shuffle: insert at idx, drop a later dup
+                cur.insert(idx, pic)
+                for j in range(idx + 1, len(cur)):
+                    if cur[j] is pic:
+                        del cur[j]
+                        break
+                cur = cur[:num]
+                idx += 1
+            lists[li] = cur
+        return lists[0], lists[1]
+
+    def _mark_references(self, sh, nal) -> None:
+        """dec_ref_pic_marking (§8.2.5): MMCO ops or sliding window.
+        Runs BEFORE the current frame is inserted; op 6 / IDR long-term
+        is applied by the caller at insert time."""
+        if not sh.mmco:
+            # sliding window (§8.2.5.3): only short-term entries count
+            st = [e for e in self._dpb if e[6] is None]
+            lt_n = len(self._dpb) - len(st)
+            cap = max(1, self.sps.max_num_ref_frames - lt_n)
+            if len(st) >= cap:
+                st.sort(key=lambda e: self._pic_num(e, sh.frame_num))
+                for e in st[:len(st) - cap + 1]:
+                    self._dpb.remove(e)
+            return
+        for op, v1, v2 in sh.mmco:
+            if op == 1:
+                pn = sh.frame_num - (v1 + 1)
+                for e in list(self._dpb):
+                    if e[6] is None and \
+                            self._pic_num(e, sh.frame_num) == pn:
+                        self._dpb.remove(e)
+                        break
+            elif op == 2:
+                for e in list(self._dpb):
+                    if e[6] == v1:
+                        self._dpb.remove(e)
+                        break
+            elif op == 3:
+                pn = sh.frame_num - (v1 + 1)
+                for e in list(self._dpb):
+                    if e[6] == v2:
+                        self._dpb.remove(e)
+                for e in self._dpb:
+                    if e[6] is None and \
+                            self._pic_num(e, sh.frame_num) == pn:
+                        e[6] = v2
+                        break
+            elif op == 4:
+                self._max_lt_idx = v1 - 1
+                for e in list(self._dpb):
+                    if e[6] is not None and e[6] > self._max_lt_idx:
+                        self._dpb.remove(e)
+            elif op == 5:
+                self._dpb.clear()
+                self._max_lt_idx = -1
+            # op 6 handled at insert
+
+    def _pred_weight_tables(self, sh):
+        """(weights, impw) for the native recon: explicit weights as
+        (luma_ld, chroma_ld, int32 [2][32][6]), or the implicit-bipred
+        (w0, 64-w0) table per (ref0, ref1) (h264_slice.c
+        implicit_weight_table)."""
+        if sh.pred_weights is not None:
+            lld, cld, lists = sh.pred_weights
+            wpx = np.zeros((2, 32, 6), np.int32)
+            wpx[:, :, 0] = 1 << lld
+            wpx[:, :, 2] = 1 << cld
+            wpx[:, :, 4] = 1 << cld
+            for li, ws in enumerate(lists):
+                for ri, w in enumerate(ws[:32]):
+                    wpx[li, ri] = w
+            return (lld, cld, wpx), None
+        return None, None
+
+    def _implicit_weights(self, l0, l1, poc: int):
+        """Implicit bi-prediction weights (§8.4.2.3.1 frame coding)."""
+        if len(l0) == 1 and len(l1) == 1 and \
+                l0[0][5] + l1[0][5] == 2 * poc:
+            return None                       # unweighted early-out
+        impw = np.full((32, 32, 2), 32, np.int16)
+        clip8 = lambda v: max(-128, min(127, v))
+        for i0, e0 in enumerate(l0[:32]):
+            for i1, e1 in enumerate(l1[:32]):
+                if e0[6] is not None or e1[6] is not None:
+                    continue                  # long-term: 32/32
+                td = clip8(e1[5] - e0[5])
+                if not td:
+                    continue
+                tb = clip8(poc - e0[5])
+                tx = (16384 + (abs(td) >> 1)) // td if td > 0 else \
+                    -((16384 + (abs(td) >> 1)) // -td)
+                dsf = (tb * tx + 32) >> 8
+                if -64 <= dsf <= 128:
+                    w0 = 64 - dsf
+                    impw[i0, i1] = (w0, 64 - w0)
+        return impw
+
     def _compute_poc(self, sh, nal) -> int:
         """Picture order count (display order key), §8.2.1."""
         if self.sps.pic_order_cnt_type != 0:
@@ -401,6 +582,8 @@ class H264Decoder(Decoder):
             self._dpb.clear()
         st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
         if self.pps.entropy_coding_mode:
+            if self.pps.transform_8x8_mode:
+                raise Unsupported("h264: CABAC 8x8 transform")
             res = native.h264_decode_slice_cabac(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
                 st_code, sh.qp, sh.num_ref_idx_l0, sh.cabac_init_idc,
@@ -408,7 +591,8 @@ class H264Decoder(Decoder):
         else:
             res = native.h264_decode_slice_cavlc(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1)
+                st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1,
+                transform_8x8_mode=self.pps.transform_8x8_mode)
 
         # accumulate slices into the current frame
         if sh.first_mb == 0 or self._cur is None:
@@ -428,13 +612,30 @@ class H264Decoder(Decoder):
         self._dec_count += 1
         do_deblock = (not self.pps.deblocking_filter_control_present
                       or sh.disable_deblock != 1)
+        cqo = self.pps.chroma_qp_index_offset
+        cqo2 = self.pps.second_chroma_qp_index_offset
+        if cqo2 is None:
+            cqo2 = cqo
+        qmul4, qmul8 = self._qmul_tables()
+        weights, impw = self._pred_weight_tables(sh)
+        l0, l1 = self._init_ref_lists(sh, poc, is_b)
+        if is_b and (not l0 or not l1):
+            raise InvalidData("h264: B slice without both temporal "
+                              "directions in DPB")
+        if is_b and self.pps.weighted_bipred_idc == 2:
+            impw = self._implicit_weights(l0[:sh.num_ref_idx_l0],
+                                          l1[:sh.num_ref_idx_l1], poc)
+        has_t8 = bool(np.any(res["info"]
+                             & (1 << 14)))    # INFO_T8 (native/h264.cpp)
         n_intra = int(np.count_nonzero(res["kind"] >= 2))
-        dev_ok = (self._use_device() and not is_b and self._dpb
+        dev_ok = (self._use_device() and not is_b and l0
                   and n_intra <= _INTRA_CAP_MAX
-                  and not np.any(res["kind"] >= 4))   # I_PCM: host path
+                  and not np.any(res["kind"] >= 4)  # I_PCM/I_8x8: host
+                  and not has_t8 and weights is None
+                  and qmul4 is None and cqo2 == cqo)
         if dev_ok:
             y, u, v, pack, tiles = self._decode_device(
-                res, mb_w, mb_h, sh, do_deblock,
+                res, mb_w, mb_h, sh, do_deblock, l0,
                 make_ref=bool(nal.ref_idc))
             if nal.ref_idc:
                 if pack is None:
@@ -445,9 +646,11 @@ class H264Decoder(Decoder):
                     pack = D.make_refpack(y, u, v)
                 ent4 = tuple(pack) + (tuple(tiles) if tiles is not None
                                       else ())
+                self._mark_references(sh, nal)
+                lt = next((v2 for op, v1, v2 in sh.mmco if op == 6),
+                          None)
                 self._dpb.insert(0, [sh.frame_num, None, None,
-                                     (y, u, v), ent4, poc])
-                del self._dpb[max(1, self.sps.max_num_ref_frames):]
+                                     (y, u, v), ent4, poc, lt])
         else:
             # host path needs host planes for every reference: device-
             # decoded frames are fetched once (intra frames are rare)
@@ -456,25 +659,12 @@ class H264Decoder(Decoder):
                     ent[1] = tuple(np.asarray(p) for p in ent[3])
                 if ent[2] is None:
                     ent[2] = R.RefPack(*ent[1])
-            if is_b:
-                # RefPicList init for B (§8.2.4.2.3): L0 = past refs by
-                # descending poc then future ascending; L1 mirrored
-                past = sorted((e for e in self._dpb if e[5] <= poc),
-                              key=lambda e: -e[5])
-                futr = sorted((e for e in self._dpb if e[5] > poc),
-                              key=lambda e: e[5])
-                l0, l1 = past + futr, futr + past
-                if not l0 or not l1:
-                    raise InvalidData("h264: B slice without both "
-                                      "temporal directions in DPB")
-                y, u, v = R.reconstruct_frame_native(
-                    res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
-                    [e[2] for e in l0], [e[2] for e in l1])
-            else:
-                l0, l1 = self._dpb, None
-                y, u, v = R.reconstruct_frame_native(
-                    res, mb_w, mb_h, self.pps.chroma_qp_index_offset,
-                    [e[2] for e in l0])
+            y, u, v = R.reconstruct_frame_native(
+                res, mb_w, mb_h, cqo,
+                [e[2] for e in l0],
+                [e[2] for e in l1] if is_b else None,
+                qmul4=qmul4, qmul8=qmul8, cqp_off2=cqo2,
+                weights=weights, impw=impw)
             if do_deblock:
                 y = np.ascontiguousarray(y)
                 u = np.ascontiguousarray(u)
@@ -482,17 +672,20 @@ class H264Decoder(Decoder):
                 native.h264_deblock_frame(
                     y, u, v, res["kind"], res["qp"], res["mv"],
                     res["ref"], res["ncoef"], mb_w, mb_h, sh.alpha_off,
-                    sh.beta_off, self.pps.chroma_qp_index_offset,
+                    sh.beta_off, cqo,
                     mv1=res["mv1"] if is_b else None,
                     ref1=res["ref1"] if is_b else None,
                     l0pic=np.asarray([e[5] for e in l0], np.int32)
                     if is_b else None,
                     l1pic=np.asarray([e[5] for e in l1], np.int32)
-                    if is_b else None)
+                    if is_b else None,
+                    info=res["info"], cqp_off2=cqo2)
             if nal.ref_idc:
+                self._mark_references(sh, nal)
+                lt = next((v2 for op, v1, v2 in sh.mmco if op == 6),
+                          None)
                 self._dpb.insert(0, [sh.frame_num, (y, u, v), None,
-                                     None, None, poc])
-                del self._dpb[max(1, self.sps.max_num_ref_frames):]
+                                     None, None, poc, lt])
 
         w, h = self.sps.width, self.sps.height
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
@@ -502,7 +695,7 @@ class H264Decoder(Decoder):
                           format="yuv420p", width=w, height=h,
                           pts=pkt.pts, time_base=tb), poc
 
-    def _decode_device(self, res, mb_w, mb_h, sh, do_deblock,
+    def _decode_device(self, res, mb_w, mb_h, sh, do_deblock, l0,
                        make_ref=False):
         """P frame on device: sparse coefficient upload, DPB stays in
         HBM; scattered intra MBs rebuilt by a raster-order device scan.
@@ -516,9 +709,9 @@ class H264Decoder(Decoder):
 
         from librempeg_tpu.codecs.h264 import device_recon as D
 
-        if np.any(res["ref"] >= len(self._dpb)):
+        if np.any(res["ref"] >= len(l0)):
             raise InvalidData("h264: ref idx out of range")
-        for ent in self._dpb:
+        for ent in l0:
             if ent[4] is None:          # host-decoded frame: upload once
                 ent[4] = tuple(D.make_refpack(jnp.asarray(ent[1][0]),
                                               jnp.asarray(ent[1][1]),
@@ -559,21 +752,21 @@ class H264Decoder(Decoder):
             from librempeg_tpu.codecs.h264 import decode_step as DS
             from librempeg_tpu.codecs.h264 import mc_pallas as M
 
-            for ent in self._dpb:
+            for ent in l0:
                 if len(ent[4]) == 3:         # tile lazily, once per ref
                     ent[4] = tuple(ent[4]) + tuple(
                         M.tile_refpack(*ent[4]))
-            if len(self._dpb) == 1:
-                lt, ct = self._dpb[0][4][3], self._dpb[0][4][4]
+            if len(l0) == 1:
+                lt, ct = l0[0][4][3], l0[0][4][4]
             else:
-                lt = jnp.concatenate([e[4][3] for e in self._dpb])
-                ct = jnp.concatenate([e[4][4] for e in self._dpb])
+                lt = jnp.concatenate([e[4][3] for e in l0])
+                ct = jnp.concatenate([e[4][4] for e in l0])
             nmb = mb_w * mb_h
             selA, selB = M.build_selectors(
-                res, mb_w, mb_h, self._dpb[0][4][0].shape[1],
-                self._dpb[0][4][0].shape[2],
-                self._dpb[0][4][1].shape[0],
-                self._dpb[0][4][1].shape[1])
+                res, mb_w, mb_h, l0[0][4][0].shape[1],
+                l0[0][4][0].shape[2],
+                l0[0][4][1].shape[0],
+                l0[0][4][1].shape[1])
             lenb = len(selB) // 16
             # generous floor: a handful of wasted dummy steps is far
             # cheaper than another XLA compile over the tunnel
@@ -622,9 +815,9 @@ class H264Decoder(Decoder):
             return y, u, v, None, None
 
         # CPU / test path: separate XLA stages
-        luma4 = jnp.stack([ent[4][0] for ent in self._dpb])
-        upad = jnp.stack([ent[4][1] for ent in self._dpb])
-        vpad = jnp.stack([ent[4][2] for ent in self._dpb])
+        luma4 = jnp.stack([ent[4][0] for ent in l0])
+        upad = jnp.stack([ent[4][1] for ent in l0])
+        vpad = jnp.stack([ent[4][2] for ent in l0])
         mv = jnp.asarray(res["mv"])
         ref = jnp.asarray(res["ref"])
         qp = jnp.asarray(res["qp"])

@@ -105,7 +105,7 @@ class EntropyTranscoder:
                 self.sps = parse_sps(nal.rbsp)
                 out += b"\x00\x00\x00\x01" + raw
             elif nal.type == 8:
-                self.pps = parse_pps(nal.rbsp)
+                self.pps = parse_pps(nal.rbsp, self.sps)
                 if self.pps.entropy_coding_mode:
                     raise InvalidData("input is already CABAC")
                 out += _rbsp_to_nal(_pps_set_cabac(nal.rbsp), 8,

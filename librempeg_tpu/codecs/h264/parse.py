@@ -45,6 +45,16 @@ class ExpGolombReader:
     def more_rbsp(self) -> bool:
         return self.pos < len(self.data) * 8 - 8
 
+    def more_rbsp_data(self) -> bool:
+        """Precise more_rbsp_data() (§7.2): data remains iff any bit is
+        set strictly after pos (the rbsp_stop_one_bit is the last)."""
+        for i in range(len(self.data) - 1, -1, -1):
+            b = self.data[i]
+            if b:
+                last = i * 8 + (7 - (b & -b).bit_length() + 1)
+                return self.pos < last
+        return False
+
 
 def remove_emulation_prevention(data: bytes) -> bytes:
     """00 00 03 -> 00 00 (rbsp extraction). bytes.replace scans
@@ -97,6 +107,65 @@ class NalUnit:
                        rbsp=remove_emulation_prevention(nal[1:]))
 
 
+def _parse_scaling_list(g: "ExpGolombReader", size: int,
+                        default: tuple, fallback: tuple) -> tuple:
+    """scaling_list() (§7.3.2.1.1): returns `size` weights in RASTER
+    order. Absent list -> fallback; first delta driving nextScale to 0
+    -> the default list (Table 7-2 'use default' escape)."""
+    from librempeg_tpu.codecs.h264 import high_tables as HT
+
+    scan = HT.ZZ4 if size == 16 else HT.ZZ8
+    if not g.u(1):                       # scaling_list_present_flag
+        return tuple(fallback)
+    out = [0] * size
+    last, nxt = 8, 8
+    for j in range(size):
+        if nxt:
+            delta = g.se()
+            if delta < -128 or delta > 127:
+                raise InvalidData("h264: scaling list delta out of range")
+            nxt = (last + delta) & 0xFF
+            if j == 0 and nxt == 0:
+                return tuple(default)
+        out[scan[j]] = last = (nxt if nxt else last)
+    return tuple(out)
+
+
+def parse_scaling_matrices(g: "ExpGolombReader", sps: "SPS | None",
+                           parse_8x8: bool):
+    """All scaling lists at an SPS or PPS site (§7.3.2.1/7.3.2.2).
+
+    Fallback rule (Table 7-2): at a PPS whose SPS carried matrices,
+    absent lists 0/3/6/7 fall back to the SPS lists; otherwise to the
+    defaults. Intermediate absent lists fall back to the previous one.
+    Returns (mat4 [6][16], mat8 [2][64]) raster-order tuples
+    (8x8: [intra Y, inter Y]; 4:2:0 only).
+    """
+    from librempeg_tpu.codecs.h264 import high_tables as HT
+
+    d4i, d4p = HT.DEFAULT_SCALING4
+    d8i, d8p = HT.DEFAULT_SCALING8
+    from_sps = sps is not None and sps.scaling_matrix4 is not None
+    fb = [sps.scaling_matrix4[0] if from_sps else d4i,
+          sps.scaling_matrix4[3] if from_sps else d4p,
+          sps.scaling_matrix8[0] if from_sps else d8i,
+          sps.scaling_matrix8[1] if from_sps else d8p]
+    m4 = []
+    m4.append(_parse_scaling_list(g, 16, d4i, fb[0]))         # intra Y
+    m4.append(_parse_scaling_list(g, 16, d4i, m4[0]))         # intra Cb
+    m4.append(_parse_scaling_list(g, 16, d4i, m4[1]))         # intra Cr
+    m4.append(_parse_scaling_list(g, 16, d4p, fb[1]))         # inter Y
+    m4.append(_parse_scaling_list(g, 16, d4p, m4[3]))         # inter Cb
+    m4.append(_parse_scaling_list(g, 16, d4p, m4[4]))         # inter Cr
+    m8 = []
+    if parse_8x8:
+        m8.append(_parse_scaling_list(g, 64, d8i, fb[2]))     # intra Y
+        m8.append(_parse_scaling_list(g, 64, d8p, fb[3]))     # inter Y
+    else:
+        m8 = [fb[2], fb[3]]      # not coded here: inherit (ff memcpy)
+    return tuple(m4), tuple(m8)
+
+
 @dataclass
 class SPS:
     profile_idc: int = 66
@@ -118,6 +187,10 @@ class SPS:
     delta_pic_order_always_zero: bool = False
     num_reorder_frames: int = 0
     bitstream_restriction: bool = False  # VUI carried an explicit depth
+    # High profile: raster-order scaling lists, or None when the SPS
+    # carries none (flat-16 dequant)
+    scaling_matrix4: tuple | None = None   # [6][16]
+    scaling_matrix8: tuple | None = None   # [intraY, interY][64]
 
     @property
     def width(self) -> int:
@@ -145,9 +218,11 @@ def parse_sps(rbsp: bytes) -> SPS:
             g.u(1)  # separate_colour_plane
         s.bit_depth_luma = g.ue() + 8
         s.bit_depth_chroma = g.ue() + 8
-        g.u(1)  # qpprime_y_zero_transform_bypass
+        if g.u(1):  # qpprime_y_zero_transform_bypass
+            raise Unsupported("h264: transform bypass (lossless)")
         if g.u(1):  # seq_scaling_matrix_present
-            raise Unsupported("SPS scaling matrices")
+            s.scaling_matrix4, s.scaling_matrix8 = \
+                parse_scaling_matrices(g, None, parse_8x8=True)
     s.log2_max_frame_num = g.ue() + 4
     s.pic_order_cnt_type = g.ue()
     if s.pic_order_cnt_type == 0:
@@ -224,9 +299,15 @@ class PPS:
     deblocking_filter_control_present: bool = False
     constrained_intra_pred: bool = False
     redundant_pic_cnt_present: bool = False
+    transform_8x8_mode: bool = False
+    second_chroma_qp_index_offset: int | None = None
+    # active scaling lists (PPS-level view after SPS inheritance), or
+    # None for flat-16 dequant
+    scaling_matrix4: tuple | None = None
+    scaling_matrix8: tuple | None = None
 
 
-def parse_pps(rbsp: bytes) -> PPS:
+def parse_pps(rbsp: bytes, sps: "SPS | None" = None) -> PPS:
     g = ExpGolombReader(rbsp)
     p = PPS()
     p.pic_parameter_set_id = g.ue()
@@ -246,6 +327,16 @@ def parse_pps(rbsp: bytes) -> PPS:
     p.deblocking_filter_control_present = bool(g.u(1))
     p.constrained_intra_pred = bool(g.u(1))
     p.redundant_pic_cnt_present = bool(g.u(1))
+    # High-profile PPS tail (§7.3.2.2)
+    if sps is not None and sps.scaling_matrix4 is not None:
+        p.scaling_matrix4 = sps.scaling_matrix4
+        p.scaling_matrix8 = sps.scaling_matrix8
+    if g.more_rbsp_data():
+        p.transform_8x8_mode = bool(g.u(1))
+        if g.u(1):                       # pic_scaling_matrix_present
+            p.scaling_matrix4, p.scaling_matrix8 = \
+                parse_scaling_matrices(g, sps, p.transform_8x8_mode)
+        p.second_chroma_qp_index_offset = g.se()
     return p
 
 
@@ -271,6 +362,16 @@ class SliceHeader:
     alpha_off: int = 0             # slice_alpha_c0_offset_div2 * 2
     beta_off: int = 0
     data_bit_pos: int = 0          # first bit of slice_data()
+    # ref_pic_list_modification (§7.3.3.1): per list, a sequence of
+    # (modification_idc, value) ops; idc 0/1 carry abs_diff_pic_num-1,
+    # idc 2 carries long_term_pic_num
+    ref_list_mods: tuple = ((), ())
+    # pred_weight_table (§7.3.3.2): None = unweighted, else
+    # (luma_log2_denom, chroma_log2_denom,
+    #  [per list][per ref](wy, oy, wcb, ocb, wcr, ocr))
+    pred_weights: tuple | None = None
+    # dec_ref_pic_marking (§7.3.3.3): list of (mmco, v1, v2) ops
+    mmco: tuple = ()
 
 
 def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
@@ -297,32 +398,79 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS,
         g.ue()
     sh.num_ref_idx_l0 = pps.num_ref_idx_l0
     sh.num_ref_idx_l1 = getattr(pps, "num_ref_idx_l1", 1)
+
+    def _list_mods():
+        ops = []
+        if g.u(1):                  # ref_pic_list_modification_flag
+            while True:
+                idc = g.ue()
+                if idc == 3:
+                    break
+                if idc > 3 or len(ops) > 64:
+                    raise InvalidData("h264: bad ref list modification")
+                ops.append((idc, g.ue()))
+        return tuple(ops)
+
     if sh.slice_type == "B":
         sh.direct_spatial = g.u(1)
         if g.u(1):  # num_ref_idx_active_override
             sh.num_ref_idx_l0 = g.ue() + 1
             sh.num_ref_idx_l1 = g.ue() + 1
-        if g.u(1):  # ref_pic_list_modification_flag_l0
-            raise Unsupported("h264: ref pic list modification")
-        if g.u(1):  # ref_pic_list_modification_flag_l1
-            raise Unsupported("h264: ref pic list modification")
+        sh.ref_list_mods = (_list_mods(), _list_mods())
     elif sh.slice_type in ("P", "SP"):
         if g.u(1):  # num_ref_idx_active_override
             sh.num_ref_idx_l0 = g.ue() + 1
-        if g.u(1):  # ref_pic_list_modification_flag_l0
-            raise Unsupported("h264: ref pic list modification")
-    if pps.weighted_pred and sh.slice_type in ("P", "SP"):
-        raise Unsupported("h264: weighted prediction")
-    if getattr(pps, "weighted_bipred_idc", 0) == 1 \
-            and sh.slice_type == "B":
-        raise Unsupported("h264: explicit weighted biprediction")
+        sh.ref_list_mods = (_list_mods(), ())
+    if (pps.weighted_pred and sh.slice_type in ("P", "SP")) or \
+            (getattr(pps, "weighted_bipred_idc", 0) == 1
+             and sh.slice_type == "B"):
+        # pred_weight_table (§7.3.3.2), 4:2:0 (chroma always coded)
+        luma_denom = g.ue()
+        chroma_denom = g.ue()
+        if luma_denom > 7 or chroma_denom > 7:
+            raise InvalidData("h264: weight denom out of range")
+        lists = []
+        nrefs = (sh.num_ref_idx_l0,) if sh.slice_type != "B" else \
+            (sh.num_ref_idx_l0, sh.num_ref_idx_l1)
+        for n in nrefs:
+            ws = []
+            for _ in range(n):
+                wy, oy = 1 << luma_denom, 0
+                wcb = wcr = 1 << chroma_denom
+                ocb = ocr = 0
+                if g.u(1):           # luma_weight_flag
+                    wy, oy = g.se(), g.se()
+                if g.u(1):           # chroma_weight_flag
+                    wcb, ocb = g.se(), g.se()
+                    wcr, ocr = g.se(), g.se()
+                ws.append((wy, oy, wcb, ocb, wcr, ocr))
+            lists.append(tuple(ws))
+        sh.pred_weights = (luma_denom, chroma_denom, tuple(lists))
     if nal_ref_idc != 0:
         if sh.idr:
             g.u(1)  # no_output_of_prior_pics
-            g.u(1)  # long_term_reference_flag
+            if g.u(1):  # long_term_reference_flag
+                sh.mmco = ((6, 0, 0),)   # current becomes long-term 0
         else:
             if g.u(1):  # adaptive_ref_pic_marking_mode_flag
-                raise Unsupported("h264: adaptive ref pic marking (MMCO)")
+                ops = []
+                while True:
+                    op = g.ue()
+                    if op == 0:
+                        break
+                    if op > 6 or len(ops) > 64:
+                        raise InvalidData("h264: bad MMCO op")
+                    v1 = v2 = 0
+                    if op in (1, 3):
+                        v1 = g.ue()       # difference_of_pic_nums - 1
+                    if op == 2:
+                        v1 = g.ue()       # long_term_pic_num
+                    if op in (3, 6):
+                        v2 = g.ue()       # long_term_frame_idx
+                    if op == 4:
+                        v1 = g.ue()       # max_long_term_frame_idx + 1
+                    ops.append((op, v1, v2))
+                sh.mmco = tuple(ops)
     sh.bitpos_cabac_idc = g.pos       # insertion point for CAVLC->CABAC
     if pps.entropy_coding_mode and sh.slice_type not in ("I", "SI"):
         sh.cabac_init_idc = g.ue()
@@ -356,6 +504,7 @@ class H264StreamParser:
                 self.sps[s.seq_parameter_set_id] = s
                 self.width, self.height = s.width, s.height
             elif nal.type == 8:
-                p = parse_pps(nal.rbsp)
+                p = parse_pps(nal.rbsp,
+                              next(iter(self.sps.values()), None))
                 self.pps[p.pic_parameter_set_id] = p
         return nals

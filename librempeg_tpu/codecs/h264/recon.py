@@ -411,16 +411,20 @@ class RefPack:
 
 def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
                              chroma_qp_off: int, ref_packs: list,
-                             ref_packs_l1: list | None = None) -> tuple:
+                             ref_packs_l1: list | None = None,
+                             qmul4=None, qmul8=None, cqp_off2=None,
+                             weights=None, impw=None) -> tuple:
     """Host fast path: the whole reconstruction in one native call
     (dequant + IDCT + inter MC + intra assembly). Bit-identical to the
     array path below (asserted in tests/test_h264_inter.py).
-    ref_packs_l1 carries the B-slice list-1 references (None for P)."""
+    ref_packs_l1 carries the B-slice list-1 references (None for P).
+    High-profile extras: scaling-matrix dequant tables (qmul4/qmul8),
+    the Cr-plane qp offset, explicit/implicit prediction weights."""
     from librempeg_tpu.native import build as native
 
     W, H = mb_w * 16, mb_h * 16
     kind = res["kind"]
-    if np.any(kind > 4):
+    if np.any(kind > 5):
         raise InvalidData("h264: unsupported mb kind")
     if not ref_packs and np.any((kind == 0) | (kind == 1)):
         raise InvalidData("h264: P slice without reference frame")
@@ -428,7 +432,9 @@ def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
     u = np.zeros((H // 2, W // 2), np.uint8)
     v = np.zeros((H // 2, W // 2), np.uint8)
     native.h264_recon_frame(y, u, v, res, mb_w, mb_h, chroma_qp_off,
-                            ref_packs, ref_packs_l1)
+                            ref_packs, ref_packs_l1,
+                            qmul4=qmul4, qmul8=qmul8, cqp_off2=cqp_off2,
+                            weights=weights, impw=impw)
     return y, u, v
 
 

@@ -88,7 +88,8 @@ def get() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,    # mb_w, mb_h, first
             ctypes.c_int, ctypes.c_int, ctypes.c_int,    # type, qp, nref
             i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p,
-            ctypes.c_int, i16p, i8p]                     # nref1, mv1, ref1
+            ctypes.c_int, i16p, i8p,                     # nref1, mv1, ref1
+            ctypes.c_int]                                # transform_8x8
         lib.h264_qpel_planes.restype = None
         lib.h264_qpel_planes.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, u8p, u8p, u8p]
@@ -107,7 +108,9 @@ def get() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int,
             u8pp, u8pp, u8pp, u8pp, u8pp, u8pp,
             i16p, i8p, ctypes.c_int,                 # mv1, ref1, n_ref1
-            u8pp, u8pp, u8pp, u8pp, u8pp, u8pp]
+            u8pp, u8pp, u8pp, u8pp, u8pp, u8pp,
+            i32p, i32p, ctypes.c_int,                # qmul4/8, cqp_off2
+            i32p, ctypes.c_int, ctypes.c_int, i16p]  # wpx, denoms, impw
         lib.h264_cabac_slice.restype = ctypes.c_int
         lib.h264_cabac_slice.argtypes = [
             ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
@@ -129,7 +132,8 @@ def get() -> ctypes.CDLL | None:
             i32p, i32p, i16p, i8p, i16p,
             ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            i16p, i8p, i32p, i32p]       # list-1 mv/ref + pic-id maps
+            i16p, i8p, i32p, i32p,       # list-1 mv/ref + pic-id maps
+            i32p, ctypes.c_int]          # mb_info, cqp_off2
         _lib = lib
         return _lib
 
@@ -286,7 +290,8 @@ def _i8(a: np.ndarray):
 def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
                             mb_h: int, first_mb: int, slice_type: int,
                             slice_qp: int, num_ref_idx_l0: int,
-                            num_ref_idx_l1: int = 1) -> dict:
+                            num_ref_idx_l1: int = 1,
+                            transform_8x8_mode: bool = False) -> dict:
     """Decode one CAVLC slice (I or P) to per-MB tensors.
 
     Returns dict of arrays: kind[nMB], info[nMB], i4modes[nMB,16],
@@ -313,7 +318,7 @@ def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
         slice_type, slice_qp, num_ref_idx_l0,
         _i32(kind), _i32(info), _i8(i4m), _i16(mv), _i8(ref), _i32(qp),
         _i16(coeffs), _i16(ncoef), _i32(end),
-        num_ref_idx_l1, _i16(mv1), _i8(ref1))
+        num_ref_idx_l1, _i16(mv1), _i8(ref1), int(transform_8x8_mode))
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData, Unsupported
 
@@ -347,7 +352,7 @@ def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                        mb_w: int, mb_h: int, alpha_off: int = 0,
                        beta_off: int = 0, chroma_qp_off: int = 0,
                        mv1=None, ref1=None, l0pic=None,
-                       l1pic=None) -> None:
+                       l1pic=None, info=None, cqp_off2=None) -> None:
     """In-place H.264 in-loop deblock over uint8 yuv420 planes.
     mv1/ref1 (+ refIdx->picture-id maps) carry list 1 for B frames."""
     lib = get()
@@ -376,7 +381,10 @@ def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         _i16(a_mv1) if a_mv1 is not None else null16,
         _i8(a_ref1) if a_ref1 is not None else null8,
         _i32(a_l0) if a_l0 is not None else null32,
-        _i32(a_l1) if a_l1 is not None else null32)
+        _i32(a_l1) if a_l1 is not None else null32,
+        _i32(np.ascontiguousarray(info, np.int32))
+        if info is not None else null32,
+        chroma_qp_off if cqp_off2 is None else cqp_off2)
 
 
 def h264_intra_recon(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -450,7 +458,8 @@ def mpeg4_pack_frame(hdr_bw, is_i: bool, mb_w: int, mb_h: int,
 def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      res: dict, mb_w: int, mb_h: int,
                      chroma_qp_off: int, ref_packs,
-                     ref_packs_l1=None) -> None:
+                     ref_packs_l1=None, qmul4=None, qmul8=None,
+                     cqp_off2=None, weights=None, impw=None) -> None:
     """Full in-place frame reconstruction (residuals + inter MC + intra)
     from per-MB entropy tensors; ref_packs are recon.RefPack objects."""
     lib = get()
@@ -485,6 +494,20 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     has_l1 = ref_packs_l1 is not None and "mv1" in res
     a_mv1 = np.ascontiguousarray(res["mv1"], np.int16) if has_l1 else None
     a_ref1 = np.ascontiguousarray(res["ref1"], np.int8) if has_l1 else None
+    null32 = ctypes.POINTER(ctypes.c_int32)()
+    a_q4 = np.ascontiguousarray(qmul4, np.int32) \
+        if qmul4 is not None else None
+    a_q8 = np.ascontiguousarray(qmul8, np.int32) \
+        if qmul8 is not None else None
+    # weights: (luma_ld, chroma_ld, wpx[2][32][6] int32) from the
+    # slice header's pred_weight_table, already tabulated by the codec
+    luma_ld = chroma_ld = 0
+    a_wpx = None
+    if weights is not None:
+        luma_ld, chroma_ld, a_wpx = weights
+        a_wpx = np.ascontiguousarray(a_wpx, np.int32)
+    a_imp = np.ascontiguousarray(impw, np.int16) \
+        if impw is not None else None
     r = lib.h264_recon_frame(
         _u8(y), _u8(u), _u8(v), mb_w, mb_h, chroma_qp_off,
         _i32(np.ascontiguousarray(res["kind"], np.int32)),
@@ -497,7 +520,13 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         n, hp, wp, hc, wc, pE, pB, pH, pJ, pU, pV,
         _i16(a_mv1) if a_mv1 is not None else null16,
         _i8(a_ref1) if a_ref1 is not None else null8,
-        n1, p1E, p1B, p1H, p1J, p1U, p1V)
+        n1, p1E, p1B, p1H, p1J, p1U, p1V,
+        _i32(a_q4) if a_q4 is not None else null32,
+        _i32(a_q8) if a_q8 is not None else null32,
+        chroma_qp_off if cqp_off2 is None else cqp_off2,
+        _i32(a_wpx) if a_wpx is not None else null32,
+        luma_ld, chroma_ld,
+        _i16(a_imp) if a_imp is not None else null16)
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData
 

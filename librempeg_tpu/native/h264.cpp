@@ -212,7 +212,29 @@ int residual_block(HBits* b, int16_t* out, int maxc, int nc) {
 
 // mb_kind codes (shared with the Python recon layer)
 enum { K_PSKIP = 0, K_INTER = 1, K_I4X4 = 2, K_I16 = 3, K_IPCM = 4,
-       K_UNDECODED = -1 };
+       K_I8X8 = 5, K_UNDECODED = -1 };
+
+// mb_info bit 14: the MB uses the 8x8 transform (inter or I_8x8); its
+// luma residual rows hold 8x8-zigzag levels (rows 1+4g..4+4g = the 64
+// levels of 8x8 group g)
+#define INFO_T8 (1 << 14)
+
+// 8x8 zigzag scan idx -> raster (§8.5.6; cf. mathtables.c
+// ff_zigzag_direct) -- used to dezigzag 8x8 residual rows at recon
+static const uint8_t ZZ8[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// normAdjust8x8 position-class pattern + factors (§8.5.9; cf.
+// h264data.c ff_h264_dequant8_coeff_init*): class of raster position
+// (r, c) = D8CLS[4 * (r & 3) + (c & 3)]
+static const uint8_t D8CLS[16] = {0,3,4,3, 3,1,5,1, 4,5,2,5, 3,1,5,1};
+static const uint8_t D8INIT[6][6] = {
+    {20, 18, 32, 19, 25, 24}, {22, 19, 35, 21, 28, 26},
+    {26, 23, 42, 24, 33, 31}, {28, 25, 45, 26, 35, 33},
+    {32, 28, 51, 30, 40, 38}, {36, 32, 58, 34, 46, 43}};
 
 // block index -> (row4, col4) within MB, §6.4.3 4x4 scan order
 static const int BLK4[16][2] = {
@@ -353,7 +375,8 @@ extern "C" int h264_decode_slice_cavlc(
     int32_t* mb_kind, int32_t* mb_info, int8_t* i4modes,
     int16_t* mv_out, int8_t* ref_out, int32_t* qp_out,
     int16_t* coeffs, int16_t* ncoef, int32_t* end_state,
-    int num_ref_idx_l1, int16_t* mv1_out, int8_t* ref1_out)
+    int num_ref_idx_l1, int16_t* mv1_out, int8_t* ref1_out,
+    int transform_8x8_mode)
 {
     const int nMB = mb_w * mb_h;
     const int is_b = slice_type == 1;
@@ -447,6 +470,7 @@ extern "C" int h264_decode_slice_cavlc(
         if (b.error) FAIL(-2);
 
         int kind, imode16 = 0, cbp = 0, chroma_mode = 0;
+        int t8_ok = 1;   // inter MB may carry transform_size_8x8_flag
         int intra_mbt = mbt;
         if (is_b) {
             if (mbt >= 23) intra_mbt = mbt - 23;
@@ -544,6 +568,7 @@ extern "C" int h264_decode_slice_cavlc(
                 for (int i = 0; i < 4; i++) {
                     sub[i] = (int)hb_ue(&b);
                     if (sub[i] > 3) FAIL(-3);
+                    if (sub[i] != 0) t8_ok = 0;
                 }
                 if (mbt == 3)
                     for (int i = 0; i < 4; i++)
@@ -588,10 +613,54 @@ extern "C" int h264_decode_slice_cavlc(
             if (cg > 47 || b.error) FAIL(-4);
             cbp = GOLOMB_TO_INTER_CBP[cg];
         } else if (intra_mbt == 0) {
-            // ---------------- I_4x4 ----------------
-            kind = K_I4X4;
+            // ---------------- I_NxN (I_4x4 / I_8x8) ----------------
+            // transform_size_8x8_flag comes right after mb_type
+            // (§7.3.5); I_8x8 codes 4 prediction modes with the same
+            // prev/rem syntax, predicted from the 4x4 mode grid cells
+            // adjacent to each 8x8's top-left corner (§8.3.2.1)
+            int t8i = transform_8x8_mode ? hb_read1(&b) : 0;
+            kind = t8i ? K_I8X8 : K_I4X4;
             int x4 = mx * 4, y4 = my * 4;
             int8_t modes[16];
+            if (t8i) {
+                for (int i = 0; i < 16; i++) modes[i] = 0;
+                for (int b8 = 0; b8 < 4; b8++) {
+                    int by = (b8 >> 1) * 2, bx = (b8 & 1) * 2;
+                    int gx = x4 + bx, gy = y4 + by;
+                    int8_t ma = gx > 0 ? c.i4g[gy * c.w4 + gx - 1] : -2;
+                    int8_t mbv = gy > 0 ? c.i4g[(gy - 1) * c.w4 + gx]
+                                        : -2;
+                    int pred;
+                    if (ma == -2 || mbv == -2) pred = 2;
+                    else {
+                        int a = ma < 0 ? 2 : ma, bb = mbv < 0 ? 2 : mbv;
+                        pred = a < bb ? a : bb;
+                    }
+                    int mode;
+                    if (hb_read1(&b)) mode = pred;
+                    else {
+                        int rem = (int)hb_read(&b, 3);
+                        mode = rem < pred ? rem : rem + 1;
+                    }
+                    modes[b8] = (int8_t)mode;
+                    for (int y = 0; y < 2; y++)
+                        for (int x = 0; x < 2; x++)
+                            c.i4g[(gy + y) * c.w4 + gx + x] =
+                                (int8_t)mode;
+                }
+                memcpy(i4modes + mb * 16, modes, 16);
+                chroma_mode = (int)hb_ue(&b);
+                unsigned cg8 = hb_ue(&b);
+                if (cg8 > 47 || b.error) FAIL(-4);
+                cbp = GOLOMB_TO_INTRA4X4_CBP[cg8];
+                for (int i = 0; i < 4; i++) ref_out[mb * 4 + i] = -1;
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
+                        c.refg1[(y4 + y) * c.w4 + x4 + x] = -1;
+                    }
+                goto residuals;
+            }
             for (int blk = 0; blk < 16; blk++) {
                 int by = BLK4[blk][0], bx = BLK4[blk][1];
                 int gx = x4 + bx, gy = y4 + by;
@@ -680,8 +749,15 @@ extern "C" int h264_decode_slice_cavlc(
         }
         if (b.error) FAIL(-2);
 
+residuals:;
         int cbp_luma = cbp & 15;
         int cbp_chroma = (cbp >> 4) & 3;
+
+        // inter transform_size_8x8_flag (§7.3.5): after CBP, only when
+        // luma residual is coded and no partition is below 8x8
+        int t8 = kind == K_I8X8;
+        if (kind == K_INTER && transform_8x8_mode && cbp_luma && t8_ok)
+            t8 = hb_read1(&b);
 
         // mb_qp_delta: present for I_16x16 always, else when cbp != 0
         if (kind == K_I16 || cbp != 0) {
@@ -703,6 +779,50 @@ extern "C" int h264_decode_slice_cavlc(
             int t = residual_block(&b, mbco + 0, 16, nc0);
             if (t < 0) FAIL(-6);
             mbnc[0] = (int16_t)t;
+        }
+        if (t8) {
+            // 8x8 transform: each coded 8x8 group is read as 4
+            // interleaved 4x4 scans; level k of sub-read i lands at
+            // 8x8-zigzag index 4k+i (§8.5.6). Stored as the 64 zigzag
+            // levels in rows 1+4g..4+4g. nC cache keeps per-sub
+            // totals, with the group's top-left cell accumulating the
+            // sum (h264_cavlc.c:644 residual-context semantics);
+            // ncoef carries the DEBLOCK view instead: every cell of a
+            // group = group-coded bit (h264_slice.c:2413 cache
+            // override).
+            for (int i8 = 0; i8 < 4; i8++) {
+                int present = (cbp_luma >> i8) & 1;
+                int16_t* g64 = mbco + (size_t)(1 + 4 * i8) * 16;
+                int sum = 0;
+                if (present) {
+                    for (int i4 = 0; i4 < 4; i4++) {
+                        int blk = 4 * i8 + i4;
+                        int by = BLK4[blk][0], bx = BLK4[blk][1];
+                        int gy = y4 + by, gx = x4 + bx;
+                        int nc = tc_nc(c.tcY, c.w4, gy, gx);
+                        int16_t tmp[16];
+                        for (int k = 0; k < 16; k++) tmp[k] = 0;
+                        int t = residual_block(&b, tmp, 16, nc);
+                        if (t < 0) FAIL(-6);
+                        for (int k = 0; k < 16; k++)
+                            g64[4 * k + i4] = tmp[k];
+                        c.tcY[gy * c.w4 + gx] = (int8_t)t;
+                        sum += t;
+                    }
+                    int by0 = BLK4[4 * i8][0], bx0 = BLK4[4 * i8][1];
+                    c.tcY[(y4 + by0) * c.w4 + x4 + bx0] = (int8_t)sum;
+                }
+                int any = 0;
+                for (int k = 0; k < 64 && !any; k++) any |= g64[k] != 0;
+                for (int i4 = 0; i4 < 4; i4++) {
+                    int blk = 4 * i8 + i4;
+                    int by = BLK4[blk][0], bx = BLK4[blk][1];
+                    if (!present)
+                        c.tcY[(y4 + by) * c.w4 + x4 + bx] = 0;
+                    mbnc[1 + by * 4 + bx] = (int16_t)any;
+                }
+            }
+            goto chroma_resid;
         }
         // luma 4x4 blocks in §6.4.3 order
         for (int blk = 0; blk < 16; blk++) {
@@ -726,6 +846,7 @@ extern "C" int h264_decode_slice_cavlc(
                 c.tcY[gy * c.w4 + gx] = 0;
             }
         }
+chroma_resid:;
         // chroma DC
         if (cbp_chroma) {
             for (int ch = 0; ch < 2; ch++) {
@@ -756,7 +877,8 @@ extern "C" int h264_decode_slice_cavlc(
         }
 
         mb_kind[mb] = kind;
-        mb_info[mb] = imode16 | (chroma_mode << 4) | (cbp << 8);
+        mb_info[mb] = imode16 | (chroma_mode << 4) | (cbp << 8)
+                      | (t8 ? INFO_T8 : 0);
         c.decoded[mb] = 1;
         mb++;
         if (!is_p && !hb_more(&b)) break;
@@ -967,7 +1089,8 @@ extern "C" void h264_deblock_frame(
     int mb_w, int mb_h,
     int alpha_off, int beta_off, int chroma_qp_off,
     const int16_t* mv1, const int8_t* refidx1,
-    const int32_t* l0pic, const int32_t* l1pic)
+    const int32_t* l0pic, const int32_t* l1pic,
+    const int32_t* mb_info, int cqp_off2)
 {
     DeblockCtx d;
     d.mb_kind = mb_kind; d.qp_arr = qp_arr; d.mv = mv;
@@ -980,8 +1103,11 @@ extern "C" void h264_deblock_frame(
             const int mb = my * mb_w + mx;
             const int qpq = qp_arr[mb];
             // ---- vertical luma edges (filter columns x = mx*16 + e*4)
+            const int t8mb = mb_info
+                && (mb_info[mb] & INFO_T8) != 0;
             for (int e = 0; e < 4; e++) {
                 if (e == 0 && mx == 0) continue;
+                if (t8mb && (e & 1)) continue;  // 8x8: no inner 4x4 edges
                 const int qpp = e == 0 ? qp_arr[mb - 1] : qpq;
                 const int qpav = (qpp + qpq + 1) >> 1;
                 const int ia = iclip(qpav + alpha_off, 0, 51);
@@ -1004,6 +1130,7 @@ extern "C" void h264_deblock_frame(
             // ---- horizontal luma edges
             for (int e = 0; e < 4; e++) {
                 if (e == 0 && my == 0) continue;
+                if (t8mb && (e & 1)) continue;  // 8x8: no inner 4x4 edges
                 const int qpp = e == 0 ? qp_arr[mb - mb_w] : qpq;
                 const int qpav = (qpp + qpq + 1) >> 1;
                 const int ia = iclip(qpav + alpha_off, 0, 51);
@@ -1027,14 +1154,13 @@ extern "C" void h264_deblock_frame(
             // cy in {0,4}; bS taken from the co-located luma blocks
             for (int pl = 0; pl < 2; pl++) {
                 uint8_t* C = pl == 0 ? U : V;
+                const int cqo = pl == 0 ? chroma_qp_off : cqp_off2;
                 // vertical
                 for (int e = 0; e < 2; e++) {
                     if (e == 0 && mx == 0) continue;
                     const int qpp = e == 0 ? qp_arr[mb - 1] : qpq;
-                    const int qa = CHROMA_QP[iclip(qpp + chroma_qp_off,
-                                                   0, 51)];
-                    const int qb = CHROMA_QP[iclip(qpq + chroma_qp_off,
-                                                   0, 51)];
+                    const int qa = CHROMA_QP[iclip(qpp + cqo, 0, 51)];
+                    const int qb = CHROMA_QP[iclip(qpq + cqo, 0, 51)];
                     const int qpav = (qa + qb + 1) >> 1;
                     const int ia = iclip(qpav + alpha_off, 0, 51);
                     const int ibt = iclip(qpav + beta_off, 0, 51);
@@ -1059,10 +1185,8 @@ extern "C" void h264_deblock_frame(
                 for (int e = 0; e < 2; e++) {
                     if (e == 0 && my == 0) continue;
                     const int qpp = e == 0 ? qp_arr[mb - mb_w] : qpq;
-                    const int qa = CHROMA_QP[iclip(qpp + chroma_qp_off,
-                                                   0, 51)];
-                    const int qb = CHROMA_QP[iclip(qpq + chroma_qp_off,
-                                                   0, 51)];
+                    const int qa = CHROMA_QP[iclip(qpp + cqo, 0, 51)];
+                    const int qb = CHROMA_QP[iclip(qpq + cqo, 0, 51)];
                     const int qpav = (qa + qb + 1) >> 1;
                     const int ia = iclip(qpav + alpha_off, 0, 51);
                     const int ibt = iclip(qpav + beta_off, 0, 51);
@@ -1207,6 +1331,230 @@ void pred8c(const uint8_t* C, int W, int my, int mx, int mode, int* pred) {
                 int v = (a + b * (x - 3) + c * (y - 3) + 16) >> 5;
                 pred[y * 8 + x] = v < 0 ? 0 : (v > 255 ? 255 : v);
             }
+    }
+}
+
+// Intra_8x8 luma prediction (§8.3.2): low-pass reference-sample
+// filtering (8.3.2.2.1) then the 9 modes (8.3.2.2.2-.10), expressed as
+// diagonal-index loops over the filtered arrays. Behavioral reference:
+// h264pred_template.c pred8x8l_* (availability/filtering corner rules).
+void pred8l(const uint8_t* Y, int W, int w8, int gy8, int gx8,
+            int mode, int* p) {
+    const int y0 = gy8 * 8, x0 = gx8 * 8;
+    const int avail_t = gy8 > 0, avail_l = gx8 > 0;
+    const int avail_tl = avail_t && avail_l;
+    int avail_tr = 0;
+    if (gy8 > 0 && gx8 + 1 < w8) {
+        long cur = ((long)(gy8 >> 1) * (w8 >> 1) + (gx8 >> 1)) * 4
+                   + (gy8 & 1) * 2 + (gx8 & 1);
+        long tr = ((long)((gy8 - 1) >> 1) * (w8 >> 1) + ((gx8 + 1) >> 1))
+                  * 4 + ((gy8 - 1) & 1) * 2 + ((gx8 + 1) & 1);
+        avail_tr = tr < cur;
+    }
+    int Tr[16], Lr[8], Cr = 128;           // raw neighbor samples
+    for (int i = 0; i < 16; i++) Tr[i] = 128;
+    for (int i = 0; i < 8; i++) Lr[i] = 128;
+    if (avail_t) {
+        for (int x = 0; x < 8; x++)
+            Tr[x] = Y[(size_t)(y0 - 1) * W + x0 + x];
+        if (avail_tr)
+            for (int x = 8; x < 16; x++)
+                Tr[x] = Y[(size_t)(y0 - 1) * W + x0 + x];
+    }
+    if (avail_l)
+        for (int y = 0; y < 8; y++)
+            Lr[y] = Y[(size_t)(y0 + y) * W + x0 - 1];
+    if (avail_tl) Cr = Y[(size_t)(y0 - 1) * W + x0 - 1];
+
+    int t[16], l[8], lt = 0;
+    if (avail_t) {
+        t[0] = ((avail_tl ? Cr : Tr[0]) + 2 * Tr[0] + Tr[1] + 2) >> 2;
+        for (int x = 1; x < 7; x++)
+            t[x] = (Tr[x - 1] + 2 * Tr[x] + Tr[x + 1] + 2) >> 2;
+        t[7] = ((avail_tr ? Tr[8] : Tr[7]) + 2 * Tr[7] + Tr[6] + 2) >> 2;
+        if (avail_tr) {
+            for (int x = 8; x < 15; x++)
+                t[x] = (Tr[x - 1] + 2 * Tr[x] + Tr[x + 1] + 2) >> 2;
+            t[15] = (Tr[14] + 3 * Tr[15] + 2) >> 2;
+        } else {
+            for (int x = 8; x < 16; x++) t[x] = Tr[7];   // RAW sample
+        }
+    } else {
+        for (int x = 0; x < 16; x++) t[x] = 128;
+    }
+    if (avail_l) {
+        l[0] = ((avail_tl ? Cr : Lr[0]) + 2 * Lr[0] + Lr[1] + 2) >> 2;
+        for (int y = 1; y < 7; y++)
+            l[y] = (Lr[y - 1] + 2 * Lr[y] + Lr[y + 1] + 2) >> 2;
+        l[7] = (Lr[6] + 3 * Lr[7] + 2) >> 2;
+    } else {
+        for (int y = 0; y < 8; y++) l[y] = 128;
+    }
+    if (avail_tl) lt = (Lr[0] + 2 * Cr + Tr[0] + 2) >> 2;
+
+    switch (mode) {
+    case 0:                                 // vertical
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) p[y * 8 + x] = t[x];
+        break;
+    case 1:                                 // horizontal
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) p[y * 8 + x] = l[y];
+        break;
+    case 2: {                               // DC (availability variants)
+        int dc;
+        if (avail_t && avail_l) {
+            int st = 0, sl = 0;
+            for (int i = 0; i < 8; i++) { st += t[i]; sl += l[i]; }
+            dc = (st + sl + 8) >> 4;
+        } else if (avail_t) {
+            int st = 0;
+            for (int i = 0; i < 8; i++) st += t[i];
+            dc = (st + 4) >> 3;
+        } else if (avail_l) {
+            int sl = 0;
+            for (int i = 0; i < 8; i++) sl += l[i];
+            dc = (sl + 4) >> 3;
+        } else dc = 128;
+        for (int i = 0; i < 64; i++) p[i] = dc;
+        break;
+    }
+    case 3:                                 // diagonal down-left
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int d = x + y;
+                p[y * 8 + x] = d == 14
+                    ? (t[14] + 3 * t[15] + 2) >> 2
+                    : (t[d] + 2 * t[d + 1] + t[d + 2] + 2) >> 2;
+            }
+        break;
+    case 4:                                 // diagonal down-right
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int d = x - y;
+                if (d > 0)
+                    p[y * 8 + x] = ((d >= 2 ? t[d - 2] : lt)
+                                    + 2 * t[d - 1] + t[d] + 2) >> 2;
+                else if (d < 0) {
+                    int k = -d;
+                    p[y * 8 + x] = (l[k] + 2 * l[k - 1]
+                                    + (k >= 2 ? l[k - 2] : lt) + 2) >> 2;
+                } else
+                    p[y * 8 + x] = (l[0] + 2 * lt + t[0] + 2) >> 2;
+            }
+        break;
+    case 5:                                 // vertical-right
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = 2 * x - y;
+                if (z >= 0 && !(z & 1)) {
+                    int m = z >> 1;
+                    p[y * 8 + x] = ((m >= 1 ? t[m - 1] : lt)
+                                    + t[m] + 1) >> 1;
+                } else if (z > 0) {
+                    int m = (z - 1) >> 1;
+                    p[y * 8 + x] = ((m >= 1 ? t[m - 1] : lt)
+                                    + 2 * t[m] + t[m + 1] + 2) >> 2;
+                } else if (z == -1)
+                    p[y * 8 + x] = (l[0] + 2 * lt + t[0] + 2) >> 2;
+                else {
+                    int k = -z;
+                    p[y * 8 + x] = (l[k - 1] + 2 * l[k - 2]
+                                    + (k >= 3 ? l[k - 3] : lt) + 2) >> 2;
+                }
+            }
+        break;
+    case 6:                                 // horizontal-down
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = 2 * y - x;
+                if (z >= 0 && !(z & 1)) {
+                    int m = z >> 1;
+                    p[y * 8 + x] = ((m >= 1 ? l[m - 1] : lt)
+                                    + l[m] + 1) >> 1;
+                } else if (z > 0) {
+                    int m = (z - 1) >> 1;
+                    p[y * 8 + x] = ((m >= 1 ? l[m - 1] : lt)
+                                    + 2 * l[m] + l[m + 1] + 2) >> 2;
+                } else if (z == -1)
+                    p[y * 8 + x] = (t[0] + 2 * lt + l[0] + 2) >> 2;
+                else {
+                    int k = -z;
+                    p[y * 8 + x] = (t[k - 1] + 2 * t[k - 2]
+                                    + (k >= 3 ? t[k - 3] : lt) + 2) >> 2;
+                }
+            }
+        break;
+    case 7:                                 // vertical-left
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int m = x + (y >> 1);
+                p[y * 8 + x] = (y & 1)
+                    ? (t[m] + 2 * t[m + 1] + t[m + 2] + 2) >> 2
+                    : (t[m] + t[m + 1] + 1) >> 1;
+            }
+        break;
+    default:                                // 8: horizontal-up
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = x + 2 * y;
+                if (z > 13) p[y * 8 + x] = l[7];
+                else if (z == 13)
+                    p[y * 8 + x] = (l[6] + 3 * l[7] + 2) >> 2;
+                else if (z & 1) {
+                    int m = z >> 1;
+                    p[y * 8 + x] = (l[m] + 2 * l[m + 1] + l[m + 2] + 2)
+                                   >> 2;
+                } else {
+                    int m = z >> 1;
+                    p[y * 8 + x] = (l[m] + l[m + 1] + 1) >> 1;
+                }
+            }
+        break;
+    }
+}
+
+// 8x8 inverse transform (§8.5.12.3; cf. h264idct_template.c
+// ff_h264_idct8_add): +32 folded into the DC up front, then -- in
+// spec raster layout (ff stores its block transposed) -- the ROW pass
+// in place followed by the COLUMN pass with the final >>6. The
+// in-pass >>1/>>2 shifts make pass order and rounding placement
+// semantic, so this mirrors the reference bit-for-bit.
+inline void itrans8(int* d, int* r) {
+    d[0] += 32;
+    for (int i = 0; i < 8; i++) {          // row pass, in place
+        int* x = d + 8 * i;
+        int a0 = x[0] + x[4], a2 = x[0] - x[4];
+        int a4 = (x[2] >> 1) - x[6], a6 = (x[6] >> 1) + x[2];
+        int b0 = a0 + a6, b2 = a2 + a4, b4 = a2 - a4, b6 = a0 - a6;
+        int a1 = -x[3] + x[5] - x[7] - (x[7] >> 1);
+        int a3 = x[1] + x[7] - x[3] - (x[3] >> 1);
+        int a5 = -x[1] + x[7] + x[5] + (x[5] >> 1);
+        int a7 = x[3] + x[5] + x[1] + (x[1] >> 1);
+        int b1 = (a7 >> 2) + a1, b3 = a3 + (a5 >> 2);
+        int b5 = (a3 >> 2) - a5, b7 = a7 - (a1 >> 2);
+        x[0] = b0 + b7;  x[7] = b0 - b7;
+        x[1] = b2 + b5;  x[6] = b2 - b5;
+        x[2] = b4 + b3;  x[5] = b4 - b3;
+        x[3] = b6 + b1;  x[4] = b6 - b1;
+    }
+    for (int i = 0; i < 8; i++) {          // column pass + >>6
+        int x0 = d[i], x1 = d[i + 8], x2 = d[i + 16], x3 = d[i + 24];
+        int x4 = d[i + 32], x5 = d[i + 40], x6 = d[i + 48],
+            x7 = d[i + 56];
+        int a0 = x0 + x4, a2 = x0 - x4;
+        int a4 = (x2 >> 1) - x6, a6 = (x6 >> 1) + x2;
+        int b0 = a0 + a6, b2 = a2 + a4, b4 = a2 - a4, b6 = a0 - a6;
+        int a1 = -x3 + x5 - x7 - (x7 >> 1);
+        int a3 = x1 + x7 - x3 - (x3 >> 1);
+        int a5 = -x1 + x7 + x5 + (x5 >> 1);
+        int a7 = x3 + x5 + x1 + (x1 >> 1);
+        int b1 = (a7 >> 2) + a1, b3 = a3 + (a5 >> 2);
+        int b5 = (a3 >> 2) - a5, b7 = a7 - (a1 >> 2);
+        r[i] = (b0 + b7) >> 6;        r[i + 56] = (b0 - b7) >> 6;
+        r[i + 8] = (b2 + b5) >> 6;    r[i + 48] = (b2 - b5) >> 6;
+        r[i + 16] = (b4 + b3) >> 6;   r[i + 40] = (b4 - b3) >> 6;
+        r[i + 24] = (b6 + b1) >> 6;   r[i + 32] = (b6 - b1) >> 6;
     }
 }
 
@@ -1365,10 +1713,26 @@ extern "C" void h264_intra_recon(
         for (int mx = 0; mx < mb_w; mx++) {
             const int mb = my * mb_w + mx;
             const int k = mb_kind[mb];
-            if (k < 2 || k >= 4) continue;  // inter/skip/undecoded;
+            if (k < 2 || k == 4) continue;  // inter/skip/undecoded;
                                             // I_PCM copied by caller
             const int16_t* ry = resid_y + (size_t)mb * 256;
-            if (k == 3) {                   // I_16x16
+            if (k == K_I8X8) {              // Intra_8x8 (High profile)
+                for (int b8 = 0; b8 < 4; b8++) {
+                    int gy8 = my * 2 + (b8 >> 1), gx8 = mx * 2 + (b8 & 1);
+                    int p8[64];
+                    pred8l(Y, width, mb_w * 2, gy8, gx8,
+                           i4modes[mb * 16 + b8], p8);
+                    const int oy = (b8 >> 1) * 8, ox = (b8 & 1) * 8;
+                    for (int y = 0; y < 8; y++) {
+                        uint8_t* row = Y + (size_t)(gy8 * 8 + y) * width
+                                       + gx8 * 8;
+                        for (int x = 0; x < 8; x++)
+                            row[x] = clip255(
+                                p8[y * 8 + x]
+                                + ry[(oy + y) * 16 + ox + x]);
+                    }
+                }
+            } else if (k == 3) {            // I_16x16
                 pred16(Y, width, my, mx, mb_info[mb] & 15, pred);
                 for (int y = 0; y < 16; y++) {
                     uint8_t* row = Y + (size_t)(my * 16 + y) * width
@@ -1567,7 +1931,14 @@ extern "C" int h264_recon_frame(
     const int16_t* mv1, const int8_t* ref1, int n_ref1,
     const uint8_t* const* r1E, const uint8_t* const* r1B,
     const uint8_t* const* r1H, const uint8_t* const* r1J,
-    const uint8_t* const* r1U, const uint8_t* const* r1V)
+    const uint8_t* const* r1U, const uint8_t* const* r1V,
+    // High profile (all optional):
+    const int32_t* qmul4,    // [6][52][16] raster dequant, NULL = flat
+    const int32_t* qmul8,    // [2][52][64] raster dequant, NULL = flat
+    int cqp_off2,            // Cr-plane qp offset (2nd PPS offset)
+    const int32_t* wpx,      // explicit weights [2][32][6] or NULL
+    int luma_ld, int chroma_ld,
+    const int16_t* impw)     // implicit bi weights [r0*32+r1][2] / NULL
 {
     const int W = mb_w * 16, H = mb_h * 16;
     const int cw = W / 2;
@@ -1590,11 +1961,54 @@ extern "C" int h264_recon_frame(
         const int intra = k >= 2;
         if (intra) have_intra = 1;
         const int mqp = qp[mb];
-        const int cqp = CHROMA_QP_TAB[iclip(mqp + chroma_qp_off, 0, 51)];
+        const int cqpP[2] = {
+            CHROMA_QP_TAB[iclip(mqp + chroma_qp_off, 0, 51)],
+            CHROMA_QP_TAB[iclip(mqp + cqp_off2, 0, 51)]};
+        const int cqp = cqpP[0];
         const int16_t* cf = coeffs + (size_t)mb * 27 * 16;
+        const int t8 = (info[mb] & INFO_T8) != 0;
+        if (t8) {
+            // 8x8 transform luma: rows 1+4g..4+4g hold the group's 64
+            // zigzag levels; dequant (8.5.9 + scaling list, rounding
+            // per (lev*qmul+32)>>6) then the 8x8 inverse transform
+            const int mi8 = intra ? 0 : 1;
+            const int32_t* qm8 = qmul8
+                ? qmul8 + ((size_t)mi8 * 52 + mqp) * 64 : 0;
+            for (int g = 0; g < 4; g++) {
+                const int16_t* lev = cf + (size_t)(1 + 4 * g) * 16;
+                int any = 0;
+                for (int i = 0; i < 64 && !any; i++) any |= lev[i] != 0;
+                const int gy0 = (g >> 1) * 8, gx0 = (g & 1) * 8;
+                if (!any) {
+                    for (int y = 0; y < 8; y++)
+                        memset(ry + (gy0 + y) * 16 + gx0, 0, 16);
+                    continue;
+                }
+                lmask[mb] |= (uint16_t)(0x33u << ((g >> 1) * 8
+                                                  + (g & 1) * 2));
+                int d[64], r[64];
+                for (int i = 0; i < 64; i++) d[i] = 0;
+                for (int i = 0; i < 64; i++) {
+                    if (!lev[i]) continue;
+                    const int pos = ZZ8[i];
+                    const int q = qm8 ? qm8[pos]
+                        : (D8INIT[mqp % 6][D8CLS[4 * ((pos >> 3) & 3)
+                                                 + (pos & 3)]] * 16)
+                          << (mqp / 6);
+                    d[pos] = ((int)lev[i] * q + 32) >> 6;
+                }
+                itrans8(d, r);
+                for (int y = 0; y < 8; y++)
+                    for (int x = 0; x < 8; x++)
+                        ry[(gy0 + y) * 16 + gx0 + x] =
+                            (int16_t)r[y * 8 + x];
+            }
+            goto chroma_residual;
+        }
         // luma: 16 blocks in raster (by,bx) order at rows 1..17
         int dcd[16];
-        int have_ldc = 0;
+        int have_ldc;        // (assigned, not initialized: the t8
+        have_ldc = 0;        //  path goto-skips this section)
         if (k == 3) {               // I_16x16: hadamard + DC dequant
             int d[16] = {0}, f[16];
             for (int i = 0; i < 16; i++) d[ZZ4[i]] = cf[i];
@@ -1616,13 +2030,23 @@ extern "C" int h264_recon_frame(
                         s += t[4 * i + kk] * H4[j][kk];
                     f[4 * i + j] = s;
                 }
-            const int v0 = VTAB[mqp % 6][0];
-            for (int i = 0; i < 16; i++) {
-                long long fv = (long long)f[i] * v0;
-                if (mqp >= 12) dcd[i] = (int)(fv << (mqp / 6 - 2));
-                else dcd[i] = (int)((fv + (1ll << (1 - mqp / 6)))
-                                    >> (2 - mqp / 6));
-                have_ldc |= dcd[i] != 0;
+            if (qmul4) {
+                // (dc * qmul[0] + 128) >> 8 (h264idct_template.c:
+                // luma_dc_dequant_idct scaling; includes the weight)
+                const long long q0 = qmul4[(size_t)mqp * 16];
+                for (int i = 0; i < 16; i++) {
+                    dcd[i] = (int)(((long long)f[i] * q0 + 128) >> 8);
+                    have_ldc |= dcd[i] != 0;
+                }
+            } else {
+                const int v0 = VTAB[mqp % 6][0];
+                for (int i = 0; i < 16; i++) {
+                    long long fv = (long long)f[i] * v0;
+                    if (mqp >= 12) dcd[i] = (int)(fv << (mqp / 6 - 2));
+                    else dcd[i] = (int)((fv + (1ll << (1 - mqp / 6)))
+                                        >> (2 - mqp / 6));
+                    have_ldc |= dcd[i] != 0;
+                }
             }
         }
         for (int blk = 0; blk < 16; blk++) {
@@ -1639,26 +2063,49 @@ extern "C" int h264_recon_frame(
             }
             lmask[mb] |= (uint16_t)(1u << blk);
             int d[16], r[16];
-            deq4(row, mqp, d, k == 3 ? 1 : 0);
+            if (qmul4) {
+                const int32_t* qm = qmul4
+                    + ((size_t)(intra ? 0 : 3) * 52 + mqp) * 16;
+                for (int i = 0; i < 16; i++) d[i] = 0;
+                for (int i = (k == 3 ? 1 : 0); i < 16; i++) {
+                    int pos = ZZ4[i];
+                    d[pos] = ((int)row[i] * qm[pos] + 32) >> 6;
+                }
+            } else {
+                deq4(row, mqp, d, k == 3 ? 1 : 0);
+            }
             if (k == 3) d[0] = dcd[(blk / 4) * 4 + (blk % 4)];
             itrans4(d, r);
             for (int y = 0; y < 4; y++)
                 for (int x = 0; x < 4; x++)
                     dst[y * 16 + x] = (int16_t)r[4 * y + x];
         }
+chroma_residual:;
         // chroma: DC rows 17,18 (first 4 coeffs, 2x2 raster); AC 19..27
         for (int pl = 0; pl < 2; pl++) {
+            const int pqp = cqpP[pl];
             int cdc[4];
             const int16_t* cdcz = cf + 16 * (17 + pl);
             // f = H2 dc H2
             int a = cdcz[0], b = cdcz[1], c = cdcz[2], dd = cdcz[3];
             int f0 = a + b + c + dd, f1 = a - b + c - dd;
             int f2 = a + b - c - dd, f3 = a - b - c + dd;
-            const int v0 = VTAB[cqp % 6][0];
-            cdc[0] = ((f0 * v0) << (cqp / 6)) >> 1;
-            cdc[1] = ((f1 * v0) << (cqp / 6)) >> 1;
-            cdc[2] = ((f2 * v0) << (cqp / 6)) >> 1;
-            cdc[3] = ((f3 * v0) << (cqp / 6)) >> 1;
+            const int cmi = (intra ? 1 : 4) + pl;   // Cb/Cr matrix idx
+            if (qmul4) {
+                // (f * qmul[0]) >> 7 (chroma_dc_dequant_idct scaling)
+                const long long q0 =
+                    qmul4[((size_t)cmi * 52 + pqp) * 16];
+                cdc[0] = (int)(((long long)f0 * q0) >> 7);
+                cdc[1] = (int)(((long long)f1 * q0) >> 7);
+                cdc[2] = (int)(((long long)f2 * q0) >> 7);
+                cdc[3] = (int)(((long long)f3 * q0) >> 7);
+            } else {
+                const int v0 = VTAB[pqp % 6][0];
+                cdc[0] = ((f0 * v0) << (pqp / 6)) >> 1;
+                cdc[1] = ((f1 * v0) << (pqp / 6)) >> 1;
+                cdc[2] = ((f2 * v0) << (pqp / 6)) >> 1;
+                cdc[3] = ((f3 * v0) << (pqp / 6)) >> 1;
+            }
             for (int blk = 0; blk < 4; blk++) {
                 const int16_t* row = cf + 16 * (19 + pl * 4 + blk);
                 int any = cdc[blk] != 0;
@@ -1672,7 +2119,17 @@ extern "C" int h264_recon_frame(
                 }
                 cmask[mb] |= (uint8_t)(1u << (pl * 4 + blk));
                 int d[16], r[16];
-                deq4(row, cqp, d, 1);
+                if (qmul4) {
+                    const int32_t* qm =
+                        qmul4 + ((size_t)cmi * 52 + pqp) * 16;
+                    for (int i = 0; i < 16; i++) d[i] = 0;
+                    for (int i = 1; i < 16; i++) {
+                        int pos = ZZ4[i];
+                        d[pos] = ((int)row[i] * qm[pos] + 32) >> 6;
+                    }
+                } else {
+                    deq4(row, pqp, d, 1);
+                }
                 d[0] = cdc[blk];
                 itrans4(d, r);
                 for (int y = 0; y < 4; y++)
@@ -1724,6 +2181,11 @@ extern "C" int h264_recon_frame(
             const uint8_t* p2 = planes[q.p2]
                 + (size_t)(iy + q.d2y) * wp + ix + q.d2x;
             const uint16_t lm = lmask[mb];
+            // explicit weights (§8.4.2.3.2, single direction): the
+            // interpolated sample is weighted+clipped BEFORE the
+            // residual add (two clips, like the reference pipeline)
+            const int wl = wpx ? wpx[(size_t)r8 * 6 + 0] : 1;
+            const int olw = wpx ? wpx[(size_t)r8 * 6 + 1] : 0;
             for (int y = 0; y < bs; y++) {
                 uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
                 const uint8_t* a = p1 + (size_t)y * wp;
@@ -1735,12 +2197,26 @@ extern "C" int h264_recon_frame(
                 const int skip_r = uniform
                     ? !((lm >> (rby * 4)) & 0xF)      // whole row-of-blocks
                     : !((lm >> blk) & 1);
-                if (skip_r) {
-                    for (int x = 0; x < bs; x++)
-                        orow[x] = (uint8_t)((a[x] + b[x] + 1) >> 1);
+                if (!wpx) {
+                    if (skip_r) {
+                        for (int x = 0; x < bs; x++)
+                            orow[x] = (uint8_t)((a[x] + b[x] + 1) >> 1);
+                    } else {
+                        for (int x = 0; x < bs; x++)
+                            orow[x] = clip255(((a[x] + b[x] + 1) >> 1)
+                                              + rr[x]);
+                    }
                 } else {
-                    for (int x = 0; x < bs; x++)
-                        orow[x] = clip255(((a[x] + b[x] + 1) >> 1) + rr[x]);
+                    for (int x = 0; x < bs; x++) {
+                        int p = (a[x] + b[x] + 1) >> 1;
+                        p = luma_ld > 0
+                            ? ((p * wl + (1 << (luma_ld - 1)))
+                               >> luma_ld) + olw
+                            : p * wl + olw;
+                        int pc = (int)clip255(p);
+                        orow[x] = skip_r ? (uint8_t)pc
+                                         : clip255(pc + rr[x]);
+                    }
                 }
             }
             // chroma (eighth-pel bilinear): 8x8 in uniform mode, 2x2 else
@@ -1756,24 +2232,30 @@ extern "C" int h264_recon_frame(
                 uint8_t* O = pl ? V : U;
                 const int16_t* rcb = rc + pl * 64;
                 const int any_c = (cmask[mb] >> (pl * 4)) & 0xF;
+                const int wcq = wpx ? wpx[(size_t)r8 * 6 + 2 + pl * 2]
+                                    : 1;
+                const int ocq = wpx ? wpx[(size_t)r8 * 6 + 3 + pl * 2]
+                                    : 0;
                 for (int y = 0; y < cs; y++) {
                     const uint8_t* r0 = C + (size_t)(ciy + y) * wc + cix;
                     const uint8_t* r1 = r0 + wc;
                     uint8_t* orow = O + (size_t)(cy0 + y) * cw + cx0;
                     const int ry_off = cy0 - my * 8 + y;
-                    if (!any_c) {
-                        for (int x = 0; x < cs; x++)
-                            orow[x] = (uint8_t)((w00 * r0[x] + w01 * r0[x + 1]
-                                     + w10 * r1[x] + w11 * r1[x + 1] + 32)
-                                    >> 6);
-                    } else {
-                        for (int x = 0; x < cs; x++) {
-                            int p = (w00 * r0[x] + w01 * r0[x + 1]
-                                     + w10 * r1[x] + w11 * r1[x + 1] + 32)
-                                    >> 6;
-                            orow[x] = clip255(
-                                p + rcb[ry_off * 8 + (cx0 - mx * 8 + x)]);
+                    for (int x = 0; x < cs; x++) {
+                        int p = (w00 * r0[x] + w01 * r0[x + 1]
+                                 + w10 * r1[x] + w11 * r1[x + 1] + 32)
+                                >> 6;
+                        if (wpx) {
+                            p = chroma_ld > 0
+                                ? ((p * wcq + (1 << (chroma_ld - 1)))
+                                   >> chroma_ld) + ocq
+                                : p * wcq + ocq;
+                            p = (int)clip255(p);
                         }
+                        orow[x] = any_c
+                            ? clip255(p + rcb[ry_off * 8
+                                              + (cx0 - mx * 8 + x)])
+                            : (uint8_t)p;
                     }
                 }
             }
@@ -1796,6 +2278,7 @@ extern "C" int h264_recon_frame(
             const int y0 = my * 16 + by * 4, x0 = mx * 16 + bx * 4;
             int py[2][16], pu[2][4], pv[2][4];
             int nlists = 0;
+            int rsel[2] = {0, 0}, lsel[2] = {0, 0};
             for (int list = 0; list < 2; list++) {
                 if (list == 0 && !l0) continue;
                 const int16_t* M = list ? mv1 : mv;
@@ -1851,15 +2334,69 @@ extern "C" int h264_recon_frame(
                                  + dx * dy * r1r[x + 1] + 32) >> 6;
                     }
                 }
+                rsel[nlists] = r8;
+                lsel[nlists] = list;
                 nlists++;
             }
+            // weighted combination (§8.4.2.3.2): explicit per-list
+            // weights, or implicit bi-prediction weights from the POC
+            // distance table (single direction stays unweighted there)
+            int wy0 = 1, wy1 = 0, oy2 = 0, bi_w = 0;
+            int wc0[2] = {1, 1}, wc1[2] = {0, 0}, oc2[2] = {0, 0};
+            if (nlists == 2 && impw) {
+                const int16_t* iw = impw + ((size_t)rsel[0] * 32
+                                            + rsel[1]) * 2;
+                wy0 = iw[0]; wy1 = iw[1]; oy2 = 0; bi_w = 1;
+                wc0[0] = wc0[1] = iw[0];
+                wc1[0] = wc1[1] = iw[1];
+            } else if (wpx) {
+                const int32_t* wA =
+                    wpx + ((size_t)lsel[0] * 32 + rsel[0]) * 6;
+                if (nlists == 2) {
+                    const int32_t* wB =
+                        wpx + ((size_t)lsel[1] * 32 + rsel[1]) * 6;
+                    wy0 = wA[0]; wy1 = wB[0];
+                    oy2 = (wA[1] + wB[1] + 1) >> 1;
+                    for (int pl = 0; pl < 2; pl++) {
+                        wc0[pl] = wA[2 + pl * 2];
+                        wc1[pl] = wB[2 + pl * 2];
+                        oc2[pl] = (wA[3 + pl * 2] + wB[3 + pl * 2] + 1)
+                                  >> 1;
+                    }
+                    bi_w = 1;
+                } else {
+                    wy0 = wA[0]; oy2 = wA[1]; bi_w = 2;
+                    for (int pl = 0; pl < 2; pl++) {
+                        wc0[pl] = wA[2 + pl * 2];
+                        oc2[pl] = wA[3 + pl * 2];
+                    }
+                }
+            }
+            const int ild = impw && bi_w == 1 && !wpx ? 5 : luma_ld;
+            const int icd = impw && bi_w == 1 && !wpx ? 5 : chroma_ld;
             for (int y = 0; y < 4; y++) {
                 uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
                 const int16_t* rr = ry + (by * 4 + y) * 16 + bx * 4;
                 for (int x = 0; x < 4; x++) {
-                    int p = nlists == 2
-                        ? (py[0][y * 4 + x] + py[1][y * 4 + x] + 1) >> 1
-                        : py[0][y * 4 + x];
+                    int p;
+                    if (nlists == 2) {
+                        if (bi_w == 1)
+                            p = (int)clip255(
+                                ((py[0][y * 4 + x] * wy0
+                                  + py[1][y * 4 + x] * wy1
+                                  + (1 << ild)) >> (ild + 1)) + oy2);
+                        else
+                            p = (py[0][y * 4 + x] + py[1][y * 4 + x]
+                                 + 1) >> 1;
+                    } else if (bi_w == 2) {
+                        p = py[0][y * 4 + x];
+                        p = ild > 0
+                            ? ((p * wy0 + (1 << (ild - 1))) >> ild) + oy2
+                            : p * wy0 + oy2;
+                        p = (int)clip255(p);
+                    } else {
+                        p = py[0][y * 4 + x];
+                    }
                     orow[x] = clip255(p + rr[x]);
                 }
             }
@@ -1872,9 +2409,27 @@ extern "C" int h264_recon_frame(
                     for (int x = 0; x < 2; x++) {
                         int* a = pl ? pv[0] : pu[0];
                         int* bb2 = pl ? pv[1] : pu[1];
-                        int p = nlists == 2
-                            ? (a[y * 2 + x] + bb2[y * 2 + x] + 1) >> 1
-                            : a[y * 2 + x];
+                        int p;
+                        if (nlists == 2) {
+                            if (bi_w == 1)
+                                p = (int)clip255(
+                                    ((a[y * 2 + x] * wc0[pl]
+                                      + bb2[y * 2 + x] * wc1[pl]
+                                      + (1 << icd)) >> (icd + 1))
+                                    + oc2[pl]);
+                            else
+                                p = (a[y * 2 + x] + bb2[y * 2 + x] + 1)
+                                    >> 1;
+                        } else if (bi_w == 2) {
+                            p = a[y * 2 + x];
+                            p = icd > 0
+                                ? ((p * wc0[pl] + (1 << (icd - 1)))
+                                   >> icd) + oc2[pl]
+                                : p * wc0[pl] + oc2[pl];
+                            p = (int)clip255(p);
+                        } else {
+                            p = a[y * 2 + x];
+                        }
                         orow[x] = clip255(
                             p + rcb[(cy0 - my * 8 + y) * 8
                                     + (cx0 - mx * 8 + x)]);

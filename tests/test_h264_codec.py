@@ -281,7 +281,7 @@ def test_native_recon_matches_numpy():
 
     orig = R.reconstruct_frame_native
 
-    def slowpath(res, mb_w, mb_h, off, ref_packs):
+    def slowpath(res, mb_w, mb_h, off, ref_packs, *a, **k):
         refl = [(rp.E[R.PAD:-R.PAD, R.PAD:-R.PAD],
                  rp.U[R.PADC:-R.PADC, R.PADC:-R.PADC],
                  rp.V[R.PADC:-R.PADC, R.PADC:-R.PADC])
