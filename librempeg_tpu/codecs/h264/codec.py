@@ -582,12 +582,11 @@ class H264Decoder(Decoder):
             self._dpb.clear()
         st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
         if self.pps.entropy_coding_mode:
-            if self.pps.transform_8x8_mode:
-                raise Unsupported("h264: CABAC 8x8 transform")
             res = native.h264_decode_slice_cabac(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
                 st_code, sh.qp, sh.num_ref_idx_l0, sh.cabac_init_idc,
-                sh.num_ref_idx_l1)
+                sh.num_ref_idx_l1,
+                transform_8x8_mode=self.pps.transform_8x8_mode)
         else:
             res = native.h264_decode_slice_cavlc(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,

@@ -120,18 +120,20 @@ class EntropyTranscoder:
                 st = {"P": 0, "B": 1}.get(sh.slice_type, 2)
                 res = native.h264_decode_slice_cavlc(
                     nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                    st, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1)
+                    st, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1,
+                    transform_8x8_mode=self.pps.transform_8x8_mode)
                 if res["last_mb"] != mb_w * mb_h or sh.first_mb != 0:
                     raise InvalidData(
                         "entropy transcode: multi-slice frame")
-                if np.any(res["kind"] >= 4):
+                if np.any(res["kind"] == 4):
                     # CABAC I_PCM needs an engine re-init mid-slice
                     # (§9.3.1.2), which the recode path does not carry
                     raise InvalidData(
                         "entropy transcode: I_PCM macroblocks")
                 payload = native.h264_encode_slice_cabac(
                     res, mb_w, mb_h, st, sh.qp, sh.num_ref_idx_l0, 0,
-                    sh.num_ref_idx_l1)
+                    sh.num_ref_idx_l1,
+                    transform_8x8_mode=self.pps.transform_8x8_mode)
                 bc = _BitCursor()
                 bc.copy(nal.rbsp, 0, sh.bitpos_cabac_idc)
                 if sh.slice_type in ("P", "B"):

@@ -118,7 +118,8 @@ def get() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, i32p, i8p, i16p, i8p, i32p, i16p, i16p, i32p,
-            ctypes.c_int, i16p, i8p]
+            ctypes.c_int, i16p, i8p,
+            ctypes.c_int]                            # transform_8x8
         lib.h264_intra_recon.restype = None
         lib.h264_intra_recon.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -537,7 +538,8 @@ def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
                             mb_h: int, first_mb: int, slice_type: int,
                             slice_qp: int, num_ref_idx_l0: int,
                             cabac_init_idc: int,
-                            num_ref_idx_l1: int = 1) -> dict:
+                            num_ref_idx_l1: int = 1,
+                            transform_8x8_mode: bool = False) -> dict:
     """CABAC twin of h264_decode_slice_cavlc (same tensor layout)."""
     lib = get()
     assert lib is not None
@@ -560,7 +562,7 @@ def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
         cabac_init_idc,
         _i32(kind), _i32(info), _i8(i4m), _i16(mv), _i8(ref), _i32(qp),
         _i16(coeffs), _i16(ncoef), _i32(end),
-        num_ref_idx_l1, _i16(mv1), _i8(ref1))
+        num_ref_idx_l1, _i16(mv1), _i8(ref1), int(transform_8x8_mode))
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData, Unsupported
 
@@ -579,7 +581,8 @@ def h264_encode_slice_cabac(res: dict, mb_w: int, mb_h: int,
                             slice_type: int, slice_qp: int,
                             num_ref_idx_l0: int,
                             cabac_init_idc: int = 0,
-                            num_ref_idx_l1: int = 1) -> bytes:
+                            num_ref_idx_l1: int = 1,
+                            transform_8x8_mode: bool = False) -> bytes:
     """Encode per-MB tensors as CABAC slice data (alignment handled by
     caller; returned bytes start at the first arithmetic byte)."""
     lib = get()
@@ -604,7 +607,8 @@ def h264_encode_slice_cabac(res: dict, mb_w: int, mb_h: int,
         _i16(np.ascontiguousarray(
             res.get("mv1", np.zeros((nmb, 16, 2), np.int16)), np.int16)),
         _i8(np.ascontiguousarray(
-            res.get("ref1", np.full((nmb, 4), -1, np.int8)), np.int8)))
+            res.get("ref1", np.full((nmb, 4), -1, np.int8)), np.int8)),
+        int(transform_8x8_mode))
     if r < 0:
         raise RuntimeError(f"h264: CABAC slice encode failed ({r})")
     return out[:int(end[0])].tobytes()

@@ -2652,6 +2652,7 @@ struct CabacSlice {
     int16_t* amvd1;        // list 1 (B)
     int last_dqp;
     int mb_w, mb_h;
+    int8_t* t8f;      // per-MB transform_size_8x8 flags
 };
 
 // unified get/put bin so the syntax walk is written once
@@ -2701,12 +2702,25 @@ inline int nb_nnz(const CabacSlice* s, const int8_t* grid, int w, int h,
 // For decode: fills out[] (zigzag levels), returns total nonzero count.
 // For encode: reads out[] levels. cbf handled by the caller.
 // cat: 0 lumaDC 1 lumaAC 2 luma4x4 3 chromaDC 4 chromaAC
-static const int SIG_OFF[5] = {105 + 0, 105 + 15, 105 + 29, 105 + 44,
-                               105 + 47};
-static const int LAST_OFF[5] = {166 + 0, 166 + 15, 166 + 29, 166 + 44,
-                                166 + 47};
-static const int ABS_OFF[5] = {227 + 0, 227 + 10, 227 + 20, 227 + 30,
-                               227 + 39};
+static const int SIG_OFF[6] = {105 + 0, 105 + 15, 105 + 29, 105 + 44,
+                               105 + 47, 402};
+static const int LAST_OFF[6] = {166 + 0, 166 + 15, 166 + 29, 166 + 44,
+                                166 + 47, 417};
+static const int ABS_OFF[6] = {227 + 0, 227 + 10, 227 + 20, 227 + 30,
+                               227 + 39, 426};
+// cat-5 significance-map ctx increments (Table 9-43, frame coding;
+// cf. h264_cabac.c significant_coeff_flag_offset_8x8[0] and cabac.c
+// last_coeff_flag_offset_8x8)
+static const uint8_t SIG8_MAP[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+static const uint8_t LAST8_MAP[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
 static const uint8_t LVL1_CTX[8] = {1, 2, 3, 4, 0, 0, 0, 0};
 static const uint8_t GT1_CTX[8] = {5, 5, 5, 5, 6, 7, 8, 9};
 static const uint8_t LVL_TRANS0[8] = {1, 2, 3, 3, 4, 5, 6, 7};
@@ -2716,13 +2730,19 @@ int cab_residual(CabacSlice* s, int cat, int16_t* zz, int first,
                  int maxc) {
     // significance map over zz positions first..first+maxc-1; position
     // maxc-1 is implicitly significant when no last flag terminated.
-    int idx[16], count = 0;
+    // cat 5 (luma 8x8) shares 15/9 contexts across 63 positions via
+    // the Table 9-43 increment maps.
+    int idx[64], count = 0;
+    const int c8 = cat == 5;
     if (s->dec) {
         int i;
         for (i = 0; i < maxc - 1; i++) {
-            if (cd_decision(s->dec, SIG_OFF[cat] + i)) {
+            if (cd_decision(s->dec,
+                            SIG_OFF[cat] + (c8 ? SIG8_MAP[i] : i))) {
                 idx[count++] = i;
-                if (cd_decision(s->dec, LAST_OFF[cat] + i)) break;
+                if (cd_decision(s->dec,
+                                LAST_OFF[cat]
+                                + (c8 ? LAST8_MAP[i] : i))) break;
             }
         }
         if (i == maxc - 1) idx[count++] = i;   // implicit last
@@ -2732,10 +2752,13 @@ int cab_residual(CabacSlice* s, int cat, int16_t* zz, int first,
             if (zz[first + i]) lastnz = i;
         for (int i = 0; i < maxc - 1 && i <= lastnz; i++) {
             int sig = zz[first + i] != 0;
-            ce_decision(s->enc, SIG_OFF[cat] + i, sig);
+            ce_decision(s->enc, SIG_OFF[cat] + (c8 ? SIG8_MAP[i] : i),
+                        sig);
             if (sig) {
                 idx[count++] = i;
-                ce_decision(s->enc, LAST_OFF[cat] + i, i == lastnz);
+                ce_decision(s->enc,
+                            LAST_OFF[cat] + (c8 ? LAST8_MAP[i] : i),
+                            i == lastnz);
             }
         }
         if (lastnz == maxc - 1) idx[count++] = lastnz;
@@ -2940,7 +2963,8 @@ extern "C" int h264_cabac_slice(
     int32_t* mb_kind, int32_t* mb_info, int8_t* i4modes,
     int16_t* mv_out, int8_t* ref_out, int32_t* qp_out,
     int16_t* coeffs, int16_t* ncoef, int32_t* end_state,
-    int num_ref_idx_l1, int16_t* mv1_out, int8_t* ref1_out)
+    int num_ref_idx_l1, int16_t* mv1_out, int8_t* ref1_out,
+    int transform_8x8_mode)
 {
     const int nMB = mb_w * mb_h;
     const int is_b = slice_type == 1;
@@ -2980,6 +3004,7 @@ extern "C" int h264_cabac_slice(
     s.amvd = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2, sizeof(int16_t));
     s.amvd1 = (int16_t*)calloc((size_t)c.w4 * c.h4 * 2,
                                sizeof(int16_t));
+    s.t8f = (int8_t*)calloc(nMB, 1);
     if (dec) {
         s.dec = &cd; s.enc = 0;
         cab_init_contexts(cd.state, cd.mps, slice_qp,
@@ -3096,7 +3121,8 @@ extern "C" int h264_cabac_slice(
                 } else if (bits == 13) {
                     int v;
                     if (!dec) {
-                        if (enc_kind == K_I4X4) v = 0;
+                        if (enc_kind == K_I4X4
+                            || enc_kind == K_I8X8) v = 0;
                         else {
                             int t = (enc_info & 15)
                                 + 4 * (((enc_info >> 8) >> 4) & 3)
@@ -3157,7 +3183,8 @@ extern "C" int h264_cabac_slice(
             if (cs_bin(&s, 14, enc_is_intra)) {
                 int v;
                 if (!dec) {
-                    if (enc_kind == K_I4X4) v = 0;
+                    if (enc_kind == K_I4X4
+                        || enc_kind == K_I8X8) v = 0;
                     else {
                         int t = (enc_info & 15)
                             + 4 * (((enc_info >> 8) >> 4) & 3)
@@ -3187,7 +3214,8 @@ extern "C" int h264_cabac_slice(
         } else {
             int v;
             if (!dec) {
-                if (enc_kind == K_I4X4) v = 0;
+                if (enc_kind == K_I4X4
+                    || enc_kind == K_I8X8) v = 0;
                 else {
                     int t = (enc_info & 15)
                         + 4 * (((enc_info >> 8) >> 4) & 3)
@@ -3207,6 +3235,18 @@ extern "C" int h264_cabac_slice(
             }
         }
 
+        // transform_size_8x8_flag for I_NxN (§7.3.5: right after
+        // mb_type; ctx 399 + left/top t8 flags)
+        int t8 = 0;
+        int t8_ok = 1;
+        if (transform_8x8_mode && kind == K_I4X4) {
+            int na = nb_mb(&s, mb, -1, 0), nb3 = nb_mb(&s, mb, 0, -1);
+            int inc = (na >= 0 && s.t8f[na] ? 1 : 0)
+                    + (nb3 >= 0 && s.t8f[nb3] ? 1 : 0);
+            t8 = cs_bin(&s, 399 + inc,
+                        dec ? 0 : ((enc_info & INFO_T8) != 0));
+            if (t8) kind = K_I8X8;
+        }
         if (is_b && kind == K_INTER) {
             const int use0 = bmbt == 1 || bmbt == 3;
             const int use1 = bmbt == 2 || bmbt == 3;
@@ -3398,6 +3438,7 @@ extern "C" int h264_cabac_slice(
                     else if (!cs_bin(&s, 22, esub != 1)) sub[i] = 1;
                     else if (cs_bin(&s, 23, esub == 2)) sub[i] = 2;
                     else sub[i] = 3;
+                    if (sub[i] != 0) t8_ok = 0;
                 }
                 if (num_ref_idx_l0 > 1) {
                     for (int i = 0; i < 4; i++) {
@@ -3457,6 +3498,39 @@ extern "C" int h264_cabac_slice(
             for (int y = 0; y < 4; y++)
                 for (int x = 0; x < 4; x++)
                     c.i4g[(y4 + y) * c.w4 + x4 + x] = -1;
+        } else if (kind == K_I8X8) {
+            // Intra_8x8: 4 prediction modes with the same prev/rem
+            // bins, predicted from the 4x4 mode grid (§8.3.2.1)
+            for (int b8 = 0; b8 < 4; b8++) {
+                int by = (b8 >> 1) * 2, bx = (b8 & 1) * 2;
+                int gx = x4 + bx, gy = y4 + by;
+                int8_t ma = gx > 0 ? c.i4g[gy * c.w4 + gx - 1] : -2;
+                int8_t mbv = gy > 0 ? c.i4g[(gy - 1) * c.w4 + gx] : -2;
+                int pred;
+                if (ma == -2 || mbv == -2) pred = 2;
+                else {
+                    int a = ma < 0 ? 2 : ma, bb = mbv < 0 ? 2 : mbv;
+                    pred = a < bb ? a : bb;
+                }
+                int emode = dec ? 0 : i4modes[mb * 16 + b8];
+                int mode;
+                if (cs_bin(&s, 68, emode == pred)) mode = pred;
+                else {
+                    int rv = emode < pred ? emode : emode - 1;
+                    int b0 = cs_bin(&s, 69, rv & 1);
+                    int b1 = cs_bin(&s, 69, (rv >> 1) & 1);
+                    int b2 = cs_bin(&s, 69, (rv >> 2) & 1);
+                    int rem = b0 | (b1 << 1) | (b2 << 2);
+                    mode = rem < pred ? rem : rem + 1;
+                }
+                if (dec) i4modes[mb * 16 + b8] = (int8_t)mode;
+                for (int y = 0; y < 2; y++)
+                    for (int x = 0; x < 2; x++)
+                        c.i4g[(gy + y) * c.w4 + gx + x] = (int8_t)mode;
+            }
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++)
+                    c.refg[(y4 + y) * c.w4 + x4 + x] = -1;
         } else if (kind == K_I4X4) {
             // intra 4x4 pred modes
             for (int blk = 0; blk < 16; blk++) {
@@ -3499,8 +3573,8 @@ extern "C" int h264_cabac_slice(
                 for (int x = 0; x < 4; x++)
                     c.refg1[(y4 + y) * c.w4 + x4 + x] = -1;
 
-        // intra chroma pred mode (I4x4 + I16)
-        if (kind == K_I4X4 || kind == K_I16) {
+        // intra chroma pred mode (I_NxN + I16)
+        if (kind == K_I4X4 || kind == K_I8X8 || kind == K_I16) {
             int na = nb_mb(&s, mb, -1, 0), nb2 = nb_mb(&s, mb, 0, -1);
             int ctx = (na >= 0 && s.cmode[na] != 0 ? 1 : 0)
                     + (nb2 >= 0 && s.cmode[nb2] != 0 ? 1 : 0);
@@ -3540,6 +3614,16 @@ extern "C" int h264_cabac_slice(
         int cbp_luma = cbp & 15;
         int cbp_chroma = (cbp >> 4) & 3;
 
+        // inter transform_size_8x8_flag (after CBP; h264_cabac.c:2348)
+        if (kind == K_INTER && transform_8x8_mode && cbp_luma
+            && t8_ok) {
+            int na = nb_mb(&s, mb, -1, 0), nb3 = nb_mb(&s, mb, 0, -1);
+            int inc = (na >= 0 && s.t8f[na] ? 1 : 0)
+                    + (nb3 >= 0 && s.t8f[nb3] ? 1 : 0);
+            t8 = cs_bin(&s, 399 + inc,
+                        dec ? 0 : ((enc_info & INFO_T8) != 0));
+        }
+
         // mb_qp_delta
         if (kind == K_I16 || cbp != 0) {
             int edq = 0;
@@ -3571,6 +3655,24 @@ extern "C" int h264_cabac_slice(
                 cpx |= 0x100;
             }
         }
+        if (t8) {
+            // luma 8x8 groups as cat-5 residual blocks (64 zigzag
+            // levels in rows 1+4g..4+4g); no coded_block_flag for
+            // cat 5 in 4:2:0, and all four nnz cells carry the
+            // group's coefficient count (h264_cabac.c:1715)
+            for (int i8 = 0; i8 < 4; i8++) {
+                int16_t* g64 = mbco + (size_t)(1 + 4 * i8) * 16;
+                int t = 0;
+                if ((cbp_luma >> i8) & 1)
+                    t = cab_residual(&s, 5, g64, 0, 64);
+                for (int i4 = 0; i4 < 4; i4++) {
+                    int blk = 4 * i8 + i4;
+                    int by = BLK4[blk][0], bx = BLK4[blk][1];
+                    c.tcY[(y4 + by) * c.w4 + x4 + bx] = (int8_t)t;
+                    if (dec) mbnc[1 + by * 4 + bx] = (int16_t)t;
+                }
+            }
+        } else
         for (int blk = 0; blk < 16; blk++) {
             int by = BLK4[blk][0], bx = BLK4[blk][1];
             int gy = y4 + by, gx = x4 + bx;
@@ -3628,8 +3730,10 @@ extern "C" int h264_cabac_slice(
 
         if (dec) {
             mb_kind[mb] = kind;
-            mb_info[mb] = imode16 | (chroma_mode << 4) | (cbp << 8);
+            mb_info[mb] = imode16 | (chroma_mode << 4) | (cbp << 8)
+                          | (t8 ? INFO_T8 : 0);
         }
+        s.t8f[mb] = (int8_t)t8;
         s.cbpx[mb] = cpx;
         s.cmode[mb] = (int8_t)chroma_mode;
         s.itype[mb] = kind == K_I16 ? 2 : (kind == K_I4X4 ? 1 : 0);
@@ -3657,7 +3761,7 @@ finish:
 done:
     free(c.tcY); free(c.tcU); free(c.tcV);
     free(c.mvg); free(c.refg); free(c.i4g); free(c.decoded);
-    free(s.cbpx); free(s.skipf); free(s.cmode); free(s.itype);
+    free(s.cbpx); free(s.skipf); free(s.cmode); free(s.itype); free(s.t8f);
     free(s.amvd); free(s.amvd1);
     free(c.mvg1); free(c.refg1);
     return err;

@@ -203,3 +203,49 @@ class TestCombined:
         for i in range(4):
             g.p_frame()
         check(g, 5)
+
+
+class TestCabacHigh:
+    """CAVLC High streams recoded to CABAC (entropy transcoder) must
+    decode bit-exactly in both the reference and our CABAC layer."""
+
+    def _recode(self, gen):
+        from librempeg_tpu.codecs.h264.entropy_transcode import (
+            cavlc_to_cabac,
+        )
+
+        return cavlc_to_cabac(gen.bytes())
+
+    def _check_stream(self, stream, n_expected):
+        w, h = W_MB * 16, H_MB * 16
+        ref, err = ref_decode(stream, w, h)
+        assert len(ref) == n_expected, \
+            f"reference decoded {len(ref)}/{n_expected}: {err}"
+        assert "error" not in err.lower(), err
+        got = our_decode(stream)
+        assert len(got) == n_expected
+        for i, (r3, g3) in enumerate(zip(ref, got)):
+            for a, b in zip(r3, g3):
+                assert np.array_equal(a, np.asarray(b)), f"frame {i}"
+
+    def test_cabac_i8x8(self):
+        g = HighStreamGen(W_MB, H_MB, seed=20)
+        g.headers()
+        g.i_frame(mix=("i8", "i4", "i16"))
+        self._check_stream(self._recode(g), 1)
+
+    def test_cabac_inter_t8(self):
+        g = HighStreamGen(W_MB, H_MB, seed=21)
+        g.headers()
+        g.i_frame(mix=("i16",))
+        for _ in range(3):
+            g.p_frame()
+        self._check_stream(self._recode(g), 4)
+
+    def test_cabac_t8_with_matrices(self):
+        g = HighStreamGen(W_MB, H_MB, seed=22, scaling="sps", qp=22)
+        g.headers()
+        g.i_frame()
+        for _ in range(2):
+            g.p_frame()
+        self._check_stream(self._recode(g), 3)
