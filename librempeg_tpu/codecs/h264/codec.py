@@ -593,21 +593,69 @@ class H264Decoder(Decoder):
                 st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1,
                 transform_8x8_mode=self.pps.transform_8x8_mode)
 
-        # accumulate slices into the current frame
+        # accumulate slices into the current frame. slice_id feeds the
+        # §6.4.9 neighbor-availability rule (intra prediction must not
+        # cross slice boundaries); each slice's ref lists and weight
+        # table may differ, so per-slice lists are REMAPPED onto a
+        # frame-global reference list as they arrive, and the per-slice
+        # weight tables are stacked for the native recon.
         if sh.first_mb == 0 or self._cur is None:
             self._cur = res
             self._cur_meta = sh
+            res["slice_id"] = np.zeros(nmb, np.int32)
+            self._slice_no = 0
+            self._cur_poc = self._compute_poc(sh, nal)
+            self._cur_l0, self._cur_l1 = [], []
+            self._cur_w = []
+            merge = False
         else:
+            self._slice_no += 1
+            merge = True
+        poc = self._cur_poc
+        l0s, l1s = self._init_ref_lists(sh, poc, is_b)
+        if is_b and (not l0s or not l1s):
+            raise InvalidData("h264: B slice without both temporal "
+                              "directions in DPB")
+        # remap this slice's local ref indices onto the global lists
+        for lst, glob, key in ((l0s, self._cur_l0, "ref"),
+                               (l1s if is_b else None, self._cur_l1,
+                                "ref1")):
+            if lst is None:
+                continue
+            lut = np.zeros(max(len(lst), 1), np.int8)
+            for i, e in enumerate(lst):
+                for gi, ge in enumerate(glob):
+                    if ge is e:
+                        lut[i] = gi
+                        break
+                else:
+                    glob.append(e)
+                    lut[i] = len(glob) - 1
+            rr = res[key]
+            sel = rr >= 0
+            if np.any(sel):
+                rr[sel] = lut[rr[sel]]
+        # this slice's weight mode (0 none / 1 explicit / 2 implicit)
+        sw, _ = self._pred_weight_tables(sh)
+        if sw is not None:
+            self._cur_w.append((1, sw[0], sw[1], sw[2]))
+        elif is_b and self.pps.weighted_bipred_idc == 2 and \
+                not (sh.num_ref_idx_l0 == 1 and sh.num_ref_idx_l1 == 1
+                     and l0s[0][5] + l1s[0][5] == 2 * poc):
+            self._cur_w.append((2, 5, 5, None))
+        else:
+            self._cur_w.append((0, 0, 0, None))
+        if merge:
             done = res["kind"] >= 0
             for k in ("kind", "info", "i4modes", "mv", "ref", "qp",
                       "coeffs", "ncoef", "mv1", "ref1"):
                 self._cur[k][done] = res[k][done]
+            self._cur["slice_id"][done] = self._slice_no
         if res["last_mb"] < nmb:
             return None                       # frame incomplete, more slices
 
         res = self._cur
         self._cur = None
-        poc = self._compute_poc(sh, nal)
         self._dec_count += 1
         do_deblock = (not self.pps.deblocking_filter_control_present
                       or sh.disable_deblock != 1)
@@ -616,14 +664,24 @@ class H264Decoder(Decoder):
         if cqo2 is None:
             cqo2 = cqo
         qmul4, qmul8 = self._qmul_tables()
-        weights, impw = self._pred_weight_tables(sh)
-        l0, l1 = self._init_ref_lists(sh, poc, is_b)
-        if is_b and (not l0 or not l1):
-            raise InvalidData("h264: B slice without both temporal "
-                              "directions in DPB")
-        if is_b and self.pps.weighted_bipred_idc == 2:
-            impw = self._implicit_weights(l0[:sh.num_ref_idx_l0],
-                                          l1[:sh.num_ref_idx_l1], poc)
+        l0, l1 = self._cur_l0, (self._cur_l1 if is_b else None)
+        # stack per-slice weight tables for the native recon
+        weights = impw = None
+        if any(m for m, *_ in self._cur_w):
+            nsl = len(self._cur_w)
+            wmode = np.zeros(nsl, np.int32)
+            wld = np.zeros((nsl, 2), np.int32)
+            wpx = np.zeros((nsl, 2, 32, 6), np.int32)
+            for i, (m, lld, cld, w) in enumerate(self._cur_w):
+                wmode[i] = m
+                wld[i] = (lld, cld)
+                if w is not None:
+                    wpx[i] = w
+            weights = (wmode, wld, wpx)
+            if np.any(wmode == 2):
+                impw = self._implicit_weights(l0, l1, poc)
+                if impw is None:
+                    impw = np.full((32, 32, 2), 32, np.int16)
         has_t8 = bool(np.any(res["info"]
                              & (1 << 14)))    # INFO_T8 (native/h264.cpp)
         n_intra = int(np.count_nonzero(res["kind"] >= 2))
@@ -631,7 +689,8 @@ class H264Decoder(Decoder):
                   and n_intra <= _INTRA_CAP_MAX
                   and not np.any(res["kind"] >= 4)  # I_PCM/I_8x8: host
                   and not has_t8 and weights is None
-                  and qmul4 is None and cqo2 == cqo)
+                  and qmul4 is None and cqo2 == cqo
+                  and not (self._slice_no and n_intra))
         if dev_ok:
             y, u, v, pack, tiles = self._decode_device(
                 res, mb_w, mb_h, sh, do_deblock, l0,

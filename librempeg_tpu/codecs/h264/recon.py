@@ -413,7 +413,8 @@ def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
                              chroma_qp_off: int, ref_packs: list,
                              ref_packs_l1: list | None = None,
                              qmul4=None, qmul8=None, cqp_off2=None,
-                             weights=None, impw=None) -> tuple:
+                             weights=None, impw=None,
+                             slice_id=None) -> tuple:
     """Host fast path: the whole reconstruction in one native call
     (dequant + IDCT + inter MC + intra assembly). Bit-identical to the
     array path below (asserted in tests/test_h264_inter.py).
@@ -434,7 +435,8 @@ def reconstruct_frame_native(res: dict, mb_w: int, mb_h: int,
     native.h264_recon_frame(y, u, v, res, mb_w, mb_h, chroma_qp_off,
                             ref_packs, ref_packs_l1,
                             qmul4=qmul4, qmul8=qmul8, cqp_off2=cqp_off2,
-                            weights=weights, impw=impw)
+                            weights=weights, impw=impw,
+                            slice_id=res.get("slice_id"))
     return y, u, v
 
 

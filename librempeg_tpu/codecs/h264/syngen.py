@@ -235,33 +235,39 @@ class HighStreamGen:
                     nc.set(gy, gx, 0)
 
     # -------------------------------------------------------------- frames
-    def i_frame(self, mix=("i4", "i8", "i16")):
-        """IDR frame cycling the given intra MB kinds."""
-        bw = BitWriterMSB()
-        _write_ue(bw, 0)                 # first_mb
-        _write_ue(bw, 7)                 # slice_type I (all)
-        _write_ue(bw, 0)                 # pps id
-        bw.write(0, 4)                   # frame_num (IDR -> 0)
-        _write_ue(bw, self.frame_num % 16)   # idr_pic_id
-        bw.write(0, 8)                   # poc lsb
-        bw.write(0, 1)                   # no_output_of_prior_pics
-        bw.write(0, 1)                   # long_term_reference_flag
-        _write_se(bw, 0)                 # slice_qp_delta
-        if not self.deblock:
-            _write_ue(bw, 1)             # disable_deblocking_filter_idc
-        ncY = _NcCtx(self.mb_h * 4, self.mb_w * 4)
-        ncU = _NcCtx(self.mb_h * 2, self.mb_w * 2)
-        ncV = _NcCtx(self.mb_h * 2, self.mb_w * 2)
-        modes4 = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
+    def i_frame(self, mix=("i4", "i8", "i16"), slices=1):
+        """IDR frame cycling the given intra MB kinds; `slices` > 1
+        splits at raster MB positions (entropy contexts AND intra
+        neighbor availability reset per slice, §6.4.9)."""
+        nmb = self.mb_w * self.mb_h
+        bounds = [nmb * i // slices for i in range(slices + 1)]
         k = 0
-        for my in range(self.mb_h):
-            for mx in range(self.mb_w):
+        for si in range(slices):
+            bw = BitWriterMSB()
+            _write_ue(bw, bounds[si])        # first_mb
+            _write_ue(bw, 7)                 # slice_type I (all)
+            _write_ue(bw, 0)                 # pps id
+            bw.write(0, 4)                   # frame_num (IDR -> 0)
+            _write_ue(bw, self.frame_num % 16)   # idr_pic_id
+            bw.write(0, 8)                   # poc lsb
+            bw.write(0, 1)                   # no_output_of_prior_pics
+            bw.write(0, 1)                   # long_term_reference_flag
+            _write_se(bw, 0)                 # slice_qp_delta
+            if not self.deblock:
+                _write_ue(bw, 1)         # disable_deblocking_filter_idc
+            ncY = _NcCtx(self.mb_h * 4, self.mb_w * 4)
+            ncU = _NcCtx(self.mb_h * 2, self.mb_w * 2)
+            ncV = _NcCtx(self.mb_h * 2, self.mb_w * 2)
+            modes4 = np.full((self.mb_h * 4, self.mb_w * 4), -2,
+                             np.int32)
+            for mb in range(bounds[si], bounds[si + 1]):
+                my, mx = divmod(mb, self.mb_w)
                 kind = mix[k % len(mix)]
                 k += 1
                 self._intra_mb(bw, ncY, ncU, ncV, modes4, my, mx, kind)
-        bw.write(1, 1)
-        bw.align()
-        self.out += _rbsp_to_nal(bw.bytes(), 5, 3)
+            bw.write(1, 1)
+            bw.align()
+            self.out += _rbsp_to_nal(bw.bytes(), 5, 3)
         self.frame_num = 1
         self.dpb_fn = [0]
         self.dpb_lt = {}
@@ -271,17 +277,19 @@ class HighStreamGen:
                   p_slice=False):
         base = 5 if p_slice else 0
         if kind == "i16":
+            has_t = my > 0 and modes4[my * 4 - 1, mx * 4] != -2
+            has_l = mx > 0 and modes4[my * 4, mx * 4 - 1] != -2
             imode = int(self.rng.integers(0, 4))
             # availability: mode 0 needs top, 1 needs left, 3 needs both
-            if my == 0 and imode in (0, 3):
-                imode = 2 if mx == 0 else 1
-            if mx == 0 and imode in (1, 3):
-                imode = 2 if my == 0 else 0
+            if not has_t and imode in (0, 3):
+                imode = 1 if has_l else 2
+            if not has_l and imode in (1, 3):
+                imode = 0 if has_t else 2
             cbp_c = int(self.rng.integers(0, 3))
             cbp_l = int(self.rng.integers(0, 2)) * 15
             mbt = 1 + imode + 4 * cbp_c + (12 if cbp_l else 0)
             _write_ue(bw, base + mbt)
-            _write_ue(bw, self._chroma_mode(my, mx))
+            _write_ue(bw, self._chroma_mode(my, mx, modes4))
             _write_se(bw, 0)             # mb_qp_delta (always, I_16x16)
             # luma DC (nC from neighbors at (0,0) cell)
             lv = self._rand_levels(16, density=0.4,
@@ -304,7 +312,7 @@ class HighStreamGen:
                 mb = modes4[gy - 1, gx] if gy > 0 else -2
                 pred = 2 if (ma == -2 or mb == -2) else \
                     min(2 if ma < 0 else ma, 2 if mb < 0 else mb)
-                mode = self._legal_i8_mode(my, mx, b8)
+                mode = self._legal_i8_mode(my, mx, b8, modes4)
                 if mode == pred:
                     bw.write(1, 1)
                 else:
@@ -322,14 +330,14 @@ class HighStreamGen:
                 mb = modes4[gy - 1, gx] if gy > 0 else -2
                 pred = 2 if (ma == -2 or mb == -2) else \
                     min(2 if ma < 0 else ma, 2 if mb < 0 else mb)
-                mode = self._legal_i4_mode(gy, gx)
+                mode = self._legal_i4_mode(gy, gx, modes4)
                 if mode == pred:
                     bw.write(1, 1)
                 else:
                     bw.write(0, 1)
                     bw.write(mode if mode < pred else mode - 1, 3)
                 modes4[gy, gx] = mode
-        _write_ue(bw, self._chroma_mode(my, mx))
+        _write_ue(bw, self._chroma_mode(my, mx, modes4))
         cbp_l = int(self.rng.integers(0, 16))
         cbp_c = int(self.rng.integers(0, 3))
         # me(v) intra CBP coding
@@ -343,9 +351,11 @@ class HighStreamGen:
             self._write_luma_4x4s(bw, ncY, mx, my, cbp_l)
         self._write_chroma(bw, ncU, ncV, mx, my, cbp_c)
 
-    def _legal_i4_mode(self, gy, gx) -> int:
-        """A random 4x4 mode valid for this block's availability."""
-        has_t, has_l = gy > 0, gx > 0
+    def _legal_i4_mode(self, gy, gx, modes4) -> int:
+        """A random 4x4 mode valid for this block's availability
+        (frame edges AND slice boundaries via the -2 cells)."""
+        has_t = gy > 0 and modes4[gy - 1, gx] != -2
+        has_l = gx > 0 and modes4[gy, gx - 1] != -2
         opts = [2]
         if has_t:
             opts += [0]
@@ -357,9 +367,10 @@ class HighStreamGen:
             opts += [3, 7]      # DDL/VL use top(+TR, edge-extended)
         return int(self.rng.choice(opts))
 
-    def _legal_i8_mode(self, my, mx, b8) -> int:
-        gy8, gx8 = my * 2 + (b8 >> 1), mx * 2 + (b8 & 1)
-        has_t, has_l = gy8 > 0, gx8 > 0
+    def _legal_i8_mode(self, my, mx, b8, modes4) -> int:
+        gy, gx = my * 4 + (b8 >> 1) * 2, mx * 4 + (b8 & 1) * 2
+        has_t = gy > 0 and modes4[gy - 1, gx] != -2
+        has_l = gx > 0 and modes4[gy, gx - 1] != -2
         opts = [2]
         if has_t:
             opts += [0, 3, 7]
@@ -369,29 +380,48 @@ class HighStreamGen:
             opts += [4, 5, 6]
         return int(self.rng.choice(opts))
 
-    def _chroma_mode(self, my, mx) -> int:
+    def _chroma_mode(self, my, mx, modes4) -> int:
+        has_l = mx > 0 and modes4[my * 4, mx * 4 - 1] != -2
+        has_t = my > 0 and modes4[my * 4 - 1, mx * 4] != -2
         opts = [0]
-        if mx > 0:
+        if has_l:
             opts.append(1)
-        if my > 0:
+        if has_t:
             opts.append(2)
-        if mx > 0 and my > 0:
+        if has_l and has_t:
             opts.append(3)
         return int(self.rng.choice(opts))
 
     def p_frame(self, *, skip_prob=0.25, intra_prob=0.1,
-                reorder=None, mmco=None):
+                reorder=None, mmco=None, slices=1):
         """One P frame: P_L0_16x16 + P_SKIP (+ scattered intra MBs),
-        optional ref-list modification ops and MMCO ops."""
+        optional ref-list modification ops and MMCO ops; `slices` > 1
+        splits the frame (contexts + availability reset per slice)."""
+        nmb = self.mb_w * self.mb_h
+        bounds = [nmb * i // slices for i in range(slices + 1)]
+        wtab = None
+        for si in range(slices):
+            wtab = self._p_slice(bounds[si], bounds[si + 1],
+                                 skip_prob, intra_prob,
+                                 reorder if si == 0 else None,
+                                 mmco if si == 0 else None,
+                                 marked=si > 0) or wtab
+        self.dpb_fn.insert(0, self.frame_num)
+        self.frame_num = (self.frame_num + 1) % 16
+        return wtab
+
+    def _p_slice(self, first_mb, end_mb, skip_prob, intra_prob,
+                 reorder, mmco, marked=False):
         from librempeg_tpu.codecs.h264.inter_enc import MotionCtx
 
         nref = min(self.num_ref, len(self.dpb_fn) + len(self.dpb_lt))
         bw = BitWriterMSB()
-        _write_ue(bw, 0)                 # first_mb
+        _write_ue(bw, first_mb)          # first_mb
         _write_ue(bw, 5)                 # slice_type P (all)
         _write_ue(bw, 0)
         bw.write(self.frame_num % 16, 4)
-        self.poc = getattr(self, "poc", 0) + 2
+        if not marked:
+            self.poc = getattr(self, "poc", 0) + 2
         bw.write(self.poc % 256, 8)      # poc lsb
         if nref != self.num_ref:
             bw.write(1, 1)               # num_ref_idx override
@@ -430,7 +460,8 @@ class HighStreamGen:
                     _write_se(bw, oc)
                     ws += [wc, oc]
                 wtab.append((wy, oy, *ws))
-        # dec_ref_pic_marking
+        # dec_ref_pic_marking (same content in every slice of a pic;
+        # the DPB model advances once, on the first slice)
         if mmco:
             bw.write(1, 1)               # adaptive marking
             for op, *vals in mmco:
@@ -438,10 +469,12 @@ class HighStreamGen:
                 for v in vals:
                     _write_ue(bw, v)
             _write_ue(bw, 0)
-            self._model_mmco(mmco)
+            if not marked:
+                self._model_mmco(mmco)
         else:
             bw.write(0, 1)               # sliding window
-            self._model_sliding()
+            if not marked:
+                self._model_sliding()
         _write_se(bw, 0)                 # slice_qp_delta
         if not self.deblock:
             _write_ue(bw, 1)             # disable_deblocking_filter_idc
@@ -450,12 +483,12 @@ class HighStreamGen:
         ncY = _NcCtx(self.mb_h * 4, self.mb_w * 4)
         ncU = _NcCtx(self.mb_h * 2, self.mb_w * 2)
         ncV = _NcCtx(self.mb_h * 2, self.mb_w * 2)
-        modes4 = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
+        modes4 = np.full((self.mb_h * 4, self.mb_w * 4), -2, np.int32)
         run = 0
-        for my in range(self.mb_h):
-            for mx in range(self.mb_w):
+        for mb in range(first_mb, end_mb):
+                my, mx = divmod(mb, self.mb_w)
                 r = self.rng.random()
-                if r < skip_prob and not (my == 0 and mx == 0):
+                if r < skip_prob and mb != first_mb:
                     svx, svy = mc.skip_mv(mx, my)
                     mc.fill(mx * 4, my * 4, 4, 4, 0, svx, svy)
                     for yy in range(4):
@@ -513,8 +546,6 @@ class HighStreamGen:
         bw.write(1, 1)
         bw.align()
         self.out += _rbsp_to_nal(bw.bytes(), 1, 2)
-        self.dpb_fn.insert(0, self.frame_num)
-        self.frame_num = (self.frame_num + 1) % 16
         return wtab
 
     # ------------------------------------------------- DPB model (syntax)

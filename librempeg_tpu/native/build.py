@@ -110,7 +110,8 @@ def get() -> ctypes.CDLL | None:
             i16p, i8p, ctypes.c_int,                 # mv1, ref1, n_ref1
             u8pp, u8pp, u8pp, u8pp, u8pp, u8pp,
             i32p, i32p, ctypes.c_int,                # qmul4/8, cqp_off2
-            i32p, ctypes.c_int, ctypes.c_int, i16p]  # wpx, denoms, impw
+            i32p, i32p, i32p, i16p,                  # wmode/wld/wpx/impw
+            i32p]                                    # slice_id
         lib.h264_cabac_slice.restype = ctypes.c_int
         lib.h264_cabac_slice.argtypes = [
             ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
@@ -123,7 +124,8 @@ def get() -> ctypes.CDLL | None:
         lib.h264_intra_recon.restype = None
         lib.h264_intra_recon.argtypes = [
             u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
-            i32p, i32p, i8p, i16p, i16p, ctypes.c_int, ctypes.c_int]
+            i32p, i32p, i8p, i16p, i16p, ctypes.c_int, ctypes.c_int,
+            i32p]                                    # slice_id
         lib.h264_sparse_coeffs.restype = ctypes.c_int
         lib.h264_sparse_coeffs.argtypes = [
             i16p, i16p, ctypes.c_int, i32p, i16p, ctypes.c_int]
@@ -391,7 +393,8 @@ def h264_deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 def h264_intra_recon(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      kind: np.ndarray, info: np.ndarray,
                      i4modes: np.ndarray, resid_y: np.ndarray,
-                     resid_c: np.ndarray, mb_w: int, mb_h: int) -> None:
+                     resid_c: np.ndarray, mb_w: int, mb_h: int,
+                     slice_id=None) -> None:
     """In-place intra MB reconstruction over uint8 planes; resid_y
     [nMB,256] int16 MB-raster, resid_c [nMB,2,64]."""
     lib = get()
@@ -405,7 +408,9 @@ def h264_intra_recon(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         _i8(np.ascontiguousarray(i4modes, np.int8)),
         _i16(np.ascontiguousarray(resid_y, np.int16)),
         _i16(np.ascontiguousarray(resid_c, np.int16)),
-        mb_w, mb_h)
+        mb_w, mb_h,
+        _i32(np.ascontiguousarray(slice_id, np.int32))
+        if slice_id is not None else ctypes.POINTER(ctypes.c_int32)())
 
 
 def h264_qpel_planes(epad: np.ndarray):
@@ -460,7 +465,8 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      res: dict, mb_w: int, mb_h: int,
                      chroma_qp_off: int, ref_packs,
                      ref_packs_l1=None, qmul4=None, qmul8=None,
-                     cqp_off2=None, weights=None, impw=None) -> None:
+                     cqp_off2=None, weights=None, impw=None,
+                     slice_id=None) -> None:
     """Full in-place frame reconstruction (residuals + inter MC + intra)
     from per-MB entropy tensors; ref_packs are recon.RefPack objects."""
     lib = get()
@@ -500,13 +506,12 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         if qmul4 is not None else None
     a_q8 = np.ascontiguousarray(qmul8, np.int32) \
         if qmul8 is not None else None
-    # weights: (luma_ld, chroma_ld, wpx[2][32][6] int32) from the
-    # slice header's pred_weight_table, already tabulated by the codec
-    luma_ld = chroma_ld = 0
-    a_wpx = None
+    # weights: per-slice (wmode[nsl], wld[nsl,2], wpx[nsl,2,32,6])
+    # tabulated by the codec from each slice's pred_weight_table
+    a_wm = a_wld = a_wpx = None
     if weights is not None:
-        luma_ld, chroma_ld, a_wpx = weights
-        a_wpx = np.ascontiguousarray(a_wpx, np.int32)
+        a_wm, a_wld, a_wpx = (np.ascontiguousarray(w, np.int32)
+                              for w in weights)
     a_imp = np.ascontiguousarray(impw, np.int16) \
         if impw is not None else None
     r = lib.h264_recon_frame(
@@ -525,9 +530,12 @@ def h264_recon_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         _i32(a_q4) if a_q4 is not None else null32,
         _i32(a_q8) if a_q8 is not None else null32,
         chroma_qp_off if cqp_off2 is None else cqp_off2,
+        _i32(a_wm) if a_wm is not None else null32,
+        _i32(a_wld) if a_wld is not None else null32,
         _i32(a_wpx) if a_wpx is not None else null32,
-        luma_ld, chroma_ld,
-        _i16(a_imp) if a_imp is not None else null16)
+        _i16(a_imp) if a_imp is not None else null16,
+        _i32(np.ascontiguousarray(slice_id, np.int32))
+        if slice_id is not None else null32)
     if r < 0:
         from librempeg_tpu.core.errors import InvalidData
 

@@ -1226,9 +1226,9 @@ inline uint8_t clip255(int v) { return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v)
 
 // Intra_16x16 luma prediction into pred[256]
 void pred16(const uint8_t* Y, int W, int my, int mx, int mode,
-            int* pred) {
-    const uint8_t* top = my > 0 ? Y + (size_t)(my * 16 - 1) * W + mx * 16
-                                : nullptr;
+            int* pred, int av_t, int av_l) {
+    const uint8_t* top = av_t ? Y + (size_t)(my * 16 - 1) * W + mx * 16
+                              : nullptr;
     int y0 = my * 16, x0 = mx * 16;
     if (mode == 0) {                        // vertical
         for (int y = 0; y < 16; y++)
@@ -1240,16 +1240,16 @@ void pred16(const uint8_t* Y, int W, int my, int mx, int mode,
         }
     } else if (mode == 2) {                 // DC
         int dc;
-        if (my > 0 && mx > 0) {
+        if (av_t && av_l) {
             int s = 0;
             for (int x = 0; x < 16; x++) s += top[x];
             for (int y = 0; y < 16; y++) s += Y[(size_t)(y0 + y) * W + x0 - 1];
             dc = (s + 16) >> 5;
-        } else if (my > 0) {
+        } else if (av_t) {
             int s = 0;
             for (int x = 0; x < 16; x++) s += top[x];
             dc = (s + 8) >> 4;
-        } else if (mx > 0) {
+        } else if (av_l) {
             int s = 0;
             for (int y = 0; y < 16; y++) s += Y[(size_t)(y0 + y) * W + x0 - 1];
             dc = (s + 8) >> 4;
@@ -1278,12 +1278,13 @@ void pred16(const uint8_t* Y, int W, int my, int mx, int mode,
 }
 
 // chroma 8x8 prediction (modes: 0=DC quadrant, 1=H, 2=V, 3=plane)
-void pred8c(const uint8_t* C, int W, int my, int mx, int mode, int* pred) {
+void pred8c(const uint8_t* C, int W, int my, int mx, int mode,
+            int* pred, int av_t, int av_l) {
     int y0 = my * 8, x0 = mx * 8;
     if (mode == 0) {
         for (int qy = 0; qy < 2; qy++)
             for (int qx = 0; qx < 2; qx++) {
-                int ts = 0, ls = 0, has_t = my > 0, has_l = mx > 0;
+                int ts = 0, ls = 0, has_t = av_t, has_l = av_l;
                 if (has_t)
                     for (int x = 0; x < 4; x++)
                         ts += C[(size_t)(y0 - 1) * W + x0 + qx * 4 + x];
@@ -1339,17 +1340,25 @@ void pred8c(const uint8_t* C, int W, int my, int mx, int mode, int* pred) {
 // diagonal-index loops over the filtered arrays. Behavioral reference:
 // h264pred_template.c pred8x8l_* (availability/filtering corner rules).
 void pred8l(const uint8_t* Y, int W, int w8, int gy8, int gx8,
-            int mode, int* p) {
+            int mode, int* p, int mb_t, int mb_l, int mb_tr,
+            int mb_tl) {
+    // mb_*: availability of the neighbor MBs (frame edge + slice
+    // boundary, §8.3 clause 6.4.9); intra-MB neighbors always exist
     const int y0 = gy8 * 8, x0 = gx8 * 8;
-    const int avail_t = gy8 > 0, avail_l = gx8 > 0;
-    const int avail_tl = avail_t && avail_l;
+    const int b8y = gy8 & 1, b8x = gx8 & 1;
+    const int avail_t = b8y ? 1 : mb_t;
+    const int avail_l = b8x ? 1 : mb_l;
+    const int avail_tl = (b8y && b8x) ? 1
+        : (b8y ? avail_l && avail_t      /* block 2: left MB + in-MB */
+           : (b8x ? mb_t : mb_tl));
     int avail_tr = 0;
     if (gy8 > 0 && gx8 + 1 < w8) {
         long cur = ((long)(gy8 >> 1) * (w8 >> 1) + (gx8 >> 1)) * 4
                    + (gy8 & 1) * 2 + (gx8 & 1);
         long tr = ((long)((gy8 - 1) >> 1) * (w8 >> 1) + ((gx8 + 1) >> 1))
                   * 4 + ((gy8 - 1) & 1) * 2 + ((gx8 + 1) & 1);
-        avail_tr = tr < cur;
+        avail_tr = tr < cur
+            && (b8y ? 1 : (b8x ? mb_tr : mb_t));
     }
     int Tr[16], Lr[8], Cr = 128;           // raw neighbor samples
     for (int i = 0; i < 16; i++) Tr[i] = 128;
@@ -1365,6 +1374,16 @@ void pred8l(const uint8_t* Y, int W, int w8, int gy8, int gx8,
         for (int y = 0; y < 8; y++)
             Lr[y] = Y[(size_t)(y0 + y) * W + x0 - 1];
     if (avail_tl) Cr = Y[(size_t)(y0 - 1) * W + x0 - 1];
+    // lt (modes 4/5/6): the reference's LOAD_TOPLEFT reads all three
+    // corner samples straight from frame memory (h264pred_template.c:
+    // PREDICT_8x8_LOAD_TOPLEFT has no availability guard), so compute
+    // it frame-bounds-only -- conformant streams only use it when the
+    // topleft really is available
+    int ltF = 0;
+    if (y0 > 0 && x0 > 0)
+        ltF = (Y[(size_t)y0 * W + x0 - 1]
+               + 2 * Y[(size_t)(y0 - 1) * W + x0 - 1]
+               + Y[(size_t)(y0 - 1) * W + x0] + 2) >> 2;
 
     int t[16], l[8], lt = 0;
     if (avail_t) {
@@ -1390,7 +1409,7 @@ void pred8l(const uint8_t* Y, int W, int w8, int gy8, int gx8,
     } else {
         for (int y = 0; y < 8; y++) l[y] = 128;
     }
-    if (avail_tl) lt = (Lr[0] + 2 * Cr + Tr[0] + 2) >> 2;
+    lt = ltF;
 
     switch (mode) {
     case 0:                                 // vertical
@@ -1564,22 +1583,33 @@ static const int ORD4[16] = {0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13,
 
 // Intra_4x4 prediction for one block at 4x4-grid coords (gy,gx)
 void pred4(const uint8_t* Y, int W, int w4, int gy, int gx, int mode,
-           int* p) {
+           int* p, int mb_t, int mb_l, int mb_tr, int mb_tl) {
+    // mb_*: neighbor-MB availability (frame edges + slice boundaries)
     int y0 = gy * 4, x0 = gx * 4;
-    int avail_t = gy > 0, avail_l = gx > 0;
+    const int by = gy & 3, bx = gx & 3;
+    int avail_t = by ? 1 : mb_t;
+    int avail_l = bx ? 1 : mb_l;
+    // topleft SAMPLE: the reference's 4x4 predictors read it straight
+    // from frame memory whenever it exists (h264_mb.c pred4x4 call --
+    // no has_topleft plumbed at 4x4, unlike 8x8), so availability is
+    // frame-bounds only; conformant streams never use modes needing
+    // an out-of-slice topleft
+    int avail_tl = gy > 0 && gx > 0;
+    (void)mb_tl;
     int cur_ord = ((gy / 4) * (w4 / 4) + gx / 4) * 16
                   + ORD4[(gy % 4) * 4 + (gx % 4)];
     int tr_ord = gy > 0 && gx + 1 < w4
         ? (((gy - 1) / 4) * (w4 / 4) + (gx + 1) / 4) * 16
           + ORD4[((gy - 1) % 4) * 4 + ((gx + 1) % 4)]
         : 0x7fffffff;
-    int avail_tr = gy > 0 && gx + 1 < w4 && tr_ord < cur_ord;
+    int avail_tr = gy > 0 && gx + 1 < w4 && tr_ord < cur_ord
+        && (by ? 1 : (bx == 3 ? mb_tr : mb_t));
     int t[4], l[4], tt[8], lt = 0;
     if (avail_t)
         for (int x = 0; x < 4; x++) t[x] = Y[(size_t)(y0 - 1) * W + x0 + x];
     if (avail_l)
         for (int y = 0; y < 4; y++) l[y] = Y[(size_t)(y0 + y) * W + x0 - 1];
-    if (avail_t && avail_l) lt = Y[(size_t)(y0 - 1) * W + x0 - 1];
+    if (avail_tl) lt = Y[(size_t)(y0 - 1) * W + x0 - 1];
     if (avail_t) {
         for (int x = 0; x < 4; x++) tt[x] = t[x];
         for (int x = 0; x < 4; x++)
@@ -1705,7 +1735,8 @@ extern "C" void h264_intra_recon(
     const int8_t* i4modes,
     const int16_t* resid_y,    // [nMB][256] raster within MB
     const int16_t* resid_c,    // [nMB][2][64]
-    int mb_w, int mb_h)
+    int mb_w, int mb_h,
+    const int32_t* slice_id)   // per-MB slice ids (NULL = one slice)
 {
     const int cw = width / 2;
     int pred[256];
@@ -1715,13 +1746,24 @@ extern "C" void h264_intra_recon(
             const int k = mb_kind[mb];
             if (k < 2 || k == 4) continue;  // inter/skip/undecoded;
                                             // I_PCM copied by caller
+            // neighbor-MB availability: frame edge + same-slice (§6.4.9)
+            #define SAME_SL(nmb_) (!slice_id \
+                || slice_id[nmb_] == slice_id[mb])
+            const int av_t = my > 0 && SAME_SL(mb - mb_w);
+            const int av_l = mx > 0 && SAME_SL(mb - 1);
+            const int av_tr = my > 0 && mx + 1 < mb_w
+                              && SAME_SL(mb - mb_w + 1);
+            const int av_tl = my > 0 && mx > 0
+                              && SAME_SL(mb - mb_w - 1);
+            #undef SAME_SL
             const int16_t* ry = resid_y + (size_t)mb * 256;
             if (k == K_I8X8) {              // Intra_8x8 (High profile)
                 for (int b8 = 0; b8 < 4; b8++) {
                     int gy8 = my * 2 + (b8 >> 1), gx8 = mx * 2 + (b8 & 1);
                     int p8[64];
                     pred8l(Y, width, mb_w * 2, gy8, gx8,
-                           i4modes[mb * 16 + b8], p8);
+                           i4modes[mb * 16 + b8], p8,
+                           av_t, av_l, av_tr, av_tl);
                     const int oy = (b8 >> 1) * 8, ox = (b8 & 1) * 8;
                     for (int y = 0; y < 8; y++) {
                         uint8_t* row = Y + (size_t)(gy8 * 8 + y) * width
@@ -1733,7 +1775,8 @@ extern "C" void h264_intra_recon(
                     }
                 }
             } else if (k == 3) {            // I_16x16
-                pred16(Y, width, my, mx, mb_info[mb] & 15, pred);
+                pred16(Y, width, my, mx, mb_info[mb] & 15, pred,
+                       av_t, av_l);
                 for (int y = 0; y < 16; y++) {
                     uint8_t* row = Y + (size_t)(my * 16 + y) * width
                                    + mx * 16;
@@ -1747,7 +1790,8 @@ extern "C" void h264_intra_recon(
                     int gy = my * 4 + by, gx = mx * 4 + bx;
                     int p4[16];
                     pred4(Y, width, mb_w * 4, gy, gx,
-                          i4modes[mb * 16 + by * 4 + bx], p4);
+                          i4modes[mb * 16 + by * 4 + bx], p4,
+                          av_t, av_l, av_tr, av_tl);
                     for (int y = 0; y < 4; y++) {
                         uint8_t* row = Y + (size_t)(gy * 4 + y) * width
                                        + gx * 4;
@@ -1762,7 +1806,7 @@ extern "C" void h264_intra_recon(
             for (int pl = 0; pl < 2; pl++) {
                 uint8_t* C = pl == 0 ? U : V;
                 const int16_t* rc = resid_c + ((size_t)mb * 2 + pl) * 64;
-                pred8c(C, cw, my, mx, cmode, pred);
+                pred8c(C, cw, my, mx, cmode, pred, av_t, av_l);
                 for (int y = 0; y < 8; y++) {
                     uint8_t* row = C + (size_t)(my * 8 + y) * cw + mx * 8;
                     for (int x = 0; x < 8; x++)
@@ -1936,9 +1980,13 @@ extern "C" int h264_recon_frame(
     const int32_t* qmul4,    // [6][52][16] raster dequant, NULL = flat
     const int32_t* qmul8,    // [2][52][64] raster dequant, NULL = flat
     int cqp_off2,            // Cr-plane qp offset (2nd PPS offset)
-    const int32_t* wpx,      // explicit weights [2][32][6] or NULL
-    int luma_ld, int chroma_ld,
-    const int16_t* impw)     // implicit bi weights [r0*32+r1][2] / NULL
+    // weighted prediction, per SLICE (ref idx are frame-global after
+    // the codec's per-slice list remap):
+    const int32_t* wmode,    // [nslices] 0 none / 1 explicit / 2 impl
+    const int32_t* wld,      // [nslices][2] luma/chroma log2 denoms
+    const int32_t* wpx,      // [nslices][2][32][6] explicit weights
+    const int16_t* impw,     // implicit bi weights [r0*32+r1][2] / NULL
+    const int32_t* slice_id) // per-MB slice ids or NULL
 {
     const int W = mb_w * 16, H = mb_h * 16;
     const int cw = W / 2;
@@ -2184,8 +2232,14 @@ chroma_residual:;
             // explicit weights (§8.4.2.3.2, single direction): the
             // interpolated sample is weighted+clipped BEFORE the
             // residual add (two clips, like the reference pipeline)
-            const int wl = wpx ? wpx[(size_t)r8 * 6 + 0] : 1;
-            const int olw = wpx ? wpx[(size_t)r8 * 6 + 1] : 0;
+            const int sid = slice_id ? slice_id[mb] : 0;
+            const int expw = wmode && wmode[sid] == 1;
+            const int luma_ld = expw ? wld[sid * 2] : 0;
+            const int chroma_ld = expw ? wld[sid * 2 + 1] : 0;
+            const int32_t* wps = expw
+                ? wpx + (size_t)sid * 2 * 32 * 6 : 0;
+            const int wl = wps ? wps[(size_t)r8 * 6 + 0] : 1;
+            const int olw = wps ? wps[(size_t)r8 * 6 + 1] : 0;
             for (int y = 0; y < bs; y++) {
                 uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
                 const uint8_t* a = p1 + (size_t)y * wp;
@@ -2197,7 +2251,7 @@ chroma_residual:;
                 const int skip_r = uniform
                     ? !((lm >> (rby * 4)) & 0xF)      // whole row-of-blocks
                     : !((lm >> blk) & 1);
-                if (!wpx) {
+                if (!wps) {
                     if (skip_r) {
                         for (int x = 0; x < bs; x++)
                             orow[x] = (uint8_t)((a[x] + b[x] + 1) >> 1);
@@ -2232,9 +2286,9 @@ chroma_residual:;
                 uint8_t* O = pl ? V : U;
                 const int16_t* rcb = rc + pl * 64;
                 const int any_c = (cmask[mb] >> (pl * 4)) & 0xF;
-                const int wcq = wpx ? wpx[(size_t)r8 * 6 + 2 + pl * 2]
+                const int wcq = wps ? wps[(size_t)r8 * 6 + 2 + pl * 2]
                                     : 1;
-                const int ocq = wpx ? wpx[(size_t)r8 * 6 + 3 + pl * 2]
+                const int ocq = wps ? wps[(size_t)r8 * 6 + 3 + pl * 2]
                                     : 0;
                 for (int y = 0; y < cs; y++) {
                     const uint8_t* r0 = C + (size_t)(ciy + y) * wc + cix;
@@ -2245,7 +2299,7 @@ chroma_residual:;
                         int p = (w00 * r0[x] + w01 * r0[x + 1]
                                  + w10 * r1[x] + w11 * r1[x + 1] + 32)
                                 >> 6;
-                        if (wpx) {
+                        if (wps) {
                             p = chroma_ld > 0
                                 ? ((p * wcq + (1 << (chroma_ld - 1)))
                                    >> chroma_ld) + ocq
@@ -2341,20 +2395,27 @@ chroma_residual:;
             // weighted combination (§8.4.2.3.2): explicit per-list
             // weights, or implicit bi-prediction weights from the POC
             // distance table (single direction stays unweighted there)
+            const int sid = slice_id ? slice_id[mb] : 0;
+            const int smode = wmode ? wmode[sid] : 0;
+            const int luma_ld = smode == 1 ? wld[sid * 2] : 5;
+            const int chroma_ld = smode == 1 ? wld[sid * 2 + 1] : 5;
+            const int32_t* wps = smode == 1
+                ? wpx + (size_t)sid * 2 * 32 * 6 : 0;
+            const int16_t* imps = smode == 2 ? impw : 0;
             int wy0 = 1, wy1 = 0, oy2 = 0, bi_w = 0;
             int wc0[2] = {1, 1}, wc1[2] = {0, 0}, oc2[2] = {0, 0};
-            if (nlists == 2 && impw) {
-                const int16_t* iw = impw + ((size_t)rsel[0] * 32
+            if (nlists == 2 && imps) {
+                const int16_t* iw = imps + ((size_t)rsel[0] * 32
                                             + rsel[1]) * 2;
                 wy0 = iw[0]; wy1 = iw[1]; oy2 = 0; bi_w = 1;
                 wc0[0] = wc0[1] = iw[0];
                 wc1[0] = wc1[1] = iw[1];
-            } else if (wpx) {
+            } else if (wps) {
                 const int32_t* wA =
-                    wpx + ((size_t)lsel[0] * 32 + rsel[0]) * 6;
+                    wps + ((size_t)lsel[0] * 32 + rsel[0]) * 6;
                 if (nlists == 2) {
                     const int32_t* wB =
-                        wpx + ((size_t)lsel[1] * 32 + rsel[1]) * 6;
+                        wps + ((size_t)lsel[1] * 32 + rsel[1]) * 6;
                     wy0 = wA[0]; wy1 = wB[0];
                     oy2 = (wA[1] + wB[1] + 1) >> 1;
                     for (int pl = 0; pl < 2; pl++) {
@@ -2372,8 +2433,8 @@ chroma_residual:;
                     }
                 }
             }
-            const int ild = impw && bi_w == 1 && !wpx ? 5 : luma_ld;
-            const int icd = impw && bi_w == 1 && !wpx ? 5 : chroma_ld;
+            const int ild = luma_ld;
+            const int icd = chroma_ld;
             for (int y = 0; y < 4; y++) {
                 uint8_t* orow = Y + (size_t)(y0 + y) * W + x0;
                 const int16_t* rr = ry + (by * 4 + y) * 16 + bx * 4;
@@ -2460,7 +2521,7 @@ chroma_residual:;
     }
     if (have_intra)
         h264_intra_recon(Y, U, V, W, H, kind, info, i4modes,
-                         resid_y, resid_c, mb_w, mb_h);
+                         resid_y, resid_c, mb_w, mb_h, slice_id);
     free(resid_y);
     free(resid_c);
     free(lmask);

@@ -249,3 +249,32 @@ class TestCabacHigh:
         for _ in range(2):
             g.p_frame()
         self._check_stream(self._recode(g), 3)
+
+
+class TestMultiSlice:
+    """Slice boundaries bound intra prediction and entropy contexts
+    (§6.4.9); decode must stay bit-exact vs the reference."""
+
+    def test_multi_slice_i_frames(self):
+        for slices in (2, 3, 4):
+            g = HighStreamGen(W_MB, H_MB, seed=30 + slices)
+            g.headers()
+            g.i_frame(slices=slices)
+            check(g, 1)
+
+    def test_multi_slice_ip(self):
+        g = HighStreamGen(W_MB, H_MB, seed=60, num_ref=2)
+        g.headers()
+        g.i_frame(slices=2)
+        for i in range(3):
+            g.p_frame(slices=2 + (i % 2))
+        check(g, 4)
+
+    def test_multi_slice_with_weights_and_matrices(self):
+        g = HighStreamGen(W_MB, H_MB, seed=62, scaling="sps",
+                          weighted=1, num_ref=2)
+        g.headers()
+        g.i_frame(slices=3)
+        g.p_frame(slices=2)
+        g.p_frame(slices=2)
+        check(g, 3)
