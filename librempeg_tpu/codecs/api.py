@@ -169,6 +169,8 @@ _ENCODERS: dict[str, type[Encoder]] = {}
 
 def register_decoder(cls: type[Decoder]) -> type[Decoder]:
     _DECODERS[cls.INFO.name] = cls
+    for alias in getattr(cls, "ALIASES", ()):
+        _DECODERS[alias] = cls
     return cls
 
 

@@ -257,6 +257,10 @@ class H264Decoder(Decoder):
                help="on-device P-frame recon/deblock: 1=on, 0=off, "
                     "-1=auto (on when an accelerator backend is "
                     "present)"),
+        Option("err_detect", str, "conceal",
+               help="bitstream-error policy: 'conceal' repairs damaged "
+                    "regions and keeps decoding (error_resilience.c "
+                    "role), 'explode' raises on the first error"),
     )
 
     def __init__(self, params=None, **opts):
@@ -359,6 +363,36 @@ class H264Decoder(Decoder):
         self._reorder.clear()
         self._last_out_poc = None   # POC restarts at the IDR boundary
         return out
+
+    def _conceal_damaged(self, res, sh, have_refs: bool) -> None:
+        """Fill never-decoded MBs (kind < 0) so reconstruction covers
+        the whole frame: with references, a zero-MV co-located copy
+        (the guess_mv class of error_resilience.c:1369); intra-only
+        frames get a spatial fill after recon (ops/conceal.py)."""
+        und = res["kind"] < 0
+        n = int(und.sum())
+        if not n:
+            return
+        import sys
+
+        print(f"h264: concealing {n} damaged macroblocks",
+              file=sys.stderr)
+        res["coeffs"][und] = 0
+        res["ncoef"][und] = 0
+        res["info"][und] = 2              # imode16 = DC
+        res["qp"][und] = sh.qp
+        if have_refs:
+            res["kind"][und] = 0          # P_SKIP: co-located copy
+            res["ref"][und] = 0
+            res["mv"][und] = 0
+            if "ref1" in res:
+                res["ref1"][und] = -1
+        else:
+            # intra frame: reconstruct what decoded, then diffuse into
+            # the damaged blocks from valid neighbors
+            res["kind"][und] = 3          # I_16x16 DC placeholder
+            res["i4modes"][und] = 0
+            res["_spatial_conceal"] = und.copy()
 
     def _qmul_tables(self):
         """ff-form dequant multiplier tables for the active PPS
@@ -581,17 +615,20 @@ class H264Decoder(Decoder):
         if sh.idr:
             self._dpb.clear()
         st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
+        conceal = self.opts["err_detect"] != "explode"
         if self.pps.entropy_coding_mode:
             res = native.h264_decode_slice_cabac(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
                 st_code, sh.qp, sh.num_ref_idx_l0, sh.cabac_init_idc,
                 sh.num_ref_idx_l1,
-                transform_8x8_mode=self.pps.transform_8x8_mode)
+                transform_8x8_mode=self.pps.transform_8x8_mode,
+                partial=conceal)
         else:
             res = native.h264_decode_slice_cavlc(
                 nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
                 st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1,
-                transform_8x8_mode=self.pps.transform_8x8_mode)
+                transform_8x8_mode=self.pps.transform_8x8_mode,
+                partial=conceal)
 
         # accumulate slices into the current frame. slice_id feeds the
         # §6.4.9 neighbor-availability rule (intra prediction must not
@@ -651,10 +688,16 @@ class H264Decoder(Decoder):
                       "coeffs", "ncoef", "mv1", "ref1"):
                 self._cur[k][done] = res[k][done]
             self._cur["slice_id"][done] = self._slice_no
-        if res["last_mb"] < nmb:
+        had_error = bool(res.get("error")) or \
+            bool(self._cur.get("error"))
+        if had_error:
+            self._cur["error"] = 1
+        if res["last_mb"] < nmb and not had_error:
             return None                       # frame incomplete, more slices
 
         res = self._cur
+        if had_error:
+            self._conceal_damaged(res, sh, bool(l0s))
         self._cur = None
         self._dec_count += 1
         do_deblock = (not self.pps.deblocking_filter_control_present
@@ -690,7 +733,8 @@ class H264Decoder(Decoder):
                   and not np.any(res["kind"] >= 4)  # I_PCM/I_8x8: host
                   and not has_t8 and weights is None
                   and qmul4 is None and cqo2 == cqo
-                  and not (self._slice_no and n_intra))
+                  and not (self._slice_no and n_intra)
+                  and not had_error)
         if dev_ok:
             y, u, v, pack, tiles = self._decode_device(
                 res, mb_w, mb_h, sh, do_deblock, l0,
@@ -744,6 +788,21 @@ class H264Decoder(Decoder):
                           None)
                 self._dpb.insert(0, [sh.frame_num, (y, u, v), None,
                                      None, None, poc, lt])
+
+        mask = res.get("_spatial_conceal")
+        if mask is not None and np.any(mask):
+            from librempeg_tpu.ops.conceal import conceal_blocks
+
+            m2 = mask.reshape(mb_h, mb_w)
+            y = np.asarray(conceal_blocks(
+                np.asarray(y, np.float32)[None], m2[None])[0]
+            ).clip(0, 255).astype(np.uint8)
+            u = np.asarray(conceal_blocks(
+                np.asarray(u, np.float32)[None], m2[None],
+                block_size=8)[0]).clip(0, 255).astype(np.uint8)
+            v = np.asarray(conceal_blocks(
+                np.asarray(v, np.float32)[None], m2[None],
+                block_size=8)[0]).clip(0, 255).astype(np.uint8)
 
         w, h = self.sps.width, self.sps.height
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \

@@ -615,14 +615,14 @@ def _h263_dequant(levels: np.ndarray, qp: np.ndarray) -> np.ndarray:
 
 
 def _idct_f(blocks64: np.ndarray) -> np.ndarray:
-    """Spec IDCT over [..., 64] raster coeffs (float64 reference)."""
-    from librempeg_tpu.codecs.jpeg.encoder import _verify_scale
-    from librempeg_tpu.ops.dct8x8 import _ortho_basis
+    """IDCT over [..., 64] raster coeffs with the reference decoder's
+    simple_idct 8-bit numeric contract (row DC shortcut, int16 row
+    storage) -- the float spec IDCT rounds a small fraction of samples
+    differently, breaking bit-exactness against the reference."""
+    from librempeg_tpu.codecs.mpeg12.decoder import idct_simple
 
-    B = _ortho_basis()
-    s = _verify_scale().astype(np.float64)
-    c = blocks64.reshape(*blocks64.shape[:-1], 8, 8) / s
-    return np.einsum("ji,...jk,kl->...il", B, c, B)
+    return idct_simple(
+        blocks64.reshape(*blocks64.shape[:-1], 8, 8)).astype(np.float64)
 
 
 def _dequant_idct_intra(coefs, qp_map, chroma):

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from typing import Any, Iterator
 
 from librempeg_tpu.core.errors import EndOfStream, InvalidData, NotFound
-from librempeg_tpu.core.packet import Packet
+from librempeg_tpu.core.packet import Packet, PktFlags
 from librempeg_tpu.core.rational import NOPTS, Rational, compare_ts
 from librempeg_tpu.formats.io import IOContext, MemoryIO, open_io
 
@@ -92,7 +92,64 @@ class Demuxer:
         raise NotImplementedError
 
     def read_seek(self, stream_index: int, ts: int) -> None:
-        raise NotImplementedError(f"{self.NAME}: seeking not supported")
+        """Position so the next packets start at the last KEY packet
+        with pts <= ts on `stream_index`.
+
+        Format-specific demuxers override this with real index lookups
+        (mp4 stss, mkv cues, ...); this generic fallback -- the
+        ff_seek_frame_binary role (libavformat/seek.c:290) for formats
+        without one -- re-parses from byte 0 and scans packets,
+        retaining everything from the chosen keyframe onward so
+        interleaved audio stays aligned. O(file), always correct, and
+        only used when -ss is requested on an index-less container.
+        """
+        self.generic_seek(stream_index, ts)
+
+    def generic_seek(self, stream_index: int, ts: int) -> None:
+        from collections import deque
+
+        seekable = getattr(self.io, "seekable", False)
+        if callable(seekable):
+            seekable = seekable()
+        if self.io is None or not seekable:
+            raise NotImplementedError(
+                f"{self.NAME}: cannot seek unseekable input")
+        self.io.seek(0)
+        self._replay = deque()
+        self.streams = []
+        self.read_header(self.io)
+        self.on_restore()
+        queue: deque = deque()
+        have_key = False
+        while True:
+            try:
+                pkt = self.read_packet()
+            except EndOfStream:
+                break
+            if pkt.stream_index == stream_index:
+                t = pkt.pts if pkt.pts != NOPTS else pkt.dts
+                is_key = bool(pkt.flags & PktFlags.KEY)
+                if is_key and (t == NOPTS or t <= ts or not have_key):
+                    queue.clear()
+                    have_key = True
+                queue.append(pkt)
+                if have_key and t != NOPTS and t >= ts:
+                    break
+            elif have_key:
+                queue.append(pkt)
+        self._replay = queue
+        # shadow read_packet on the instance so callers drain the
+        # retained packets before live demuxing resumes
+        if not getattr(self, "_replay_wrapped", False):
+            inner = self.read_packet
+
+            def _rp():
+                if self._replay:
+                    return self._replay.popleft()
+                return inner()
+
+            self.read_packet = _rp
+            self._replay_wrapped = True
 
     def tell_resume(self) -> int:
         """Byte offset a checkpoint should seek to on restore. Demuxers

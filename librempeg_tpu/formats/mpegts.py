@@ -325,9 +325,14 @@ class MpegTsDemuxer(Demuxer):
         payload = bytes(buf[9 + hlen:])
         if not payload:
             return
+        sti = self._pid_stream[pid]
+        st = self.streams[sti]
+        if st.start_time == NOPTS and pts != NOPTS:
+            st.start_time = pts
+        key = _payload_is_key(self._pid_codec[pid], payload)
         self._packets.append(Packet(
             data=payload, pts=pts, dts=pts, duration=0,
-            stream_index=self._pid_stream[pid], flags=PktFlags.KEY,
+            stream_index=sti, flags=PktFlags.KEY if key else 0,
             time_base=Rational(1, 90000)))
 
     def read_packet(self) -> Packet:
@@ -336,3 +341,29 @@ class MpegTsDemuxer(Demuxer):
         p = self._packets[self._cursor]
         self._cursor += 1
         return p
+
+
+def _payload_is_key(codec: str, payload: bytes) -> bool:
+    """Random-access detection from the ES payload (the mpegts.c
+    random-access-indicator role when the muxer didn't set one)."""
+    if codec in ("mpeg1video", "mpeg2video"):
+        if b"\x00\x00\x01\xb3" in payload[:256]:
+            return True
+        p = payload.find(b"\x00\x00\x01\x00")
+        return p != -1 and p + 5 < len(payload) \
+            and ((payload[p + 5] >> 3) & 7) == 1
+    if codec == "h264":
+        i = payload.find(b"\x00\x00\x01")
+        while i != -1 and i + 3 < len(payload):
+            t = payload[i + 3] & 0x1F
+            if t == 5:
+                return True
+            if t == 1:
+                return False
+            i = payload.find(b"\x00\x00\x01", i + 3)
+        return False
+    if codec == "mpeg4":
+        p = payload.find(b"\x00\x00\x01\xb6")
+        return p != -1 and p + 4 < len(payload) \
+            and (payload[p + 4] >> 6) == 0
+    return True

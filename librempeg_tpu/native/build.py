@@ -294,8 +294,13 @@ def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
                             mb_h: int, first_mb: int, slice_type: int,
                             slice_qp: int, num_ref_idx_l0: int,
                             num_ref_idx_l1: int = 1,
-                            transform_8x8_mode: bool = False) -> dict:
+                            transform_8x8_mode: bool = False,
+                            partial: bool = False) -> dict:
     """Decode one CAVLC slice (I or P) to per-MB tensors.
+
+    partial=True returns whatever decoded before a bitstream error
+    (res["error"] set) instead of raising -- the error-concealment
+    path (error_resilience.c role).
 
     Returns dict of arrays: kind[nMB], info[nMB], i4modes[nMB,16],
     mv[nMB,16,2], ref[nMB,4], qp[nMB], coeffs[nMB,27,16] (zigzag),
@@ -329,7 +334,12 @@ def h264_decode_slice_cavlc(rbsp: bytes, start_bit: int, mb_w: int,
             raise Unsupported("h264: I_PCM macroblocks")
         if r == -8:
             raise Unsupported("h264: B direct/partition macroblocks")
-        raise InvalidData(f"h264: slice entropy decode failed ({r})")
+        if not partial:
+            raise InvalidData(f"h264: slice entropy decode failed ({r})")
+        return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
+                "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
+                "mv1": mv1, "ref1": ref1, "error": int(r),
+                "end_bit": 0, "last_mb": int((kind >= 0).sum())}
     return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
             "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,
             "mv1": mv1, "ref1": ref1,
@@ -547,7 +557,8 @@ def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
                             slice_qp: int, num_ref_idx_l0: int,
                             cabac_init_idc: int,
                             num_ref_idx_l1: int = 1,
-                            transform_8x8_mode: bool = False) -> dict:
+                            transform_8x8_mode: bool = False,
+                            partial: bool = False) -> dict:
     """CABAC twin of h264_decode_slice_cavlc (same tensor layout)."""
     lib = get()
     assert lib is not None
@@ -578,6 +589,12 @@ def h264_decode_slice_cabac(rbsp: bytes, start_bit: int, mb_w: int,
             raise Unsupported("h264: I_PCM macroblocks")
         if r == -8:
             raise Unsupported("h264: B direct/partition macroblocks")
+        if partial:
+            return {"kind": kind, "info": info, "i4modes": i4m,
+                    "mv": mv, "ref": ref, "qp": qp, "coeffs": coeffs,
+                    "ncoef": ncoef, "mv1": mv1, "ref1": ref1,
+                    "error": int(r), "end_bit": 0,
+                    "last_mb": int((kind >= 0).sum())}
         raise InvalidData(f"h264: CABAC slice decode failed ({r})")
     return {"kind": kind, "info": info, "i4modes": i4m, "mv": mv,
             "ref": ref, "qp": qp, "coeffs": coeffs, "ncoef": ncoef,

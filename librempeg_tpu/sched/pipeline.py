@@ -362,9 +362,18 @@ class Transcoder:
             seeked = False
             order = sorted(self.demux.streams,
                            key=lambda s: s.codecpar.codec_type != "video")
+            # -ss is relative to the input's start time (mpegts and
+            # friends start at a nonzero pts; ffmpeg_opts.c seek math)
+            start = 0.0
+            for st in self.demux.streams:
+                if st.start_time != NOPTS and st.time_base.valid \
+                        and st.time_base.num:
+                    t0 = st.start_time * st.time_base.num \
+                        / st.time_base.den
+                    start = t0 if start == 0.0 else min(start, t0)
             for st in order:
                 try:
-                    ts = int(spec.seek * st.time_base.den
+                    ts = int((start + spec.seek) * st.time_base.den
                              / st.time_base.num)
                     self.demux.read_seek(st.index, ts)
                     seeked = True
@@ -373,7 +382,7 @@ class Transcoder:
                     continue
             del seeked  # without container seek we read from the start
             for chain in self.chains.values():
-                chain.discard_until = spec.seek
+                chain.discard_until = start + spec.seek
         n_packets = 0
         for pkt in self.demux.packets():
             chain = self.chains.get(pkt.stream_index)

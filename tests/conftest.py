@@ -12,6 +12,17 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
+# the axon sitecustomize force-registers the TPU tunnel whenever this
+# is set, overriding JAX_PLATFORMS -- tests (and their CLI
+# subprocesses) must stay on the virtual-device CPU mesh
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# CLI subprocess tests must import the package regardless of the cwd a
+# previous test left behind
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _repo + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(
+        os.pathsep)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

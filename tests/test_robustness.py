@@ -136,3 +136,99 @@ class TestSrt:
         pkts2 = list(d2.packets())
         assert [(p.pts, p.duration, bytes(p.data)) for p in pkts] == \
             [(p.pts, p.duration, bytes(p.data)) for p in pkts2]
+
+
+class TestH264Concealment:
+    """err_detect=conceal (default): a trashed slice decodes to
+    completion with a PSNR floor instead of raising
+    (error_resilience.c:1369 semantics)."""
+
+    def _stream(self):
+        import numpy as np
+        from librempeg_tpu.codecs.h264.codec import H264Encoder
+        from librempeg_tpu.core.frame import VideoFrame
+        from librempeg_tpu.core.rational import Rational
+        from librempeg_tpu.utils import testgen
+
+        enc = H264Encoder(width=96, height=64, qp=26, g=4)
+        data = b""
+        frames = []
+        for i in range(6):
+            y, u, v = testgen.video_yuv420(96, 64, i)
+            y = np.roll(y, i * 2, axis=1)
+            f = VideoFrame(planes=(y, u, v), format="yuv420p",
+                           width=96, height=64, pts=i,
+                           time_base=Rational(1, 25))
+            frames.append(y)
+            for p in enc.encode(f):
+                data += p.data
+        return data, frames
+
+    def _decode(self, data, **opts):
+        from librempeg_tpu.codecs.h264.codec import H264Decoder
+        from librempeg_tpu.core.packet import Packet
+
+        dec = H264Decoder(**opts)
+        out = dec.decode(Packet(data=data, pts=0))
+        out += dec.flush()
+        return out
+
+    def test_corrupt_slice_conceals(self):
+        import numpy as np
+
+        data, srcs = self._stream()
+        # trash bytes inside the 3rd coded picture's slice payload
+        from librempeg_tpu.codecs.h264.parse import split_annexb
+
+        nals = split_annexb(data)
+        slice_nals = [n for n in nals if (n[0] & 0x1F) in (1, 5)]
+        victim = slice_nals[2]
+        pos = data.find(victim)
+        off = pos + len(victim) // 2
+        bad = bytearray(data)
+        bad[off:off + 8] = b"\xff" * 8
+        frames = self._decode(bytes(bad))
+        assert len(frames) == 6, f"only {len(frames)} frames decoded"
+        for i, f in enumerate(frames):
+            y = np.asarray(f.planes[0], np.float64)
+            mse = np.mean((y - srcs[i][:64, :96].T[:64, :96]
+                           if False else (y - srcs[i]) ** 2))
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+            assert psnr > 18, f"frame {i}: PSNR {psnr:.1f}"
+
+    def test_explode_mode_raises(self):
+        import pytest
+
+        from librempeg_tpu.core.errors import InvalidData
+
+        data, _ = self._stream()
+        from librempeg_tpu.codecs.h264.parse import split_annexb
+
+        nals = split_annexb(data)
+        victim = [n for n in nals if (n[0] & 0x1F) in (1, 5)][2]
+        pos = data.find(victim)
+        bad = bytearray(data)
+        bad[pos + len(victim) // 2:pos + len(victim) // 2 + 8] = \
+            b"\xff" * 8
+        with pytest.raises(InvalidData):
+            self._decode(bytes(bad), err_detect="explode")
+
+    def test_corrupt_idr_spatial_conceal(self):
+        import numpy as np
+
+        data, srcs = self._stream()
+        from librempeg_tpu.codecs.h264.parse import split_annexb
+
+        nals = split_annexb(data)
+        idr = [n for n in nals if (n[0] & 0x1F) == 5][0]
+        pos = data.find(idr)
+        bad = bytearray(data)
+        # damage the second half of the IDR slice
+        off = pos + len(idr) * 2 // 3
+        bad[off:off + 6] = b"\x55" * 6
+        frames = self._decode(bytes(bad))
+        assert len(frames) >= 1
+        y = np.asarray(frames[0].planes[0], np.float64)
+        mse = np.mean((y - srcs[0]) ** 2)
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+        assert psnr > 12, f"IDR conceal PSNR {psnr:.1f}"
