@@ -176,6 +176,8 @@ def register_decoder(cls: type[Decoder]) -> type[Decoder]:
 
 def register_encoder(cls: type[Encoder]) -> type[Encoder]:
     _ENCODERS[cls.INFO.name] = cls
+    for alias in getattr(cls, "ALIASES", ()):
+        _ENCODERS[alias] = cls
     return cls
 
 

@@ -11,5 +11,6 @@ from librempeg_tpu.filters import (  # noqa: F401
     biquads,
     video3,
     drawtext,
+    subtitles,
     color,
 )

@@ -185,6 +185,7 @@ class Muxer:
     before handing them to write_packet (mux.c interleaving contract)."""
 
     NAME = ""
+    SUPPORTED_TYPES = ("video", "audio")
     LONG_NAME = ""
     EXTENSIONS: tuple[str, ...] = ()
     # formats that need global interleaving; raw single-stream ones don't

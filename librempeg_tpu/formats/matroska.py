@@ -49,6 +49,7 @@ _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
+_BLOCK_DURATION = 0x9B
 
 _CODEC_IDS = {
     "V_MPEG4/ISO/ASP": "mpeg4",
@@ -67,6 +68,9 @@ _CODEC_IDS = {
     "A_EAC3": "eac3",
     "A_VORBIS": "vorbis",
     "A_OPUS": "opus",
+    "S_TEXT/UTF8": "subrip",
+    "S_TEXT/ASS": "ass",
+    "S_TEXT/SSA": "ass",
 }
 
 
@@ -211,6 +215,10 @@ class MatroskaDemuxer(Demuxer):
                                       sample_rate=rate or 48000,
                                       nb_channels=channels or 2,
                                       extradata=bytes(private))
+            elif ttype == 0x11:
+                par = CodecParameters(codec_type="subtitle",
+                                      codec_id=cid,
+                                      extradata=bytes(private))
             else:
                 continue
             st = Stream(index=len(self.streams), codecpar=par,
@@ -226,12 +234,21 @@ class MatroskaDemuxer(Demuxer):
             elif eid == _SIMPLE_BLOCK:
                 self._parse_block(data, s2, e2, cluster_ts, key_known=True)
             elif eid == _BLOCK_GROUP:
+                # BlockDuration (subtitle cue length) may follow the
+                # Block: collect it first, then parse
+                dur = 0
+                spans = []
                 for eid3, s3, e3 in _iter_elements(data, s2, e2):
                     if eid3 == _BLOCK:
-                        self._parse_block(data, s3, e3, cluster_ts,
-                                          key_known=False)
+                        spans.append((s3, e3))
+                    elif eid3 == _BLOCK_DURATION:
+                        dur = _uint(data[s3:e3])
+                for s3, e3 in spans:
+                    self._parse_block(data, s3, e3, cluster_ts,
+                                      key_known=False, duration=dur)
 
-    def _parse_block(self, data, s, e, cluster_ts, key_known):
+    def _parse_block(self, data, s, e, cluster_ts, key_known,
+                     duration=0):
         track, pos = _read_vint(data, s, keep_marker=False)
         rel_ts = struct.unpack(">h", data[pos:pos + 2])[0]
         flags = data[pos + 2]
@@ -275,7 +292,8 @@ class MatroskaDemuxer(Demuxer):
                 pos += sz
         ts = cluster_ts + rel_ts
         for i, f in enumerate(frames):
-            self._blocks.append((ts + i, track, 1 if key else 0, f))
+            self._blocks.append((ts + i, track, 1 if key else 0, f,
+                                 duration))
 
     def read_seek(self, stream_index: int, ts: int) -> None:
         """Seek to the latest keyframe of `stream_index` at or before
@@ -299,7 +317,7 @@ class MatroskaDemuxer(Demuxer):
     def read_packet(self) -> Packet:
         if self._cursor >= len(self._blocks):
             raise EndOfStream
-        ts, track, key, payload = self._blocks[self._cursor]
+        ts, track, key, payload, dur = self._blocks[self._cursor]
         self._cursor += 1
         sidx = self._track_map.get(track)
         if sidx is None:
@@ -312,7 +330,7 @@ class MatroskaDemuxer(Demuxer):
             payload = lp_to_annexb(
                 payload, st.codecpar.extra.get("nal_length_size", 4),
                 force=True)
-        return Packet(data=payload, pts=ts, dts=ts, duration=0,
+        return Packet(data=payload, pts=ts, dts=ts, duration=dur,
                       stream_index=sidx,
                       flags=PktFlags.KEY if key else 0,
                       time_base=st.time_base)

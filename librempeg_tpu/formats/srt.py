@@ -86,6 +86,7 @@ class SrtMuxer(Muxer):
     LONG_NAME = "SubRip subtitle"
     EXTENSIONS = ("srt",)
     INTERLEAVE = False
+    SUPPORTED_TYPES = ("subtitle",)
 
     def write_header(self):
         super().write_header()

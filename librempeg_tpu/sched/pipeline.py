@@ -319,6 +319,43 @@ def _map_matches(maps, st, media_index: int) -> bool:
     return False
 
 
+class _SubtitleChain:
+    """Text subtitle recode: decode cues (subrip/ass), re-encode as
+    SubRip payloads for the output muxer (the srt extraction path)."""
+
+    copy = False
+    eof = False
+
+    def __init__(self, in_stream, out_mux):
+        from librempeg_tpu.codecs.api import find_decoder, find_encoder
+
+        self.in_stream = in_stream
+        self.media = "subtitle"
+        self.discard_until = 0.0
+        self.frames_done = 0
+        self.decoder = find_decoder(in_stream.codecpar.codec_id)(
+            in_stream.codecpar)
+        self.encoder = find_encoder("subrip")()
+        self.out_stream = out_mux.add_stream(
+            self.encoder.codec_parameters(), Rational(1, 1000))
+
+    def send_packet(self, pkt, mux) -> None:
+        for cue in self.decoder.decode(pkt):
+            if not cue.text:
+                continue
+            t = cue.pts * cue.time_base.num / cue.time_base.den \
+                if cue.pts != NOPTS and cue.time_base.valid else 0.0
+            if t < self.discard_until:
+                continue
+            for out in self.encoder.encode(cue):
+                mux.write(out.replace(
+                    stream_index=self.out_stream.index))
+            self.frames_done += 1
+
+    def finish(self, mux) -> None:
+        pass
+
+
 class Transcoder:
     """Single input -> single output transcoder (the ffmpeg CLI's core
     path; multi-input/multi-output composition comes via multiple
@@ -339,6 +376,8 @@ class Transcoder:
             media_counts[media] = midx + 1
             if spec.maps and not _map_matches(spec.maps, st, midx):
                 continue
+            if media not in type(self.mux).SUPPORTED_TYPES:
+                continue
             if media == "video" and not spec.no_video:
                 smap = spec.video or StreamMap(codec="rawvideo")
                 if not smap.codec:
@@ -349,6 +388,8 @@ class Transcoder:
                 if not smap.codec:
                     smap.codec = "pcm_s16le"
                 self.chains[st.index] = _StreamChain(st, smap, self.mux)
+            elif media == "subtitle":
+                self.chains[st.index] = _SubtitleChain(st, self.mux)
         if not self.chains:
             raise InvalidData("no streams selected for transcoding")
 
