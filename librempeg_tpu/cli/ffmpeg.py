@@ -138,6 +138,11 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             audio.frames_limit = int(val())
         elif a == "-ss":
             spec_kw["seek"] = _parse_time(val())
+        elif a == "-mesh":
+            # device-mesh transcode: e.g. -mesh data=2,spatial=4 runs
+            # the sharded kernels (halo ME/MC, split-row scaling) over
+            # a jax.sharding.Mesh
+            spec_kw["mesh"] = val()
         elif a in ("-t", "-to"):
             spec_kw["duration"] = _parse_time(val())
         elif a == "-an":

@@ -579,6 +579,36 @@ class Mpeg4Encoder(Encoder):
         refs = self._ref
         self._sp_init()
         slim = not is_i and self._sp_slim_ok
+        mesh = None
+        if not is_i:
+            from librempeg_tpu.parallel import product_mesh as PM
+
+            mesh = PM.active_mesh()
+            nsp = PM.spatial_size(mesh)
+            if mesh is None or nsp <= 1 or self.ch % (16 * nsp) \
+                    or "spatial" not in getattr(mesh, "axis_names", ()):
+                mesh = None
+        if mesh is not None:
+            # -mesh product path: row-band sharded device pass (halo
+            # ME/MC + band-local transforms); dense zz fetch
+            from librempeg_tpu.parallel.product_mesh import (
+                mpeg4_encode_p_sharded,
+            )
+
+            out = mpeg4_encode_p_sharded(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *refs,
+                q, self.opts["search_range"], mesh)
+            packed = out
+            recon = (out["y"][1], out["u"][1], out["v"][1])
+            self._ref = recon
+            self._packer.vop(bw, 1, self._frame_idx, q)
+            pts = frame.pts if frame.pts != NOPTS else self._next_pts
+            self._next_pts = pts + 1
+            handle = {"bw": bw, "data0": data0, "q": q, "is_i": False,
+                      "mesh_out": out, "planes": (y, u, v),
+                      "refs": refs, "pts": pts, "slim": False}
+            self._frame_idx += 1
+            return handle
         if is_i:
             packed, recon = _encode_i_packed(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
@@ -605,6 +635,21 @@ class Mpeg4Encoder(Encoder):
         bitstream. Separated from encode_async so a pipeline can overlap
         the tunnel transfer + host VLC with the next frame's decode."""
         q, is_i = h["q"], h["is_i"]
+        if "mesh_out" in h:
+            out = h["mesh_out"]
+            flat = np.concatenate([np.asarray(out[k][0]).ravel()
+                                   for k in ("y", "u", "v")])
+            tail = np.asarray(out["mv"]).ravel().astype(np.int16)
+            bw = h["bw"]
+            body = self._pack_p(bw, flat, tail)
+            payload = h["data0"] + body
+            pkt = Packet(data=payload, pts=h["pts"], dts=h["pts"],
+                         duration=1,
+                         flags=PktFlags.KEY if is_i else 0,
+                         time_base=self.time_base)
+            if self._rc is not None:
+                self._rc.update(len(payload) * 8, is_i)
+            return [pkt]
         while True:
             # a batching pipeline may have pre-fetched the packed array
             # (amortizing tunnel latency across frames); the overflow

@@ -33,7 +33,17 @@ def resize_matrix(src: int, dst: int, kernel: str = "bicubic") -> np.ndarray:
 
 
 def resize_v(x: jax.Array, m: np.ndarray | jax.Array) -> jax.Array:
-    """Resize the second-to-last axis: [..., H, W] with m [H', H]."""
+    """Resize the second-to-last axis: [..., H, W] with m [H', H].
+
+    Under an active product mesh (-mesh spatial=N) the output rows are
+    split across the 'spatial' axis; each shard contracts over the
+    full input length, so results stay bit-identical."""
+    from librempeg_tpu.parallel import product_mesh as PM
+
+    mesh = PM.active_mesh()
+    if mesh is not None and PM.spatial_size(mesh) > 1 \
+            and not isinstance(m, jax.Array):
+        return PM.resize_v_sharded(x, m, mesh)
     mm = jnp.asarray(m, dtype=x.dtype)
     return jnp.einsum("hk,...kw->...hw", mm, x,
                       preferred_element_type=x.dtype,

@@ -103,6 +103,48 @@ def full_search(cur: jax.Array, ref: jax.Array, search_range: int = 8,
     return mv.astype(jnp.int32), cost
 
 
+def full_search_mc_prepadded(cur: jax.Array, ref_vpad: jax.Array,
+                             search_range: int = 8,
+                             block_size: int = 16, step: int = 1):
+    """full_search_mc_xla over a VERTICALLY pre-padded reference
+    (rows already extended by `search_range` real neighbor rows, e.g.
+    a shard-map halo exchange); horizontal padding stays replicate.
+    Bit-identical to the unsharded search on the corresponding band."""
+    n, h, w = cur.shape
+    bs = block_size
+    r = search_range
+    curb = cur.astype(jnp.bfloat16)
+    refb = ref_vpad.astype(jnp.bfloat16)
+    ref_pad = jnp.pad(refb, ((0, 0), (0, 0), (r, r)), mode="edge")
+    dy, dx = np.mgrid[-r:r + 1:step, -r:r + 1:step]
+    cands = jnp.asarray(np.stack([dy.ravel() + r, dx.ravel() + r],
+                                 axis=1))
+
+    def body(carry, cand):
+        best_cost, best_idx, pred = carry
+        c_i = cand[2]
+        shifted = jax.lax.dynamic_slice(ref_pad, (0, cand[0], cand[1]),
+                                        (n, h, w))
+        sad = block_reduce_mm(jnp.abs(curb - shifted), bs)
+        take = sad < best_cost
+        best_cost = jnp.where(take, sad, best_cost)
+        best_idx = jnp.where(take, c_i, best_idx)
+        take_pix = jnp.repeat(jnp.repeat(take, bs, axis=1), bs, axis=2)
+        pred = jnp.where(take_pix, shifted, pred)
+        return (best_cost, best_idx, pred), None
+
+    ncand = cands.shape[0]
+    idx_col = jnp.arange(ncand, dtype=jnp.int32)[:, None]
+    cands3 = jnp.concatenate([cands.astype(jnp.int32), idx_col], axis=1)
+    bh, bw = h // bs, w // bs
+    init = (jnp.full((n, bh, bw), 3.4e38, jnp.float32),
+            jnp.zeros((n, bh, bw), jnp.int32),
+            jnp.zeros((n, h, w), jnp.bfloat16))
+    (cost, idx, pred), _ = jax.lax.scan(body, init, cands3)
+    mv = (cands.astype(jnp.int32) - r)[idx]
+    return mv, cost, pred.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("search_range",
                                              "block_size", "step"))
 def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
@@ -252,6 +294,32 @@ def motion_compensate_scan(ref: jax.Array, mv: jax.Array,
         return jnp.where(take_pix, shifted, pred), None
 
     pred, _ = jax.lax.scan(body, jnp.zeros_like(ref), cands)
+    return pred
+
+
+def motion_compensate_scan_prepadded(ref_vpad: jax.Array,
+                                     mv: jax.Array, block_size: int,
+                                     search_range: int) -> jax.Array:
+    """motion_compensate_scan over a vertically pre-padded reference
+    (halo-exchanged band); horizontal padding stays replicate."""
+    n, hp, w = ref_vpad.shape
+    bs = block_size
+    r = search_range
+    h = hp - 2 * r
+    ref_pad = jnp.pad(ref_vpad, ((0, 0), (0, 0), (r, r)), mode="edge")
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    cands = jnp.asarray(
+        np.stack([dy.ravel(), dx.ravel()], axis=1).astype(np.int32))
+
+    def body(pred, cand):
+        shifted = jax.lax.dynamic_slice(
+            ref_pad, (0, cand[0] + r, cand[1] + r), (n, h, w))
+        take = (mv[..., 0] == cand[0]) & (mv[..., 1] == cand[1])
+        take_pix = jnp.repeat(jnp.repeat(take, bs, axis=1), bs, axis=2)
+        return jnp.where(take_pix, shifted, pred), None
+
+    pred, _ = jax.lax.scan(
+        body, jnp.zeros((n, h, w), ref_vpad.dtype), cands)
     return pred
 
 

@@ -65,7 +65,8 @@ class TranscodeSpec:
     no_video: bool = False
     no_audio: bool = False
     duration: float = 0.0            # -t
-    seek: float = 0.0                # -ss
+    seek: float = 0.0
+    mesh: str = ""                   # '-mesh data=2,spatial=4' device mesh                # -ss
     metadata: dict = field(default_factory=dict)   # -metadata key=value
     maps: list = field(default_factory=list)       # -map selectors
 
@@ -363,6 +364,10 @@ class Transcoder:
 
     def __init__(self, spec: TranscodeSpec):
         self.spec = spec
+        if spec.mesh:
+            from librempeg_tpu.parallel import product_mesh as PM
+
+            PM.set_active_mesh(PM.make_mesh(spec.mesh))
         self.demux = open_input(spec.input_url, spec.input_format,
                                 **spec.input_opts)
         self.mux = open_output(spec.output_url, spec.output_format)
