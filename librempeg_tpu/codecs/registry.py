@@ -29,6 +29,7 @@ _MODULES = (
     "librempeg_tpu.codecs.aac.codec",
     "librempeg_tpu.codecs.aac.decoder",
     "librempeg_tpu.codecs.h264.codec",
+    "librempeg_tpu.codecs.hevc.decoder",
     "librempeg_tpu.codecs.mpeg12.decoder",
     "librempeg_tpu.codecs.subtitles",
     "librempeg_tpu.codecs.flac.codec",

@@ -55,6 +55,9 @@ _CODEC_IDS = {
     "V_MPEG4/ISO/ASP": "mpeg4",
     "V_MPEG4/ISO/SP": "mpeg4",
     "V_MPEG4/ISO/AVC": "h264",
+    "V_MPEGH/ISO/HEVC": "hevc",
+    "V_MPEG1": "mpeg1video",
+    "V_MPEG2": "mpeg2video",
     "V_MJPEG": "mjpeg",
     "V_UNCOMPRESSED": "rawvideo",
     "A_AAC": "aac",
@@ -195,15 +198,22 @@ class MatroskaDemuxer(Demuxer):
             if ttype == 1:
                 extradata = bytes(private)
                 nal_size = 4
-                is_avcc = cid == "h264" and extradata[:1] == b"\x01"
+                is_avcc = cid in ("h264", "hevc") \
+                    and extradata[:1] == b"\x01"
                 if is_avcc:
-                    from librempeg_tpu.codecs.h264.avcc import (
-                        avcc_to_annexb,
-                        nal_length_size,
-                    )
+                    if cid == "h264":
+                        from librempeg_tpu.codecs.h264.avcc import (
+                            avcc_to_annexb as cfg_to_annexb,
+                            nal_length_size,
+                        )
+                    else:
+                        from librempeg_tpu.codecs.hevc.hvcc import (
+                            hvcc_to_annexb as cfg_to_annexb,
+                            nal_length_size,
+                        )
 
                     nal_size = nal_length_size(extradata)
-                    extradata = avcc_to_annexb(extradata)
+                    extradata = cfg_to_annexb(extradata)
                 par = CodecParameters(codec_type="video", codec_id=cid,
                                       width=w, height=h,
                                       pix_fmt="yuv420p",
@@ -323,9 +333,12 @@ class MatroskaDemuxer(Demuxer):
         if sidx is None:
             return self.read_packet()
         st = self.streams[sidx]
-        if st.codecpar.codec_id == "h264" \
+        if st.codecpar.codec_id in ("h264", "hevc") \
                 and st.codecpar.extra.get("h264_lp", False):
-            from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+            if st.codecpar.codec_id == "h264":
+                from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+            else:
+                from librempeg_tpu.codecs.hevc.hvcc import lp_to_annexb
 
             payload = lp_to_annexb(
                 payload, st.codecpar.extra.get("nal_length_size", 4),
@@ -434,6 +447,10 @@ class MatroskaMuxer(Muxer):
                 from librempeg_tpu.codecs.h264.avcc import build_avcc
 
                 private = build_avcc(private)
+            elif par.codec_id == "hevc":    # likewise hvcC
+                from librempeg_tpu.codecs.hevc.hvcc import build_hvcc
+
+                private = build_hvcc(private)
             out.append(_el(_CODEC_PRIVATE, private))
         if par.codec_type == "video":
             if par.framerate.num > 0:
@@ -481,6 +498,10 @@ class MatroskaMuxer(Muxer):
         data = bytes(pkt.data)
         if st.codecpar.codec_id == "h264":
             from librempeg_tpu.codecs.h264.avcc import annexb_to_lp
+
+            data = annexb_to_lp(data)
+        elif st.codecpar.codec_id == "hevc":
+            from librempeg_tpu.codecs.hevc.hvcc import annexb_to_lp
 
             data = annexb_to_lp(data)
         block = (_enc_size(st.index + 1) + struct.pack(">h", rel)

@@ -52,7 +52,8 @@ def _esds(object_type: int, dsi: bytes, is_audio: bool) -> bytes:
     return _full(b"esds", 0, 0, es)
 
 
-_VIDEO_SAMPLE_ENTRY = {"mpeg4": b"mp4v", "h264": b"avc1", "mjpeg": b"jpeg"}
+_VIDEO_SAMPLE_ENTRY = {"mpeg4": b"mp4v", "h264": b"avc1",
+                       "hevc": b"hvc1", "mjpeg": b"jpeg"}
 _OBJECT_TYPE = {"mpeg4": 0x20, "aac": 0x40, "mjpeg": 0x6C}
 
 
@@ -74,10 +75,15 @@ class MovMuxer(Muxer):
 
     def write_packet(self, pkt: Packet):
         data = pkt.data
-        if self.streams[pkt.stream_index].codecpar.codec_id == "h264":
+        cid = self.streams[pkt.stream_index].codecpar.codec_id
+        if cid == "h264":
             from librempeg_tpu.codecs.h264.avcc import annexb_to_lp
 
             data = annexb_to_lp(bytes(data))    # ISO samples: 4B lengths
+        elif cid == "hevc":
+            from librempeg_tpu.codecs.hevc.hvcc import annexb_to_lp
+
+            data = annexb_to_lp(bytes(data))
         off = self.io.tell()
         self.io.write(data)
         dur = pkt.duration or 1
@@ -250,6 +256,10 @@ class MovMuxer(Muxer):
                 from librempeg_tpu.codecs.h264.avcc import build_avcc
 
                 extra = _box(b"avcC", build_avcc(bytes(par.extradata)))
+            elif par.codec_id == "hevc" and par.extradata:
+                from librempeg_tpu.codecs.hevc.hvcc import build_hvcc
+
+                extra = _box(b"hvcC", build_hvcc(bytes(par.extradata)))
             entry = _box(fourcc, struct.pack(">IHH", 0, 0, 1)
                          + b"\x00" * 16
                          + struct.pack(">HH", par.width, par.height)
@@ -409,8 +419,8 @@ class MovDemuxer(Demuxer):
             idx += 1
 
     def _codec_from_entry(self, htype, fourcc, entry):
-        f2c = {b"mp4v": "mpeg4", b"avc1": "h264", b"jpeg": "mjpeg",
-               b"MJPG": "mjpeg"}
+        f2c = {b"mp4v": "mpeg4", b"avc1": "h264", b"hvc1": "hevc",
+               b"hev1": "hevc", b"jpeg": "mjpeg", b"MJPG": "mjpeg"}
         if htype == b"vide":
             codec = f2c.get(fourcc)
             if codec is None:
@@ -432,6 +442,15 @@ class MovDemuxer(Demuxer):
                     avcc = entry[pos + 8:pos + sz]
                     extra = avcc_to_annexb(avcc)
                     nal_size = nal_length_size(avcc)
+                elif entry[pos + 4:pos + 8] == b"hvcC":
+                    from librempeg_tpu.codecs.hevc.hvcc import (
+                        hvcc_to_annexb,
+                        nal_length_size,
+                    )
+
+                    hvcc = entry[pos + 8:pos + sz]
+                    extra = hvcc_to_annexb(hvcc)
+                    nal_size = nal_length_size(hvcc)
                 pos += sz
             par = CodecParameters(codec_type="video", codec_id=codec,
                                   width=w, height=h, pix_fmt="yuv420p",
@@ -536,8 +555,11 @@ class MovDemuxer(Demuxer):
         off, size, dur = st.extra_samples[cur]
         self.io.seek(off)
         data = self.io.read_exact(size)
-        if st.codecpar.codec_id == "h264":
-            from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+        if st.codecpar.codec_id in ("h264", "hevc"):
+            if st.codecpar.codec_id == "h264":
+                from librempeg_tpu.codecs.h264.avcc import lp_to_annexb
+            else:
+                from librempeg_tpu.codecs.hevc.hvcc import lp_to_annexb
 
             data = lp_to_annexb(                 # ISO samples: always LP
                 data, st.codecpar.extra.get("nal_length_size", 4),

@@ -29,11 +29,13 @@ _FIRST_ES_PID = 0x0100
 _STREAM_TYPES = {
     "mpeg4": 0x10,
     "h264": 0x1B,
+    "hevc": 0x24,
     "aac": 0x0F,     # ADTS
     "mjpeg": 0x06,   # private PES
     "pcm_s16le": 0x06,
 }
-_TYPE_TO_CODEC = {0x10: "mpeg4", 0x1B: "h264", 0x0F: "aac",
+_TYPE_TO_CODEC = {0x10: "mpeg4", 0x1B: "h264", 0x24: "hevc",
+                  0x0F: "aac",
                   0x01: "mpeg1video", 0x02: "mpeg2video", 0x03: "mp3",
                   0x04: "mp3"}
 
@@ -302,7 +304,8 @@ class MpegTsDemuxer(Demuxer):
         if pid in self._pid_stream:      # PMT repeats periodically
             return
         self._pid_codec[pid] = codec
-        ctype = "video" if codec in ("mpeg4", "h264", "mpeg1video",
+        ctype = "video" if codec in ("mpeg4", "h264", "hevc",
+                                     "mpeg1video",
                                      "mpeg2video") else "audio"
         par = CodecParameters(codec_type=ctype, codec_id=codec,
                               pix_fmt="yuv420p" if ctype == "video" else "")
@@ -359,6 +362,16 @@ def _payload_is_key(codec: str, payload: bytes) -> bool:
             if t == 5:
                 return True
             if t == 1:
+                return False
+            i = payload.find(b"\x00\x00\x01", i + 3)
+        return False
+    if codec == "hevc":
+        i = payload.find(b"\x00\x00\x01")
+        while i != -1 and i + 3 < len(payload):
+            t = (payload[i + 3] >> 1) & 0x3F
+            if 16 <= t <= 23:               # IRAP (BLA/IDR/CRA)
+                return True
+            if t < 16:
                 return False
             i = payload.find(b"\x00\x00\x01", i + 3)
         return False

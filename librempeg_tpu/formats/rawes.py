@@ -50,6 +50,13 @@ class H264Muxer(_RawESMuxer):
 
 
 @register_muxer
+class HevcMuxer(_RawESMuxer):
+    NAME = "hevc"
+    LONG_NAME = "raw HEVC video (annex B)"
+    EXTENSIONS = ("hevc", "265", "h265")
+
+
+@register_muxer
 class M4VMuxer(_RawESMuxer):
     NAME = "m4v"
     LONG_NAME = "raw MPEG-4 video"
@@ -149,6 +156,55 @@ class H264Demuxer(_RawESDemuxer):
                 seen_slice = True
             else:
                 cur += b"\x00\x00\x00\x01" + nal
+        return bytes(extradata), frames
+
+
+@register_demuxer
+class HevcDemuxer(_RawESDemuxer):
+    """Raw HEVC annex-B ES (libavformat/hevcdec.c analog): NALs are
+    grouped into access units ending at a slice-segment NAL."""
+
+    NAME = "hevc"
+    LONG_NAME = "raw HEVC video (annex B)"
+    EXTENSIONS = ("hevc", "265", "h265")
+    CODEC_ID = "hevc"
+
+    @classmethod
+    def probe(cls, buf: bytes, filename: str = "") -> int:
+        for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+            if buf.startswith(sc) and len(buf) > len(sc) + 1:
+                nt = (buf[len(sc)] >> 1) & 0x3F
+                # forbidden_zero + VPS/SPS/PPS/AUD/IRAP/trailing slice
+                if buf[len(sc)] & 0x80 == 0 and \
+                        nt in (32, 33, 34, 35, 19, 20, 21, 0, 1):
+                    return 51
+        return 0
+
+    def _split(self, data: bytes) -> tuple[bytes, list[bytes]]:
+        from librempeg_tpu.codecs.hevc import ps as PS
+
+        frames: list[bytes] = []
+        extradata = bytearray()
+        cur = bytearray()
+        seen_slice = False
+        self._dims = (0, 0)
+        for ntype, nal in PS.split_nals(data, raw=True):
+            if ntype in (32, 33, 34) and not frames and not seen_slice:
+                extradata += b"\x00\x00\x00\x01" + nal
+                if ntype == 33 and self._dims == (0, 0):
+                    from librempeg_tpu.codecs.h264.parse import \
+                        remove_emulation_prevention
+                    try:
+                        sps = PS.parse_sps(
+                            remove_emulation_prevention(nal[2:]))
+                        self._dims = (sps.width, sps.height)
+                    except Exception:
+                        pass
+            cur += b"\x00\x00\x00\x01" + nal
+            if ntype < 32:          # VCL NAL ends the access unit
+                frames.append(bytes(cur))
+                cur = bytearray()
+                seen_slice = True
         return bytes(extradata), frames
 
 
