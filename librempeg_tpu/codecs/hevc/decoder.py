@@ -26,7 +26,7 @@ from librempeg_tpu.core.rational import Rational
 class _PicRecon:
     """Per-picture reconstruction driven by CtuCoder callbacks."""
 
-    def __init__(self, sps, qp, pps):
+    def __init__(self, sps, qp, pps, ref=None, max_merge=5):
         w, h = sps.width, sps.height
         self.y = np.zeros((h, w), np.uint8)
         self.u = np.full((h // 2, w // 2), 0, np.uint8)
@@ -41,6 +41,17 @@ class _PicRecon:
         self.pred = [R.IntraPred(self.y, sps.strong_intra_smoothing),
                      R.IntraPred(self.u, False),
                      R.IntraPred(self.v, False)]
+        # inter state: ref planes, per-4x4 prediction info (the
+        # tab_mvf analog, hevcdec.c:2152)
+        self.ref = ref                  # (y, u, v) of the L0[0] pic
+        self.max_merge = max_merge
+        self.pred4 = np.full((h // 4, w // 4), -1, np.int8)
+        self.mv4 = np.zeros((h // 4, w // 4, 2), np.int32)
+        self.part_mode = 0              # current CU's part (for merge)
+
+    def on_cu(self, x0, y0, log2, part_nxn, modes, chroma_mode):
+        n4 = (1 << log2) // 4
+        self.pred4[y0 // 4:y0 // 4 + n4, x0 // 4:x0 // 4 + n4] = 0
 
     def on_tu(self, x0, y0, log2, cidx, coeffs, mode):
         n = 1 << log2
@@ -59,11 +70,15 @@ class _PicRecon:
         def avail(sx, sy):
             return bool(done[sy >> shift, sx >> shift])
 
-        pred = self.pred[cidx].predict(px, py, n, mode, cidx, avail)
+        if mode >= 0:                   # intra TU
+            pred = self.pred[cidx].predict(px, py, n, mode, cidx,
+                                           avail)
+        else:                           # inter: MC already in plane
+            pred = plane[py:py + n, px:px + n].astype(np.int32)
         if coeffs is not None:
             d = R.dequant(coeffs, qp, log2)
             res = R.inverse_transform(
-                d, use_dst=(cidx == 0 and log2 == 2))
+                d, use_dst=(cidx == 0 and log2 == 2 and mode >= 0))
             out = np.clip(pred + res, 0, 255)
         else:
             out = pred
@@ -74,6 +89,91 @@ class _PicRecon:
         else:
             done[py * 2 // 4:(py + n) * 2 // 4,
                  px * 2 // 4:(px + n) * 2 // 4] = True
+
+    # ---------------------------------------------------------- inter
+    def _nb(self, x, y):
+        """Neighbor MV at luma (x, y), or None when outside the
+        picture, not yet decoded (z-scan order), or intra."""
+        h4, w4 = self.pred4.shape
+        gx, gy = x >> 2, y >> 2
+        if x < 0 or y < 0 or gx >= w4 or gy >= h4:
+            return None
+        if self.pred4[gy, gx] != 1:
+            return None
+        return (int(self.mv4[gy, gx, 0]), int(self.mv4[gy, gx, 1]))
+
+    def _merge_list(self, x0, y0, w, h, part, idx):
+        """Spatial merge candidates + zero fill (mvs.c:287; temporal
+        MVP disabled in the SPS, P slice so no combined-bi)."""
+        cands = []
+        a1 = b1 = None
+        if not (idx == 1 and part == 2):        # Nx2N PU1: A1 excluded
+            a1 = self._nb(x0 - 1, y0 + h - 1)
+            if a1 is not None:
+                cands.append(a1)
+        if not (idx == 1 and part == 1):        # 2NxN PU1: B1 excluded
+            b1 = self._nb(x0 + w - 1, y0 - 1)
+            if b1 is not None and b1 != a1:
+                cands.append(b1)
+        b0 = self._nb(x0 + w, y0 - 1)
+        if b0 is not None and b0 != b1:
+            cands.append(b0)
+        a0 = self._nb(x0 - 1, y0 + h)
+        if a0 is not None and a0 != a1:
+            cands.append(a0)
+        if len(cands) != 4:
+            b2 = self._nb(x0 - 1, y0 - 1)
+            if b2 is not None and b2 != a1 and b2 != b1:
+                cands.append(b2)
+        while len(cands) < self.max_merge:
+            cands.append((0, 0))
+        return cands
+
+    def _amvp(self, x0, y0, w, h):
+        """AMVP candidate pair (mvs.c ff_hevc_luma_mv_mvp_mode; single
+        same-POC reference so the scaling branches are identities)."""
+        a0 = self._nb(x0 - 1, y0 + h)
+        a1 = self._nb(x0 - 1, y0 + h - 1)
+        scaled = a0 is not None or a1 is not None
+        mxa = a0 if a0 is not None else a1
+        b0 = self._nb(x0 + w, y0 - 1)
+        b1 = self._nb(x0 + w - 1, y0 - 1)
+        b2 = self._nb(x0 - 1, y0 - 1)
+        mxb = b0 if b0 is not None else (
+            b1 if b1 is not None else b2)
+        avail_a = mxa is not None
+        avail_b = mxb is not None
+        if not scaled and avail_b:
+            mxa, avail_a = mxb, True
+        out = []
+        if avail_a:
+            out.append(mxa)
+        if avail_b and (not avail_a or mxb != mxa):
+            out.append(mxb)
+        while len(out) < 2:
+            out.append((0, 0))
+        return out
+
+    def on_pu(self, x0, y0, w, h, part, idx, pu):
+        if pu["merge"]:
+            mv = self._merge_list(x0, y0, w, h, part,
+                                  idx)[pu["merge_idx"]]
+        else:
+            p = self._amvp(x0, y0, w, h)[pu["mvp"]]
+            mv = (p[0] + pu["mvd"][0], p[1] + pu["mvd"][1])
+        gx, gy = x0 // 4, y0 // 4
+        self.pred4[gy:gy + h // 4, gx:gx + w // 4] = 1
+        self.mv4[gy:gy + h // 4, gx:gx + w // 4] = mv
+        ry, ru, rv = self.ref
+        self.y[y0:y0 + h, x0:x0 + w] = R.mc_luma(
+            ry, x0, y0, w, h, mv[0], mv[1])
+        cw, chh = w // 2, h // 2
+        self.u[y0 // 2:y0 // 2 + chh, x0 // 2:x0 // 2 + cw] = \
+            R.mc_chroma(ru, x0 // 2, y0 // 2, cw, chh, mv[0], mv[1])
+        self.v[y0 // 2:y0 // 2 + chh, x0 // 2:x0 // 2 + cw] = \
+            R.mc_chroma(rv, x0 // 2, y0 // 2, cw, chh, mv[0], mv[1])
+        for d in self.done:
+            d[y0 // 4:(y0 + h) // 4, x0 // 4:(x0 + w) // 4] = True
 
 
 @register_decoder
@@ -87,6 +187,7 @@ class HevcDecoder(Decoder):
     def __init__(self, params=None, **opts):
         self.sps = None
         self.pps = None
+        self._ref = None                # last decoded picture (L0[0])
         super().__init__(params, **opts)
 
     def configure(self, params):
@@ -107,11 +208,11 @@ class HevcDecoder(Decoder):
                 self.sps = PS.parse_sps(rbsp)
             elif ntype == PS.NAL_PPS:
                 self.pps = PS.parse_pps(rbsp)
-            elif ntype in (PS.NAL_IDR_W_RADL, 20):
+            elif ntype in (PS.NAL_IDR_W_RADL, 20, 0, 1):
                 frames.append(self._decode_slice(rbsp, ntype, pkt))
             elif ntype < 32:
                 raise Unsupported(
-                    f"hevc: nal type {ntype} (non-IDR pictures)")
+                    f"hevc: nal type {ntype} (B/RASL pictures)")
         return frames
 
     def flush(self):
@@ -121,11 +222,19 @@ class HevcDecoder(Decoder):
         if self.sps is None or self.pps is None:
             raise InvalidData("hevc: slice before SPS/PPS")
         sh = PS.parse_slice_header(rbsp, self.sps, self.pps, ntype)
-        pic = _PicRecon(self.sps, sh.qp, self.pps)
-        dec = CabacDecoder(rbsp, sh.data_bit_pos, 0, sh.qp)
+        if ntype in (19, 20):
+            self._ref = None            # IDR: DPB reset
+        if sh.slice_type == 1 and self._ref is None:
+            raise InvalidData("hevc: P slice without a reference")
+        pic = _PicRecon(self.sps, sh.qp, self.pps, ref=self._ref,
+                        max_merge=sh.max_merge)
+        dec = CabacDecoder(rbsp, sh.data_bit_pos, sh.init_type, sh.qp)
         coder = CtuCoder(self.sps, self.pps, sh.qp, dec=dec,
-                         on_tu=pic.on_tu)
+                         on_tu=pic.on_tu, on_cu=pic.on_cu,
+                         on_pu=pic.on_pu, slice_type=sh.slice_type,
+                         max_merge=sh.max_merge)
         coder.code_picture()
+        self._ref = (pic.y, pic.u, pic.v)
         if dec.error:
             raise InvalidData("hevc: slice overread")
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
@@ -143,9 +252,11 @@ class HevcDecoder(Decoder):
 def generate_stream(width: int, height: int, n_frames: int = 1, *,
                     seed: int = 0, qp: int = 30, ctb_log2: int = 5,
                     density: float = 0.25, amp: int = 6,
-                    split_prob: float = 0.35,
-                    nxn_prob: float = 0.3) -> bytes:
-    """Randomized-but-valid intra HEVC stream (annex B)."""
+                    split_prob: float = 0.35, nxn_prob: float = 0.3,
+                    p_frames: bool = False,
+                    max_merge: int = 5) -> bytes:
+    """Randomized-but-valid HEVC stream (annex B): an IDR picture,
+    followed by TRAIL_R P pictures when p_frames is set."""
     sps = PS.HevcSPS(width=width, height=height, log2_ctb=ctb_log2,
                      log2_max_tb=min(5, ctb_log2))
     pps = PS.HevcPPS(init_qp=qp)
@@ -154,12 +265,18 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
     out += PS.write_sps(sps)
     out += PS.write_pps(pps)
     for i in range(n_frames):
-        hdr = PS.write_slice_header(sps, pps, qp)
-        enc = CabacEncoder(0, qp)
+        is_p = p_frames and i > 0
+        stype = 1 if is_p else 2
+        hdr = PS.write_slice_header(
+            sps, pps, qp, slice_type=stype,
+            poc_lsb=i % (1 << sps.log2_max_poc_lsb),
+            max_merge=max_merge)
+        enc = CabacEncoder(1 if is_p else 0, qp)
         ch = Chooser(seed=seed + 1000 * i, qp=qp, density=density,
                      amp=amp, split_prob=split_prob, nxn_prob=nxn_prob)
-        coder = CtuCoder(sps, pps, qp, enc=enc, chooser=ch)
+        coder = CtuCoder(sps, pps, qp, enc=enc, chooser=ch,
+                         slice_type=stype, max_merge=max_merge)
         coder.code_picture()
         rbsp = hdr.bytes() + enc.bytes()
-        out += PS.rbsp_to_nal(rbsp, PS.NAL_IDR_W_RADL)
+        out += PS.rbsp_to_nal(rbsp, 1 if is_p else PS.NAL_IDR_W_RADL)
     return bytes(out)

@@ -124,6 +124,32 @@ def test_seed_sweep():
               seed=s)
 
 
+def test_p_frames_basic():
+    check(n_frames=6, seed=21, split_prob=0.4, p_frames=True)
+
+
+def test_p_frames_merge_cands():
+    check(n_frames=5, seed=22, max_merge=1, p_frames=True)
+    check(n_frames=5, seed=23, max_merge=2, p_frames=True)
+
+
+def test_p_frames_qp_extremes():
+    check(n_frames=4, seed=24, qp=12, p_frames=True)
+    check(n_frames=4, seed=25, qp=45, p_frames=True)
+
+
+def test_p_frames_nonsquare_parts():
+    check(w=96, h=64, n_frames=5, seed=26, split_prob=0.5,
+          nxn_prob=0.4, p_frames=True)
+
+
+def test_p_frames_ctb_sizes():
+    check(ctb_log2=4, n_frames=3, seed=27, split_prob=0.4,
+          p_frames=True)
+    check(ctb_log2=6, n_frames=3, seed=28, split_prob=0.6,
+          p_frames=True)
+
+
 def test_hvcc_roundtrip():
     from librempeg_tpu.codecs.hevc.decoder import generate_stream
     from librempeg_tpu.codecs.hevc.hvcc import (annexb_to_lp,
