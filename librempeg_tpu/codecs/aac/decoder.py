@@ -295,6 +295,8 @@ class AacFrameDecoder:
         self.prev_shape: dict[int, int] = {}
         self.rate = 44100
         self.channels = 2
+        self.sbr: dict[tuple, object] = {}   # (ele, tag) -> Sbr
+        self.sbr_active = False
 
     def decode_adts(self, data: bytes):
         if len(data) < 7 or data[0] != 0xFF or (data[1] & 0xF0) != 0xF0:
@@ -353,6 +355,7 @@ class AacFrameDecoder:
                             s1[gi:gi + glen, lo:hi] = m - sd
                 gi += glen
 
+        elements = []                 # (kind, key, n_specs_before)
         while True:
             ele = br.read(3)
             if ele == 7:              # END
@@ -361,10 +364,29 @@ class AacFrameDecoder:
                 cnt = br.read(4)
                 if cnt == 15:
                     cnt += br.read(8) - 1
-                for _ in range(cnt):
-                    br.read(8)
+                end_pos = br.pos + 8 * cnt
+                if cnt and elements:
+                    ext_type = br.read(4)
+                    if ext_type in (13, 14):   # EXT_SBR_DATA(_CRC)
+                        from librempeg_tpu.codecs.aac.sbr import Sbr
+
+                        kind, key, _ = elements[-1]
+                        sbr = self.sbr.get(key)
+                        if sbr is None:
+                            sbr = self.sbr[key] = Sbr()
+                        self.sbr_active = True
+                        try:
+                            sbr.decode_extension(
+                                br, kind, ext_type == 14, self.rate)
+                        except (InvalidData, IndexError):
+                            sbr._turnoff()
+                br.pos = end_pos
                 continue
-            br.read(4)                # instance tag
+            tag = br.read(4)          # instance tag
+            if ele in (0, 1):
+                elements.append(
+                    ("SCE" if ele == 0 else "CPE", (ele, tag),
+                     len(specs)))
             if ele == 0:              # SCE
                 gg = br.read(8)
                 seq, shape, max_sfb, groups = _parse_ics_info(br)
@@ -429,6 +451,23 @@ class AacFrameDecoder:
         out = np.zeros((len(specs), FRAME), np.float32)
         for c, (spec, seq, shape) in enumerate(specs):
             out[c] = self._reconstruct(c, spec, seq, shape)
+        if self.sbr_active:
+            # HE-AAC: every SBR element upsamples 2x (aacdec.c
+            # spectral_to_sample -> ff_aac_sbr_apply). SBR takes the
+            # +-1-scaled core samples (the QMF analysis scale factor
+            # supplies the +-32768 internal scaling, aacsbr_template.c
+            # ctx init comment) and returns +-1 output.
+            up = np.zeros((len(specs), 2 * FRAME), np.float32)
+            for kind, key, c0 in elements:
+                nch = 2 if kind == "CPE" else 1
+                sbr = self.sbr.get(key)
+                if sbr is None:
+                    raise Unsupported("AAC: mixed SBR/non-SBR elements")
+                res = sbr.apply(kind, [out[c0 + i] / 32768.0
+                                       for i in range(nch)])
+                for i in range(nch):
+                    up[c0 + i] = res[i]
+            return up
         return out / 32768.0
 
     # -- windowing / overlap-add -------------------------------------
@@ -511,10 +550,12 @@ class AacDecoder(Decoder):
             pcm = self._dec.decode_raw(data, *self._asc)
         else:
             pcm = self._dec.decode_adts(data)
+        # HE-AAC: SBR doubles the output rate (2048 samples/frame)
+        rate = self._dec.rate * (pcm.shape[1] // FRAME)
         f = AudioFrame(
-            data=pcm, sample_rate=self._dec.rate, sample_fmt="fltp",
+            data=pcm, sample_rate=rate, sample_fmt="fltp",
             layout=ChannelLayout.default(pcm.shape[0]),
             pts=pkt.pts if pkt.pts >= 0 else self._pts,
-            time_base=Rational(1, self._dec.rate))
-        self._pts += FRAME
+            time_base=Rational(1, rate))
+        self._pts += pcm.shape[1]
         return [f]

@@ -253,6 +253,21 @@ class _StreamChain:
             self._through_graph(frame, mux)
 
     def _through_graph(self, frame, mux, flush=False) -> None:
+        # late format discovery (the ffmpeg.c decoder-reconfig path):
+        # HE-AAC doubles the rate only once SBR is seen in-band, so
+        # retune the chain off the first decoded frame
+        if frame is not None and self.media == "audio" \
+                and not getattr(self, "_afmt_locked", False):
+            self._afmt_locked = True
+            rate = getattr(frame, "sample_rate", 0)
+            if rate and rate != self.graph.output_props.sample_rate \
+                    and not self.smap.sample_rate \
+                    and not mux._header_written:
+                self.graph.output_props.sample_rate = rate
+                if hasattr(self.encoder, "sample_rate"):
+                    self.encoder.sample_rate = rate
+                self.out_stream.codecpar.sample_rate = rate
+                self.out_stream.time_base = Rational(1, rate)
         if frame is not None and self.discard_until and \
                 frame.pts != NOPTS and frame.time_base.valid and \
                 frame.time_base.num:
