@@ -130,8 +130,10 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             audio.filters = val()
         elif a in ("-q:v", "-qscale:v", "-q"):
             video.codec_opts["quality_scale"] = float(val())
-        elif a in ("-b:v", "-b:a", "-b"):
+        elif a in ("-b:v", "-b"):
             video.codec_opts["bit_rate"] = _parse_bitrate(val())
+        elif a == "-b:a":
+            audio.codec_opts["bit_rate"] = _parse_bitrate(val())
         elif a in ("-frames:v", "-vframes"):
             video.frames_limit = int(val())
         elif a in ("-frames:a", "-aframes"):

@@ -54,6 +54,107 @@ def _sym(code: int, levels: int) -> float:
     return (code - (levels >> 1)) / levels
 
 
+# --------------------------------------------------------------------------
+# A/52 §7.2.2 bit allocation core, shared with the encoder (the standard
+# mandates the identical computation on both sides)
+# --------------------------------------------------------------------------
+
+def calc_psd(start, end, dexps, psd, band_psd):
+    psd[start:end] = 3072 - (dexps[start:end].astype(np.int32) << 7)
+    b = start
+    band = T.BIN_TO_BAND_TAB[start]
+    while True:
+        v = int(psd[b])
+        b += 1
+        band_end = min(T.BAND_START_TAB[band + 1], end)
+        while b < band_end:
+            mx = max(v, int(psd[b]))
+            adr = min(mx - ((v + int(psd[b]) + 1) >> 1), 255)
+            v = mx + T.LOG_ADD_TAB[adr]
+            b += 1
+        band_psd[band] = v
+        band += 1
+        if end <= T.BAND_START_TAB[band]:
+            break
+
+
+def calc_mask(start, end, bp, mask, fg, ba, sr_code, sr_shift,
+              is_lfe=False):
+    excite = np.zeros(50, np.int32)
+    bs = T.BIN_TO_BAND_TAB[start]
+    be = T.BIN_TO_BAND_TAB[end - 1] + 1
+    sd, fd, sg, db = ba["sd"], ba["fd"], ba["sg"], ba["db"]
+
+    def lowcomp1(a, b0, b1, c):
+        if b0 + 256 == b1:
+            return c
+        if b0 > b1:
+            return max(a - 64, 0)
+        return a
+
+    def lowcomp(a, b0, b1, binn):
+        if binn < 7:
+            return lowcomp1(a, b0, b1, 384)
+        if binn < 20:
+            return lowcomp1(a, b0, b1, 320)
+        return max(a - 128, 0)
+
+    if bs == 0:
+        lc = lowcomp1(0, bp[0], bp[1], 384)
+        excite[0] = bp[0] - fg - lc
+        lc = lowcomp1(lc, bp[1], bp[2], 384)
+        excite[1] = bp[1] - fg - lc
+        begin = 7
+        fastleak = slowleak = 0
+        for band in range(2, 7):
+            if not (is_lfe and band == 6):
+                lc = lowcomp1(lc, bp[band], bp[band + 1], 384)
+            fastleak = int(bp[band]) - fg
+            slowleak = int(bp[band]) - sg
+            excite[band] = fastleak - lc
+            if not (is_lfe and band == 6):
+                if bp[band] <= bp[band + 1]:
+                    begin = band + 1
+                    break
+        for band in range(begin, min(be, 22)):
+            if not (is_lfe and band == 6):
+                lc = lowcomp(lc, bp[band], bp[band + 1], band)
+            fastleak = max(fastleak - fd, int(bp[band]) - fg)
+            slowleak = max(slowleak - sd, int(bp[band]) - sg)
+            excite[band] = max(fastleak - lc, slowleak)
+        begin = 22
+    else:
+        begin = bs
+        fastleak = (ba["cplfl"] << 8) + 768
+        slowleak = (ba["cplsl"] << 8) + 768
+
+    for band in range(begin, be):
+        fastleak = max(fastleak - fd, int(bp[band]) - fg)
+        slowleak = max(slowleak - sd, int(bp[band]) - sg)
+        excite[band] = max(fastleak, slowleak)
+
+    for band in range(bs, be):
+        tmp = db - int(bp[band])
+        if tmp > 0:
+            excite[band] += tmp >> 2
+        hth = T.HEARING_THRESHOLD_TAB[band >> sr_shift][sr_code]
+        mask[band] = max(hth, int(excite[band]))
+
+
+def calc_bap(start, end, psd, mask, snr, floor, bap):
+    if snr == -960:
+        bap[:] = 0
+        return
+    # per-band mask value, spread to bins, then the 6-bit psd-mask
+    # address lookup — all vectorized
+    bands = np.asarray(T.BIN_TO_BAND_TAB[start:end])
+    mval = (np.maximum(mask[bands].astype(np.int64) - snr - floor,
+                       0) & 0x1FE0) + floor
+    addr = np.clip((psd[start:end].astype(np.int64) - mval) >> 5,
+                   0, 63)
+    bap[start:end] = np.asarray(T.BAP_TAB)[addr]
+
+
 class BlockState:
     """Per-stream state that persists across the 6 audio blocks and
     across frames (exponents, bit-alloc products, delay buffers)."""
@@ -450,97 +551,18 @@ class Ac3FrameDecoder:
     def _calc_psd(self, ch):
         st = self.st
         start, end = st.start_freq[ch], st.end_freq[ch]
-        dexps = st.dexps[ch]
         psd = st.psd.setdefault(ch, np.zeros(256, np.int32))
         band_psd = st.band_psd.setdefault(ch, np.zeros(50, np.int32))
-        psd[start:end] = 3072 - (dexps[start:end].astype(np.int32) << 7)
-        b = start
-        band = T.BIN_TO_BAND_TAB[start]
-        while True:
-            v = int(psd[b])
-            b += 1
-            band_end = min(T.BAND_START_TAB[band + 1], end)
-            while b < band_end:
-                mx = max(v, int(psd[b]))
-                adr = min(mx - ((v + int(psd[b]) + 1) >> 1), 255)
-                v = mx + T.LOG_ADD_TAB[adr]
-                b += 1
-            band_psd[band] = v
-            band += 1
-            if end <= T.BAND_START_TAB[band]:
-                break
+        calc_psd(start, end, st.dexps[ch], psd, band_psd)
 
     def _calc_mask(self, ch):
         st = self.st
-        start, end = st.start_freq[ch], st.end_freq[ch]
-        bp = st.band_psd[ch]
         mask = st.mask.setdefault(ch, np.zeros(50, np.int32))
-        excite = np.zeros(50, np.int32)
-        bs = T.BIN_TO_BAND_TAB[start]
-        be = T.BIN_TO_BAND_TAB[end - 1] + 1
-        fg = self.fast_gain[ch]
-        sd, fd, sg, db = (self.ba["sd"], self.ba["fd"], self.ba["sg"],
-                          self.ba["db"])
-        is_lfe = ch == self.lfe_ch
-
-        def lowcomp1(a, b0, b1, c):
-            if b0 + 256 == b1:
-                return c
-            if b0 > b1:
-                return max(a - 64, 0)
-            return a
-
-        def lowcomp(a, b0, b1, binn):
-            if binn < 7:
-                return lowcomp1(a, b0, b1, 384)
-            if binn < 20:
-                return lowcomp1(a, b0, b1, 320)
-            return max(a - 128, 0)
-
-        if bs == 0:
-            lc = lowcomp1(0, bp[0], bp[1], 384)
-            excite[0] = bp[0] - fg - lc
-            lc = lowcomp1(lc, bp[1], bp[2], 384)
-            excite[1] = bp[1] - fg - lc
-            begin = 7
-            fastleak = slowleak = 0
-            for band in range(2, 7):
-                if not (is_lfe and band == 6):
-                    lc = lowcomp1(lc, bp[band], bp[band + 1], 384)
-                fastleak = int(bp[band]) - fg
-                slowleak = int(bp[band]) - sg
-                excite[band] = fastleak - lc
-                if not (is_lfe and band == 6):
-                    if bp[band] <= bp[band + 1]:
-                        begin = band + 1
-                        break
-            for band in range(begin, min(be, 22)):
-                if not (is_lfe and band == 6):
-                    lc = lowcomp(lc, bp[band], bp[band + 1], band)
-                fastleak = max(fastleak - fd, int(bp[band]) - fg)
-                slowleak = max(slowleak - sd, int(bp[band]) - sg)
-                excite[band] = max(fastleak - lc, slowleak)
-            begin = 22
-        else:
-            begin = bs
-            fastleak = (self.ba["cplfl"] << 8) + 768
-            slowleak = (self.ba["cplsl"] << 8) + 768
-
-        for band in range(begin, be):
-            fastleak = max(fastleak - fd, int(bp[band]) - fg)
-            slowleak = max(slowleak - sd, int(bp[band]) - sg)
-            excite[band] = max(fastleak, slowleak)
-
-        for band in range(bs, be):
-            tmp = db - int(bp[band])
-            if tmp > 0:
-                excite[band] += tmp >> 2
-            hth = T.HEARING_THRESHOLD_TAB[band >> self.sr_shift][
-                self.sr_code]
-            mask[band] = max(hth, int(excite[band]))
-
+        calc_mask(st.start_freq[ch], st.end_freq[ch], st.band_psd[ch],
+                  mask, self.fast_gain[ch], self.ba, self.sr_code,
+                  self.sr_shift, is_lfe=ch == self.lfe_ch)
         if self.dba_mode.get(ch, 0) in (1, 2) and ch in self.dba:
-            band = bs
+            band = T.BIN_TO_BAND_TAB[self.st.start_freq[ch]]
             for off, length, val in self.dba[ch]:
                 band += off
                 delta = (val - 3) * 128 if val >= 4 else (val - 4) * 128
@@ -552,23 +574,9 @@ class Ac3FrameDecoder:
 
     def _calc_bap(self, ch):
         st = self.st
-        start, end = st.start_freq[ch], st.end_freq[ch]
-        snr = self.snr_offset[ch]
-        floor = self.ba["fl"]
         bap = st.bap.setdefault(ch, np.zeros(256, np.uint8))
-        if snr == -960:
-            bap[:] = 0
-            return
-        psd = st.psd[ch]
-        mask = st.mask[ch]
-        # per-band mask value, spread to bins, then the 6-bit psd-mask
-        # address lookup — all vectorized
-        bands = np.asarray(T.BIN_TO_BAND_TAB[start:end])
-        mval = (np.maximum(mask[bands].astype(np.int64) - snr - floor,
-                           0) & 0x1FE0) + floor
-        addr = np.clip((psd[start:end].astype(np.int64) - mval) >> 5,
-                       0, 63)
-        bap[start:end] = np.asarray(T.BAP_TAB)[addr]
+        calc_bap(st.start_freq[ch], st.end_freq[ch], st.psd[ch],
+                 st.mask[ch], self.snr_offset[ch], self.ba["fl"], bap)
 
     def _decode_mantissas_block(self, br, order):
         """Decode every mantissa of one block in one vectorized pass.
@@ -612,6 +620,10 @@ class Ac3FrameDecoder:
         b0 = off >> 3
         win = (buf[b0] << 16) | (buf[b0 + 1] << 8) | buf[b0 + 2]
         raw = (win >> (24 - (off & 7) - width)) & ((1 << width) - 1)
+        # symmetric quantizers reconstruct at 2*(code-L/2)/L (A/52
+        # Table 7.17: bap-1 levels are +-2/3), matching the reference's
+        # Q24 convention where asymmetric full scale is +-0.5 -- on our
+        # +-1 mantissa scale both families need the same 2x
         vals = np.zeros(nb, np.float64)
         for b, tab, lev in ((1, _UNGROUP3, 3), (2, _UNGROUP5, 5),
                             (4, _UNGROUP11, 11)):
@@ -622,11 +634,11 @@ class Ac3FrameDecoder:
             codes = np.minimum(raw[occ[::gsz]], len(tab) - 1)
             k = np.arange(len(occ))
             vals[occ] = (tab[codes[k // gsz], k % gsz]
-                         - (lev >> 1)) / lev
+                         - (lev >> 1)) * 2.0 / lev
         m3 = baps == 3
-        vals[m3] = (raw[m3] - 3) / 7.0
+        vals[m3] = (raw[m3] - 3) * 2.0 / 7.0
         m5 = baps == 5
-        vals[m5] = (raw[m5] - 7) / 15.0
+        vals[m5] = (raw[m5] - 7) * 2.0 / 15.0
         hi = baps >= 6
         if hi.any():
             qb = _QUANT_BITS_ARR[baps[hi]]

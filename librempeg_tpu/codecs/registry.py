@@ -15,6 +15,7 @@ _MODULES = (
     "librempeg_tpu.codecs.pcm",
     "librempeg_tpu.codecs.adpcm",
     "librempeg_tpu.codecs.ac3.decoder",
+    "librempeg_tpu.codecs.ac3.encoder",
     "librempeg_tpu.codecs.mpegaudio",
     "librempeg_tpu.codecs.mp3dec",
     "librempeg_tpu.codecs.vorbis.decoder",
