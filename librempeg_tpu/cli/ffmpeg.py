@@ -153,6 +153,8 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             spec_kw["no_video"] = True
         elif a == "-g":
             video.codec_opts["gop_size"] = int(val())
+        elif a == "-bf":
+            video.codec_opts["max_b_frames"] = int(val())
         elif a == "-map":
             spec_kw.setdefault("maps", []).append(val())
         elif a == "-metadata":

@@ -116,6 +116,7 @@ class _VolInfo:
     interlaced = False
     quarter_sample = False
     resync_disable = True
+    low_delay = True      # vol_control_parameters low_delay (default 1)
 
 
 def _next_start_code(data: bytes, pos: int) -> int:
@@ -128,15 +129,25 @@ class Mpeg4BitstreamDecoder:
 
     def __init__(self):
         self.vol = None
-        self.ref = None   # (y, u, v) int16 reference planes
+        self.ref = None        # newest non-B reference planes
+        self.prev_ref = None   # older non-B reference (B forward ref)
+        self.co_info = None    # colocated P info: (mvs, skip, is8x8)
+        # VOP timing for B direct mode (TRB/TRD)
+        self.time_base = 0
+        self.last_time_base = 0
+        self.last_non_b_time = 0
+        self.pp_time = 0
+        self.pb_time = 0
+        self.last_was_b = False
 
     # -- headers ------------------------------------------------------
     def _parse_vol(self, br: BitReaderMSB):
         v = _VolInfo()
         br.read(1)                      # random_accessible
         br.read(8)                      # object type
+        ver_id = 1
         if br.read(1):                  # is_object_layer_identifier
-            br.read(4)
+            ver_id = br.read(4)
             br.read(3)
         aspect = br.read(4)
         if aspect == 15:
@@ -144,7 +155,7 @@ class Mpeg4BitstreamDecoder:
             br.read(8)
         if br.read(1):                  # vol_control_parameters
             br.read(2)                  # chroma format
-            br.read(1)                  # low delay
+            v.low_delay = bool(br.read(1))
             if br.read(1):              # vbv parameters
                 for _ in range(5):
                     br.read(16)         # includes marker bits (15+1 x5ish)
@@ -164,18 +175,26 @@ class Mpeg4BitstreamDecoder:
         br.read(1)
         v.interlaced = bool(br.read(1))
         br.read(1)                      # obmc_disable
-        if br.read(1):                  # sprite_enable
+        # sprite_enable: 1 bit in v1 VOLs, 2 bits from vo_ver_id 2
+        if br.read(1 if ver_id == 1 else 2):
             raise Unsupported("mpeg4: sprites/GMC")
         if br.read(1):                  # not_8_bit
             raise Unsupported("mpeg4: extended bit depth")
         v.quant_type = br.read(1)
         if v.quant_type:
             raise Unsupported("mpeg4: MPEG quantization matrices")
+        if ver_id != 1 and br.read(1):  # quarter_sample
+            raise Unsupported("mpeg4: quarter-pel motion")
         if not br.read(1):              # complexity_estimation_disable
             raise Unsupported("mpeg4: complexity estimation headers")
         v.resync_disable = bool(br.read(1))
         if br.read(1):                  # data_partitioned
             raise Unsupported("mpeg4: data partitioning")
+        if ver_id != 1:
+            if br.read(1):              # newpred_enable
+                raise Unsupported("mpeg4: newpred")
+            if br.read(1):              # reduced_resolution_vop
+                raise Unsupported("mpeg4: reduced resolution")
         if br.read(1):                  # scalability
             raise Unsupported("mpeg4: scalability")
         self.vol = v
@@ -205,10 +224,23 @@ class Mpeg4BitstreamDecoder:
             raise InvalidData("mpeg4: VOP before VOL")
         v = self.vol
         ctype = br.read(2)
+        time_incr = 0
         while br.read(1):               # modulo_time_base
-            pass
+            time_incr += 1
         br.read(1)
-        br.read(v.inc_bits)
+        time_increment = br.read(v.inc_bits)
+        # VOP time bookkeeping for B-frame direct mode (TRB/TRD;
+        # mpeg4videodec.c:3120)
+        if ctype != 2:
+            self.last_time_base = self.time_base
+            self.time_base += time_incr
+            time = self.time_base * v.time_res + time_increment
+            self.pp_time = time - self.last_non_b_time
+            self.last_non_b_time = time
+        else:
+            time = (self.last_time_base + time_incr) * v.time_res \
+                + time_increment
+            self.pb_time = self.pp_time - (self.last_non_b_time - time)
         br.read(1)
         if not br.read(1):              # vop_coded
             return None
@@ -225,16 +257,28 @@ class Mpeg4BitstreamDecoder:
             br.read(1)
         qp = br.read(5)
         fcode = 1
+        bcode = 1
         if ctype == 1:
             fcode = br.read(3)
         elif ctype == 2:
-            raise Unsupported("mpeg4: B-VOPs")
+            fcode = br.read(3)
+            bcode = br.read(3)
+        self.last_was_b = ctype == 2
         if ctype == 0:
             out = self._decode_i(br, qp, dc_thr)
-        else:
+            self._promote_ref(out, None)
+        elif ctype == 1:
             out = self._decode_p(br, qp, dc_thr, fcode, rounding)
-        self.ref = out
+        elif ctype == 2:
+            out = self._decode_b(br, qp, dc_thr, fcode, bcode)
+        else:
+            raise Unsupported("mpeg4: S(GMC)-VOPs")
         return out
+
+    def _promote_ref(self, out, co_info):
+        self.prev_ref = self.ref
+        self.ref = out
+        self.co_info = co_info
 
     # -- block-level helpers -------------------------------------------
     def _read_dc(self, br, chroma):
@@ -425,38 +469,12 @@ class Mpeg4BitstreamDecoder:
         else:
             acp = np.repeat(np.repeat(acpred_mb, 2, 0), 2, 1)
         out_coef = np.zeros((nby, nbx, 64), np.int64)
-        dc_store = np.full((nby + 1, nbx + 2), 1024, np.int64)
-        ac_row = np.zeros((nby + 1, nbx + 2, 7), np.int64)
-        ac_col = np.zeros((nby + 1, nbx + 2, 7), np.int64)
-        from librempeg_tpu.codecs.jpeg.tables import ZIGZAG
-
+        grids = _new_pred_grids(nby, nbx)
         for by in range(nby):
             for bx in range(nbx):
-                qp = int(qp_map[by, bx])
-                scaler = T.dc_scaler(qp, chroma)
-                blk = q[by, bx].astype(np.int64)
-                A = dc_store[by + 1, bx]
-                B = dc_store[by, bx]
-                C = dc_store[by, bx + 1]
-                from_c = abs(A - B) < abs(B - C)
-                pred = C if from_c else A
-                dc_level = blk[0] + (pred + scaler // 2) // scaler
-                # AC prediction: first row from C or first col from A
-                coefs = np.zeros(64, np.int64)
-                if acp[by, bx]:
-                    scan = _ALT_HORIZ if from_c else _ALT_VERT
-                    coefs[scan] = blk
-                    if from_c:
-                        coefs[1:8] += ac_row[by, bx + 1]
-                    else:
-                        coefs[8::8][:7] += ac_col[by + 1, bx]
-                else:
-                    coefs[ZIGZAG] = blk
-                coefs[0] = dc_level
-                out_coef[by, bx] = coefs
-                dc_store[by + 1, bx + 1] = dc_level * scaler
-                ac_row[by + 1, bx + 1] = coefs[1:8]
-                ac_col[by + 1, bx + 1] = coefs[8::8][:7]
+                out_coef[by, bx] = _predict_intra_block(
+                    q[by, bx], grids, by, bx, int(qp_map[by, bx]),
+                    chroma, bool(acp[by, bx]))
         # dequant + idct (batched)
         return _dequant_idct_intra(out_coef, qp_map, chroma)
 
@@ -478,11 +496,14 @@ class Mpeg4BitstreamDecoder:
         acpred = np.zeros((mb_h, mb_w), bool)
         qp_map = np.full((mb_h, mb_w), qp, np.int32)
         valid = np.zeros((mb_h, mb_w), bool)
+        skip = np.zeros((mb_h, mb_w), bool)
+        is8x8 = np.zeros((mb_h, mb_w), bool)
 
         for my in range(mb_h):
             for mx in range(mb_w):
                 if br.read(1):          # not_coded: skip MB
                     valid[my, mx] = True
+                    skip[my, mx] = True
                     continue
                 sym = _INTER_MCBPC_VLC.read(br)
                 while sym == 20:        # stuffing
@@ -505,6 +526,7 @@ class Mpeg4BitstreamDecoder:
                 qp_map[my, mx] = cur_qp
                 if not is_intra:
                     nmv = 4 if mbtype == 4 else 1
+                    is8x8[my, mx] = nmv == 4
                     px, py = _mv_pred_p(mvs, valid, coded, intra_mask,
                                         my, mx, mb_w, 0)
                     for k in range(nmv):
@@ -555,8 +577,147 @@ class Mpeg4BitstreamDecoder:
                         blk = self._read_block(br, False, False, True,
                                                cur_qp)
                     arr[my, mx] = blk
-        return _reconstruct_p(self, qy, qu, qv, mvs, intra_mask, coded,
-                              acpred, qp_map, dc_thr, rounding)
+        out = _reconstruct_p(self, qy, qu, qv, mvs, intra_mask, coded,
+                             acpred, qp_map, dc_thr, rounding)
+        self._promote_ref(out, (mvs, skip, is8x8))
+        return out
+
+    def _decode_b(self, br, qp, dc_thr, fcode, bcode):
+        """B-VOP: direct/interpolate/backward/forward 16x16 MBs
+        (mpeg4videodec.c:1888; progressive only)."""
+        v = self.vol
+        if self.ref is None or self.prev_ref is None:
+            raise InvalidData("mpeg4: B-VOP without two references")
+        if v.interlaced:
+            raise Unsupported("mpeg4: interlaced B-VOPs")
+        mb_w = (v.width + 15) // 16
+        mb_h = (v.height + 15) // 16
+        if self.co_info is not None:
+            co_mvs, co_skip, co_8x8 = self.co_info
+        else:                           # backward ref is an I-VOP
+            co_mvs = np.zeros((mb_h, mb_w, 4, 2), np.int32)
+            co_skip = np.zeros((mb_h, mb_w), bool)
+            co_8x8 = np.zeros((mb_h, mb_w), bool)
+        time_pp = self.pp_time
+        time_pb = self.pb_time
+        cur_qp = qp
+        mbs = []
+        qy = np.zeros((mb_h * 2, mb_w * 2, 64), np.int32)
+        qu = np.zeros((mb_h, mb_w, 64), np.int32)
+        qv = np.zeros((mb_h, mb_w, 64), np.int32)
+        frng = 32 << (fcode - 1)
+        brng = 32 << (bcode - 1)
+        for my in range(mb_h):
+            last_f = (0, 0)
+            last_b = (0, 0)
+            for mx in range(mb_w):
+                mb = _BMb()
+                mb.qp = cur_qp
+                mbs.append(mb)
+                # colocated-skip in the future P skips the B MB too
+                if co_skip[my, mx]:
+                    mb.skip = True
+                    mb.mode = _B_FORWARD
+                    mb.mvf = [(0, 0)] * 4
+                    continue
+                modb1 = br.read(1)
+                direct_delta = (0, 0)
+                cbp = 0
+                if modb1:
+                    mb.mode = _B_DIRECT
+                else:
+                    modb2 = br.read(1)
+                    mb.mode = _read_b_mbtype(br)
+                    if not modb2:
+                        cbp = br.read(6)
+                    if mb.mode != _B_DIRECT and cbp:
+                        if br.read(1):  # dbquant
+                            cur_qp = int(np.clip(
+                                cur_qp + (br.read(1) * 4 - 2), 1, 31))
+                    mb.qp = cur_qp
+                    if mb.mode in (_B_FORWARD, _B_BIDIR):
+                        dx = self._read_mv_component(br, fcode)
+                        dy = self._read_mv_component(br, fcode)
+                        vx = _mv_wrap(last_f[0] + dx, frng)
+                        vy = _mv_wrap(last_f[1] + dy, frng)
+                        last_f = (vx, vy)
+                        mb.mvf = [(vx, vy)] * 4
+                    if mb.mode in (_B_BACKWARD, _B_BIDIR):
+                        dx = self._read_mv_component(br, bcode)
+                        dy = self._read_mv_component(br, bcode)
+                        vx = _mv_wrap(last_b[0] + dx, brng)
+                        vy = _mv_wrap(last_b[1] + dy, brng)
+                        last_b = (vx, vy)
+                        mb.mvb = [(vx, vy)] * 4
+                    if mb.mode == _B_DIRECT:
+                        dx = self._read_mv_component(br, 1)
+                        dy = self._read_mv_component(br, 1)
+                        direct_delta = (_mv_wrap(dx, 32),
+                                        _mv_wrap(dy, 32))
+                if mb.mode == _B_DIRECT:
+                    # scale colocated MVs by TRB/TRD (mpeg4video.c:83)
+                    mb.co8 = bool(co_8x8[my, mx])
+                    nblk = 4 if mb.co8 else 1
+                    mvf, mvb = [], []
+                    dmx, dmy = direct_delta
+                    for k in range(nblk):
+                        pmx = int(co_mvs[my, mx, k, 0])
+                        pmy = int(co_mvs[my, mx, k, 1])
+                        fx = _ctrunc_div(pmx * time_pb, time_pp) + dmx
+                        fy = _ctrunc_div(pmy * time_pb, time_pp) + dmy
+                        bx = fx - pmx if dmx else _ctrunc_div(
+                            pmx * (time_pb - time_pp), time_pp)
+                        by = fy - pmy if dmy else _ctrunc_div(
+                            pmy * (time_pb - time_pp), time_pp)
+                        mvf.append((fx, fy))
+                        mvb.append((bx, by))
+                    if nblk == 1:
+                        mvf, mvb = mvf * 4, mvb * 4
+                    mb.mvf, mb.mvb = mvf, mvb
+                # residual blocks (inter coding only)
+                for i, (by, bx) in enumerate(
+                        ((2 * my, 2 * mx), (2 * my, 2 * mx + 1),
+                         (2 * my + 1, 2 * mx), (2 * my + 1, 2 * mx + 1))):
+                    if cbp & (32 >> i):
+                        qy[by, bx] = self._read_block(
+                            br, False, False, False, mb.qp)
+                if cbp & 2:
+                    qu[my, mx] = self._read_block(br, False, False,
+                                                  True, mb.qp)
+                if cbp & 1:
+                    qv[my, mx] = self._read_block(br, False, False,
+                                                  True, mb.qp)
+        return _reconstruct_b(self, mbs, qy, qu, qv, mb_w, mb_h)
+
+
+def _ctrunc_div(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero), b > 0."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+# B-VOP macroblock modes (mb_type VLC '1','01','001','0001';
+# mpeg4videodec.c mb_type_b_map order)
+_B_DIRECT, _B_BIDIR, _B_BACKWARD, _B_FORWARD = range(4)
+
+
+class _BMb:
+    __slots__ = ("mode", "mvf", "mvb", "skip", "co8", "qp")
+
+    def __init__(self):
+        self.mode = _B_FORWARD
+        self.mvf = [(0, 0)] * 4
+        self.mvb = [(0, 0)] * 4
+        self.skip = False
+        self.co8 = False
+        self.qp = 0
+
+
+def _read_b_mbtype(br) -> int:
+    for n in range(4):
+        if br.read(1):
+            return (_B_DIRECT, _B_BIDIR, _B_BACKWARD, _B_FORWARD)[n]
+    raise InvalidData("mpeg4: illegal B mb_type")
 
 
 def _mv_wrap(v, rng):
@@ -581,10 +742,14 @@ def _mv_pred_p(mvs, valid, coded, intra, my, mx, mb_w, blk):
         A = get(my, mx - 1, 1)
         B = get(my - 1, mx, 2)
         C = get(my - 1, mx + 1, 2)
+        if my == 0:                     # first line: pred = A alone
+            return A if A is not None else (0, 0)
     elif blk == 1:
         A = (int(mvs[my, mx, 0, 0]), int(mvs[my, mx, 0, 1]))
         B = get(my - 1, mx, 3)
         C = get(my - 1, mx + 1, 2)
+        if my == 0:                     # first line (h263.c:213)
+            return A
     elif blk == 2:
         A = get(my, mx - 1, 3)
         B = (int(mvs[my, mx, 0, 0]), int(mvs[my, mx, 0, 1]))
@@ -607,11 +772,57 @@ def _mv_pred_p(mvs, valid, coded, intra, my, mx, mb_w, blk):
 # ---------------------------------------------------------------------------
 
 
+def _new_pred_grids(nby, nbx):
+    """DC/AC prediction state: (dc, ac_row, ac_col); inter blocks keep
+    the 1024/0 reset values (the reference's dc_val/ac_val handling)."""
+    return (np.full((nby + 1, nbx + 2), 1024, np.int64),
+            np.zeros((nby + 1, nbx + 2, 7), np.int64),
+            np.zeros((nby + 1, nbx + 2, 7), np.int64))
+
+
+def _predict_intra_block(blk_scan, grids, by, bx, qp, chroma,
+                         acpred):
+    """Inverse DC/AC prediction for one intra block (§7.4.3); returns
+    raster-order quantized coefficients and updates the grids."""
+    from librempeg_tpu.codecs.jpeg.tables import ZIGZAG
+
+    dc_store, ac_row, ac_col = grids
+    scaler = T.dc_scaler(qp, chroma)
+    blk = blk_scan.astype(np.int64)
+    A = dc_store[by + 1, bx]
+    B = dc_store[by, bx]
+    C = dc_store[by, bx + 1]
+    from_c = abs(A - B) < abs(B - C)
+    pred = C if from_c else A
+    dc_level = blk[0] + (pred + scaler // 2) // scaler
+    coefs = np.zeros(64, np.int64)
+    if acpred:
+        scan = _ALT_HORIZ if from_c else _ALT_VERT
+        coefs[scan] = blk
+        if from_c:
+            coefs[1:8] += ac_row[by, bx + 1]
+        else:
+            coefs[8::8][:7] += ac_col[by + 1, bx]
+    else:
+        coefs[ZIGZAG] = blk
+    coefs[0] = dc_level
+    dc_store[by + 1, bx + 1] = dc_level * scaler
+    ac_row[by + 1, bx + 1] = coefs[1:8]
+    ac_col[by + 1, bx + 1] = coefs[8::8][:7]
+    return coefs
+
+
+def _wrap16(x):
+    """int16 storage wrap: the reference keeps dequantized coefficients
+    in int16_t blocks, so large escapes at high qp wrap around."""
+    return ((x.astype(np.int64) + 32768) & 65535) - 32768
+
+
 def _h263_dequant(levels: np.ndarray, qp: np.ndarray) -> np.ndarray:
     """H.263 inverse quant; levels [..., 64], qp broadcastable."""
     odd = qp % 2
     mag = qp * (2 * np.abs(levels) + 1) - (1 - odd)
-    return np.where(levels != 0, np.sign(levels) * mag, 0)
+    return _wrap16(np.where(levels != 0, np.sign(levels) * mag, 0))
 
 
 def _idct_f(blocks64: np.ndarray) -> np.ndarray:
@@ -630,7 +841,7 @@ def _dequant_idct_intra(coefs, qp_map, chroma):
     qp = qp_map[..., None]
     deq = _h263_dequant(coefs, qp).astype(np.float64)
     scaler = np.vectorize(lambda q: T.dc_scaler(int(q), chroma))(qp_map)
-    deq[..., 0] = coefs[..., 0] * scaler
+    deq[..., 0] = _wrap16(coefs[..., 0] * scaler)
     pix = np.clip(np.rint(_idct_f(deq)), 0, 255).astype(np.uint8)
     out = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
     return out
@@ -662,17 +873,13 @@ def _chroma_mv(mv: int, nmv: int = 1) -> int:
     return sign * ((a >> 1) | (a & 1))
 
 
-def _div_round_half(a: int) -> int:
-    """|sum of 4 luma halfpel mvs| -> chroma halfpel (spec Table 7-8:
-    /8 with remainder 0 -> 0, 1..7 biased to the half position)."""
-    q, r = divmod(a, 16)
-    if r == 0:
-        frac = 0
-    elif r < 14:
-        frac = 1
-    else:
-        frac = 2
-    return q * 2 + frac
+# sum of 4 luma halfpel MVs -> chroma halfpel (spec Table 7-8 as the
+# reference's h263_chroma_roundtab realizes it, h263.c)
+_CHROMA_ROUNDTAB = (0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2)
+
+
+def _chroma_mv_4(s: int) -> int:
+    return _CHROMA_ROUNDTAB[s & 0xF] + ((s >> 3) & ~1)
 
 
 def _reconstruct_p(dec, qy, qu, qv, mvs, intra_mask, coded_mask, acpred,
@@ -690,34 +897,38 @@ def _reconstruct_p(dec, qy, qu, qv, mvs, intra_mask, coded_mask, acpred,
     out_v = np.zeros((H // 2, W // 2), np.uint8)
     from librempeg_tpu.codecs.jpeg.tables import ZIGZAG
 
+    # DC/AC prediction state for standalone intra MBs (neighbors that
+    # are inter/skipped read as the 1024/0 reset values, mirroring the
+    # reference's per-frame dc_val/ac_val tables)
+    grids_y = _new_pred_grids(mb_h * 2, mb_w * 2)
+    grids_u = _new_pred_grids(mb_h, mb_w)
+    grids_v = _new_pred_grids(mb_h, mb_w)
+
     for my in range(mb_h):
         for mx in range(mb_w):
             qp = int(qp_map[my, mx])
             if intra_mask[my, mx]:
-                # standalone intra MB in P-VOP: no prediction from
-                # neighbors (treated as out-of-bounds -> 1024 default)
+                acp = bool(acpred[my, mx])
                 for i, (by, bx) in enumerate(
                         ((0, 0), (0, 1), (1, 0), (1, 1))):
-                    blk = qy[2 * my + by, 2 * mx + bx].astype(np.int64)
-                    coefs = np.zeros(64, np.int64)
-                    coefs[ZIGZAG] = blk
+                    coefs = _predict_intra_block(
+                        qy[2 * my + by, 2 * mx + bx], grids_y,
+                        2 * my + by, 2 * mx + bx, qp, False, acp)
                     scaler = T.dc_scaler(qp, False)
-                    coefs[0] = blk[0] + (1024 + scaler // 2) // scaler
                     deq = _h263_dequant(coefs, np.int64(qp)).astype(
                         np.float64)
-                    deq[0] = coefs[0] * scaler
+                    deq[0] = _wrap16(np.asarray(coefs[0] * scaler))
                     pix = np.clip(np.rint(_idct_f(deq)), 0, 255)
                     out_y[my * 16 + by * 8:my * 16 + by * 8 + 8,
                           mx * 16 + bx * 8:mx * 16 + bx * 8 + 8] = pix
-                for arr, outp in ((qu, out_u), (qv, out_v)):
-                    blk = arr[my, mx].astype(np.int64)
-                    coefs = np.zeros(64, np.int64)
-                    coefs[ZIGZAG] = blk
+                for arr, outp, grids in ((qu, out_u, grids_u),
+                                         (qv, out_v, grids_v)):
+                    coefs = _predict_intra_block(
+                        arr[my, mx], grids, my, mx, qp, True, acp)
                     scaler = T.dc_scaler(qp, True)
-                    coefs[0] = blk[0] + (1024 + scaler // 2) // scaler
                     deq = _h263_dequant(coefs, np.int64(qp)).astype(
                         np.float64)
-                    deq[0] = coefs[0] * scaler
+                    deq[0] = _wrap16(np.asarray(coefs[0] * scaler))
                     pix = np.clip(np.rint(_idct_f(deq)), 0, 255)
                     outp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pix
                 continue
@@ -744,8 +955,8 @@ def _reconstruct_p(dec, qy, qu, qv, mvs, intra_mask, coded_mask, acpred,
                 cvx = _chroma_mv(int(mvs[my, mx, 0, 0]), 1)
                 cvy = _chroma_mv(int(mvs[my, mx, 0, 1]), 1)
             else:
-                cvx = _div_round_half(abs(sx)) * (1 if sx >= 0 else -1)
-                cvy = _div_round_half(abs(sy)) * (1 if sy >= 0 else -1)
+                cvx = _chroma_mv_4(sx)
+                cvy = _chroma_mv_4(sy)
             for arr, refp, outp in ((qu, rup, out_u), (qv, rvp, out_v)):
                 oy = (my * 8 + pad) * 2 + cvy
                 ox = (mx * 8 + pad) * 2 + cvx
@@ -762,6 +973,77 @@ def _reconstruct_p(dec, qy, qu, qv, mvs, intra_mask, coded_mask, acpred,
     return out_y, out_u, out_v
 
 
+def _reconstruct_b(dec, mbs, qy, qu, qv, mb_w, mb_h):
+    """B-VOP reconstruction: fwd/bwd/averaged half-pel MC + inter
+    residuals (rounding type 0 throughout, as the reference uses for
+    B-frames)."""
+    fy_, fu_, fv_ = dec.prev_ref            # forward (older) ref
+    by_, bu_, bv_ = dec.ref                 # backward (future P) ref
+    pad = 32
+    planes = {
+        0: (np.pad(fy_, pad, mode="edge"), np.pad(by_, pad, mode="edge")),
+        1: (np.pad(fu_, pad, mode="edge"), np.pad(bu_, pad, mode="edge")),
+        2: (np.pad(fv_, pad, mode="edge"), np.pad(bv_, pad, mode="edge")),
+    }
+    H, W = mb_h * 16, mb_w * 16
+    out_y = np.zeros((H, W), np.uint8)
+    out_u = np.zeros((H // 2, W // 2), np.uint8)
+    out_v = np.zeros((H // 2, W // 2), np.uint8)
+    from librempeg_tpu.codecs.jpeg.tables import ZIGZAG
+
+    def pred8(plane_idx, py, px, mvs_f, mvs_b, mode):
+        fwd, bwd = planes[plane_idx]
+        if mode in (_B_FORWARD, _B_BIDIR, _B_DIRECT):
+            p = _hpel_mc(fwd, (py + pad) * 2 + mvs_f[1],
+                         (px + pad) * 2 + mvs_f[0], 8, 0)
+        if mode == _B_BACKWARD:
+            return _hpel_mc(bwd, (py + pad) * 2 + mvs_b[1],
+                            (px + pad) * 2 + mvs_b[0], 8, 0)
+        if mode in (_B_BIDIR, _B_DIRECT):
+            q = _hpel_mc(bwd, (py + pad) * 2 + mvs_b[1],
+                         (px + pad) * 2 + mvs_b[0], 8, 0)
+            return (p + q + 1) >> 1
+        return p
+
+    def add_residual(pred, blk, qp):
+        if np.any(blk):
+            coefs = np.zeros(64, np.int64)
+            coefs[ZIGZAG] = blk
+            resid = _idct_f(_h263_dequant(coefs, np.int64(qp))
+                            .astype(np.float64))
+            pred = pred + np.rint(resid).astype(np.int32)
+        return np.clip(pred, 0, 255)
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb = mbs[my * mb_w + mx]
+            mode = mb.mode
+            for k, (oy, ox) in enumerate(((0, 0), (0, 8), (8, 0),
+                                          (8, 8))):
+                p = pred8(0, my * 16 + oy, mx * 16 + ox,
+                          mb.mvf[k], mb.mvb[k], mode)
+                out_y[my * 16 + oy:my * 16 + oy + 8,
+                      mx * 16 + ox:mx * 16 + ox + 8] = add_residual(
+                    p, qy[2 * my + (oy >> 3), 2 * mx + (ox >> 3)],
+                    mb.qp)
+            # chroma MVs per direction
+            def cmv(mvlist):
+                if mb.mode == _B_DIRECT and mb.co8:
+                    sx = sum(m[0] for m in mvlist)
+                    sy = sum(m[1] for m in mvlist)
+                    return (_chroma_mv_4(sx), _chroma_mv_4(sy))
+                return (_chroma_mv(mvlist[0][0]),
+                        _chroma_mv(mvlist[0][1]))
+
+            cf = cmv(mb.mvf)
+            cb = cmv(mb.mvb)
+            for pi, (arr, outp) in ((1, (qu, out_u)), (2, (qv, out_v))):
+                p = pred8(pi, my * 8, mx * 8, cf, cb, mode)
+                outp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    add_residual(p, arr[my, mx], mb.qp)
+    return out_y, out_u, out_v
+
+
 @register_decoder
 class Mpeg4Decoder(Decoder):
     INFO = CodecInfo(name="mpeg4", long_name="MPEG-4 part 2",
@@ -770,6 +1052,8 @@ class Mpeg4Decoder(Decoder):
     def __init__(self, params=None, **opts):
         self._dec = Mpeg4BitstreamDecoder()
         self._n = 0
+        self._held = None       # reordering: non-B frames delay by one
+        self._seen_b = False
         super().__init__(params, **opts)
 
     def configure(self, params):
@@ -777,13 +1061,11 @@ class Mpeg4Decoder(Decoder):
             # VOL headers may live in extradata (mp4 esds)
             self._dec.decode_frame(bytes(params.extradata))
 
-    def decode(self, pkt: Packet):
-        out = self._dec.decode_frame(bytes(pkt.data))
-        if out is None:
-            return []
+    def _frame(self, out, pkt):
         y, u, v = out
         vol = self._dec.vol
-        f = VideoFrame(
+        self._n += 1
+        return VideoFrame(
             planes=(y[:vol.height, :vol.width],
                     u[:(vol.height + 1) // 2, :(vol.width + 1) // 2],
                     v[:(vol.height + 1) // 2, :(vol.width + 1) // 2]),
@@ -791,5 +1073,28 @@ class Mpeg4Decoder(Decoder):
             pts=pkt.pts,
             time_base=pkt.time_base if pkt.time_base.valid
             and pkt.time_base.num else Rational(1, 25))
-        self._n += 1
-        return [f]
+
+    def decode(self, pkt: Packet):
+        out = self._dec.decode_frame(bytes(pkt.data))
+        if out is None:
+            return []
+        f = self._frame(out, pkt)
+        if self._dec.last_was_b:
+            # B frames display immediately (between the held refs);
+            # a B in a stream claiming low_delay means the flag lies
+            # (mpeg4videodec.c "low_delay flag set incorrectly") --
+            # switch to reordered output from here on
+            self._seen_b = True
+            return [f]
+        if self._dec.vol is not None and self._dec.vol.low_delay \
+                and not self._seen_b:
+            # low-delay stream: no output delay
+            return [f]
+        # non-B frames are held one step for display reordering (the
+        # reference's has_b_frames=1 output delay); flush() drains
+        held, self._held = self._held, f
+        return [held] if held is not None else []
+
+    def flush(self):
+        held, self._held = self._held, None
+        return [held] if held is not None else []

@@ -265,25 +265,30 @@ def _encode_p_packed(y, u, v, ry, ru, rv, qscale, search_range, slim,
     return packed, (out["y"][1], out["u"][1], out["v"][1])
 
 
+def _chroma_mv_dev(mv_h):
+    """Luma half-pel MV -> chroma half-pel MV (spec /2-with-sticky-half
+    rule, per component)."""
+    a = jnp.abs(mv_h)
+    return jnp.sign(mv_h) * ((a >> 1) | (a & 1))
+
+
 @functools.partial(jax.jit, static_argnames=("search_range",))
 def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
                      search_range: int = 8):
-    """P-VOP device pass: even-integer-pel ME on luma, chroma MVs = mv/2,
-    residual transform coding, in-loop recon."""
+    """P-VOP device pass: integer full search + half-pel refinement on
+    luma (decoder-exact interpolation), spec chroma MVs, residual
+    transform coding, in-loop recon. MVs are in HALF-PEL units."""
     yf = y.astype(jnp.float32)[None]
     ry = ref_y.astype(jnp.float32)[None]
-    # even-pel search at full resolution with the MC fused into the
-    # scan (no gathers anywhere: gathers cost ~12 ns/elem on v5e)
-    mv, _, pred_y = motion.full_search_mc_xla(
-        yf, ry, search_range, block_size=16, step=2)
+    mv, _, pred_y = motion.full_search_mc_hpel(
+        yf, ry, search_range, block_size=16, rounding=0, step=2)
     pred_y = pred_y[0]
-    mv_c = mv // 2
-    pred_u = motion.motion_compensate_scan(
-        ref_u.astype(jnp.float32)[None], mv_c, 8,
-        search_range // 2)[0]
-    pred_v = motion.motion_compensate_scan(
-        ref_v.astype(jnp.float32)[None], mv_c, 8,
-        search_range // 2)[0]
+    mv_c = _chroma_mv_dev(mv)
+    cpad = search_range // 2 + 2
+    pred_u = motion.mc_hpel(
+        ref_u.astype(jnp.float32)[None], mv_c, 8, cpad, 0)[0]
+    pred_v = motion.mc_hpel(
+        ref_v.astype(jnp.float32)[None], mv_c, 8, cpad, 0)[0]
 
     out = {"mv": mv[0]}
     for name, plane, pred in (("y", yf[0], pred_y), ("u", u, pred_u),
@@ -297,6 +302,66 @@ def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
             .astype(jnp.int16)
         recon = jnp.clip(pred + dct8x8.from_blocks(rec_res, h, w), 0, 255)
         out[name] = (zz, recon)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("search_range",))
+def _encode_b_device(y, u, v, fy, fu, fv, by_, bu, bv_, qscale,
+                     dmvf, dmvb, search_range: int = 8):
+    """B-VOP device pass: even-pel ME against BOTH anchors, residual
+    coding for forward/backward/bidirectional candidates; the host
+    picks the per-MB mode from the returned SAD costs."""
+    yf = y.astype(jnp.float32)[None]
+    mvf, cost_f, pred_fy = motion.full_search_mc_hpel(
+        yf, fy.astype(jnp.float32)[None], search_range, 16, 0, 2)
+    mvb, cost_b, pred_by = motion.full_search_mc_hpel(
+        yf, by_.astype(jnp.float32)[None], search_range, 16, 0, 2)
+    pred_biy = jnp.floor((pred_fy + pred_by + 1.0) * 0.5)
+    # bidir luma SAD per MB
+    h, w = y.shape
+    ad = jnp.abs(yf - pred_biy)[0].reshape(h // 16, 16, w // 16, 16)
+    cost_bi = ad.sum(axis=(1, 3))
+    # direct-mode candidate: prediction at the TRB/TRD-scaled
+    # colocated MVs (zero delta), averaged like the decoder
+    dpad = search_range + 2
+    pred_dfy = motion.mc_hpel(fy.astype(jnp.float32)[None],
+                              dmvf, 16, dpad, 0)
+    pred_dby = motion.mc_hpel(by_.astype(jnp.float32)[None],
+                              dmvb, 16, dpad, 0)
+    pred_dy = jnp.floor((pred_dfy + pred_dby + 1.0) * 0.5)
+    add = jnp.abs(yf - pred_dy)[0].reshape(h // 16, 16, w // 16, 16)
+    cost_d = add.sum(axis=(1, 3))
+    out = {"mvf": mvf[0], "mvb": mvb[0], "cost_f": cost_f[0],
+           "cost_b": cost_b[0], "cost_bi": cost_bi, "cost_d": cost_d}
+    mvf_c, mvb_c = _chroma_mv_dev(mvf), _chroma_mv_dev(mvb)
+    cpad = search_range // 2 + 2
+    preds = {"f": {"y": pred_fy[0]}, "b": {"y": pred_by[0]},
+             "bi": {"y": pred_biy[0]}, "d": {"y": pred_dy[0]}}
+    dmvf_c, dmvb_c = _chroma_mv_dev(dmvf), _chroma_mv_dev(dmvb)
+    for cname, ref_c in (("u", (fu, bu)), ("v", (fv, bv_))):
+        pf = motion.mc_hpel(
+            ref_c[0].astype(jnp.float32)[None], mvf_c, 8, cpad, 0)[0]
+        pb = motion.mc_hpel(
+            ref_c[1].astype(jnp.float32)[None], mvb_c, 8, cpad, 0)[0]
+        pdf = motion.mc_hpel(
+            ref_c[0].astype(jnp.float32)[None], dmvf_c, 8,
+            search_range + 2, 0)[0]
+        pdb = motion.mc_hpel(
+            ref_c[1].astype(jnp.float32)[None], dmvb_c, 8,
+            search_range + 2, 0)[0]
+        preds["f"][cname] = pf
+        preds["b"][cname] = pb
+        preds["bi"][cname] = jnp.floor((pf + pb + 1.0) * 0.5)
+        preds["d"][cname] = jnp.floor((pdf + pdb + 1.0) * 0.5)
+    for mode in ("f", "b", "bi", "d"):
+        for name, plane in (("y", y), ("u", u), ("v", v)):
+            p = plane.astype(jnp.float32)
+            resid = p - preds[mode][name]
+            coeffs = _fdct_spec(dct8x8.to_blocks(resid))
+            level, _ = _quant_inter(coeffs, qscale)
+            zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
+                .astype(jnp.int16)
+            out[f"{mode}_{name}"] = zz
     return out
 
 
@@ -379,12 +444,15 @@ def _put_mv(bw: BitWriter, d: int) -> None:
 class _Mpeg4Packer:
     """Assembles headers + macroblock layer."""
 
-    def __init__(self, width, height, fps: Rational, qscale: int):
+    def __init__(self, width, height, fps: Rational, qscale: int,
+                 bframes: bool = False):
         self.w, self.h = width, height
         self.fps = fps
+        self.bframes = bframes
         self.qscale = qscale
         self.tick = 0
         self.last_sec = 0
+        self.prev_sec = 0
         # time resolution = fps numerator (ticks of fps.den per frame)
         self.time_res = max(1, fps.num)
         self.inc_bits = max(1, int(self.time_res - 1).bit_length())
@@ -401,10 +469,17 @@ class _Mpeg4Packer:
         bw.put(0x00000100, 32)     # video_object
         bw.put(0x00000120, 32)     # video_object_layer
         bw.put(0, 1)               # random_accessible_vol
-        bw.put(1, 8)               # video_object_type: simple
+        # ASP object type when B-VOPs are in use (like the reference)
+        bw.put(17 if self.bframes else 1, 8)
         bw.put(0, 1)               # is_object_layer_identifier
         bw.put(1, 4)               # aspect_ratio_info: square
-        bw.put(0, 1)               # vol_control_parameters
+        if self.bframes:
+            bw.put(1, 1)           # vol_control_parameters
+            bw.put(1, 2)           # chroma_format 4:2:0
+            bw.put(0, 1)           # low_delay: B-VOPs reorder
+            bw.put(0, 1)           # vbv_parameters
+        else:
+            bw.put(0, 1)           # vol_control_parameters
         bw.put(0, 2)               # shape: rectangular
         bw.put(1, 1)               # marker
         bw.put(self.time_res, 16)
@@ -430,13 +505,20 @@ class _Mpeg4Packer:
     def vop(self, bw: BitWriter, coding_type: int, frame_idx: int,
             qscale: int | None = None) -> None:
         bw.put(0x000001B6, 32)
-        bw.put(coding_type, 2)     # 0 = I, 1 = P
-        # time: seconds elapsed as modulo_time_base '1's
+        bw.put(coding_type, 2)     # 0 = I, 1 = P, 2 = B
+        # time: seconds elapsed as modulo_time_base '1's.  B-VOPs code
+        # their modulo relative to the PREVIOUS non-B time base (the
+        # decoder's last_time_base), non-B ones advance the base.
         total_ticks = frame_idx * self.fps.den
         sec = total_ticks // self.time_res
-        for _ in range(sec - self.last_sec):
-            bw.put(1, 1)
-        self.last_sec = sec
+        if coding_type == 2:
+            for _ in range(max(0, sec - self.prev_sec)):
+                bw.put(1, 1)
+        else:
+            for _ in range(sec - self.last_sec):
+                bw.put(1, 1)
+            self.prev_sec = self.last_sec
+            self.last_sec = sec
         bw.put(0, 1)
         bw.put(1, 1)               # marker
         bw.put(total_ticks % self.time_res, self.inc_bits)
@@ -448,6 +530,9 @@ class _Mpeg4Packer:
         bw.put(qscale if qscale is not None else self.qscale, 5)
         if coding_type == 1:
             bw.put(1, 3)           # vop_fcode_forward
+        elif coding_type == 2:
+            bw.put(1, 3)           # vop_fcode_forward
+            bw.put(1, 3)           # vop_fcode_backward
 
 
 class RateController:
@@ -502,6 +587,8 @@ class Mpeg4Encoder(Encoder):
         Option("search_range", int, 8, min=2, max=16),
         Option("bit_rate", int, 0, alias="b", min=0, max=1 << 30,
                help="target bitrate (bits/s); 0 = constant qscale"),
+        Option("max_b_frames", int, 0, alias="bf", min=0, max=4,
+               help="B-frames between anchors (fwd/bwd/bidir modes)"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
@@ -522,6 +609,15 @@ class Mpeg4Encoder(Encoder):
         self._frame_idx = 0
         self._ref = None  # (y, u, v) device recon planes
         self._next_pts = 0
+        # B-frame state
+        self._pending: list = []        # buffered (planes, disp_idx)
+        self._prev_anchor = None        # older anchor recon
+        self._disp_idx = 0
+        self._decode_idx = 0
+        self._anchor_skip = None        # future-anchor MB skip mask
+        self._anchor_mvs = None         # future-anchor halfpel MVs
+        self._prev_anchor_disp = 0
+        self._cur_anchor_disp = 0
 
     def codec_parameters(self):
         from librempeg_tpu.formats.api import CodecParameters
@@ -533,17 +629,200 @@ class Mpeg4Encoder(Encoder):
 
     # -- encoding -----------------------------------------------------
     def encode(self, frame: VideoFrame):
+        if self.opts["max_b_frames"]:
+            return self._encode_with_b(frame)
         return self.encode_finish(self.encode_async(frame))
 
-    def encode_async(self, frame: VideoFrame) -> dict:
+    # ---- B-frame scheduling (display buffering + decode-order emit)
+    def _encode_with_b(self, frame: VideoFrame):
+        bf = self.opts["max_b_frames"]
+        d = self._disp_idx
+        self._disp_idx += 1
+        is_i = d % self.opts["gop_size"] == 0 or self._ref is None
+        if is_i or len(self._pending) >= bf:
+            return self._emit_anchor_group(frame, d, is_i)
+        self._pending.append((frame, d))
+        return []
+
+    def _emit_anchor_group(self, frame, d, is_i):
+        prev_anchor = self._ref
+        self._prev_anchor_disp = self._cur_anchor_disp
+        self._cur_anchor_disp = d
+        h = self.encode_async(frame, force_type="I" if is_i else "P",
+                              display_idx=d)
+        pkts = self.encode_finish(h)
+        pkts[0] = pkts[0].replace(dts=self._decode_idx)
+        self._decode_idx += 1
+        for bframe, bd in self._pending:
+            pkt = self._encode_bvop(bframe, bd, prev_anchor, self._ref)
+            pkts.append(pkt.replace(dts=self._decode_idx))
+            self._decode_idx += 1
+        self._pending = []
+        self._prev_anchor = prev_anchor
+        return pkts
+
+    def _encode_bvop(self, frame, d, fwd_refs, bwd_refs) -> Packet:
+        y, u, v = frame.planes
+        if self._pad_w or self._pad_h:
+            y = jnp.pad(jnp.asarray(y),
+                        ((0, self._pad_h), (0, self._pad_w)),
+                        mode="edge")
+            u = jnp.pad(jnp.asarray(u),
+                        ((0, self._pad_h // 2), (0, self._pad_w // 2)),
+                        mode="edge")
+            v = jnp.pad(jnp.asarray(v),
+                        ((0, self._pad_h // 2), (0, self._pad_w // 2)),
+                        mode="edge")
+        q = self._packer.qscale if self._rc is None else \
+            self._rc.pick_qscale(False)
+        dmvf, dmvb = self._direct_mvs(d)
+        out = _encode_b_device(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            *fwd_refs, *bwd_refs, jnp.int32(q),
+            jnp.asarray(dmvf)[None], jnp.asarray(dmvb)[None],
+            self.opts["search_range"])
+        bw = BitWriter()
+        self._packer.vop(bw, 2, d, q)
+        body = self._pack_b(bw, out, q, dmvf, dmvb)
+        pkt = Packet(data=body, pts=d, dts=d, duration=1,
+                     time_base=self.time_base)
+        if self._rc is not None:
+            self._rc.update(len(body) * 8, False)
+        return pkt
+
+    def _direct_mvs(self, d):
+        """TRB/TRD-scaled colocated MVs (zero delta) for direct mode;
+        matches the decoder's C-truncating scaling."""
+        mb_w, mb_h = self.cw // 16, self.ch // 16
+        pmv = self._anchor_mvs
+        if pmv is None:
+            pmv = np.zeros((mb_h, mb_w, 2), np.int32)
+        trb = d - self._prev_anchor_disp
+        trd = self._cur_anchor_disp - self._prev_anchor_disp
+        p = pmv.astype(np.int64)
+        fwd = np.fix(p * trb / trd).astype(np.int32)
+        bwd = np.fix(p * (trb - trd) / trd).astype(np.int32)
+        return fwd, bwd
+
+    def _pack_b(self, bw: BitWriter, out, q: int, dmvf, dmvb) -> bytes:
+        """B-VOP macroblock layer: per-MB mode decision between
+        forward/backward/bidirectional 16x16 prediction; colocated-
+        skipped MBs (in the future anchor) are not coded at all."""
+        mb_w, mb_h = self.cw // 16, self.ch // 16
+        nbx = mb_w * 2
+        mvf = np.asarray(out["mvf"]).astype(np.int32)       # halfpel
+        mvb = np.asarray(out["mvb"]).astype(np.int32)
+        cost_f = np.asarray(out["cost_f"])
+        cost_b = np.asarray(out["cost_b"])
+        cost_bi = np.asarray(out["cost_bi"])
+        cost_d = np.asarray(out["cost_d"])
+        zz = {m: {p: np.asarray(out[f"{m}_{p}"])
+                  for p in ("y", "u", "v")}
+              for m in ("f", "b", "bi", "d")}
+        co_skip = self._anchor_skip
+        if co_skip is None:
+            co_skip = np.zeros((mb_h, mb_w), bool)
+        # bidir pays two MV fields; bias roughly the extra bits
+        lam = 16.0 * q
+        for my in range(mb_h):
+            last_f = np.zeros(2, np.int32)
+            last_b = np.zeros(2, np.int32)
+            for mx in range(mb_w):
+                if co_skip[my, mx]:
+                    continue
+                costs = (float(cost_d[my, mx]),
+                         float(cost_f[my, mx]) + lam,
+                         float(cost_b[my, mx]) + lam,
+                         float(cost_bi[my, mx]) + 2 * lam)
+                mode = ("d", "f", "b", "bi")[int(np.argmin(costs))]
+                lblk = [(2 * my, 2 * mx), (2 * my, 2 * mx + 1),
+                        (2 * my + 1, 2 * mx), (2 * my + 1, 2 * mx + 1)]
+                acs_y = [zz[mode]["y"][by * nbx + bx] for by, bx in lblk]
+                ac_u = zz[mode]["u"][my * mb_w + mx]
+                ac_v = zz[mode]["v"][my * mb_w + mx]
+                cbp = 0
+                for i, a in enumerate(acs_y):
+                    if np.any(a):
+                        cbp |= 32 >> i
+                if np.any(ac_u):
+                    cbp |= 2
+                if np.any(ac_v):
+                    cbp |= 1
+                if mode == "d" and cbp == 0:
+                    bw.put(1, 1)        # modb1: direct, nothing else
+                    continue
+                bw.put(0, 1)            # modb1: mb_type/vectors coded
+                bw.put(0 if cbp else 1, 1)   # modb2: cbp present?
+                # mb_type: '1' direct, '01' bidir, '001' backward,
+                # '0001' forward
+                code = {"d": (1, 1), "bi": (1, 2), "b": (1, 3),
+                        "f": (1, 4)}[mode]
+                bw.put(*code)
+                if cbp:
+                    bw.put(cbp, 6)
+                    if mode != "d":
+                        bw.put(0, 1)    # dbquant flag: keep qp
+                if mode == "d":
+                    _put_mv(bw, 0)      # zero direct delta
+                    _put_mv(bw, 0)
+                if mode in ("f", "bi"):
+                    mvh = mvf[my, mx]
+                    _put_mv(bw, int(mvh[1]) - int(last_f[1]))
+                    _put_mv(bw, int(mvh[0]) - int(last_f[0]))
+                    last_f[:] = mvh
+                if mode in ("b", "bi"):
+                    mvh = mvb[my, mx]
+                    _put_mv(bw, int(mvh[1]) - int(last_b[1]))
+                    _put_mv(bw, int(mvh[0]) - int(last_b[0]))
+                    last_b[:] = mvh
+                for i in range(4):
+                    if cbp & (32 >> i):
+                        _put_coeffs(bw, acs_y[i], 0, intra=False)
+                if cbp & 2:
+                    _put_coeffs(bw, ac_u, 0, intra=False)
+                if cbp & 1:
+                    _put_coeffs(bw, ac_v, 0, intra=False)
+        bw.align_stuffing()
+        return bw.bytes()
+
+    def _stash_anchor_skip(self, is_i, flat, tail):
+        """Record the anchor's MB skip mask: colocated-skipped MBs in
+        the future anchor force B MBs to be skipped too (§7.6.7)."""
+        mb_w, mb_h = self.cw // 16, self.ch // 16
+        if is_i:
+            self._anchor_skip = np.zeros((mb_h, mb_w), bool)
+            self._anchor_mvs = None
+            return
+        H, W = self.ch, self.cw
+        nby = (H // 8) * (W // 8)
+        nbc = (H // 16) * (W // 16)
+        zz_y = flat[:nby * 64].reshape(nby, 64)
+        zz_u = flat[nby * 64:(nby + nbc) * 64].reshape(nbc, 64)
+        zz_v = flat[(nby + nbc) * 64:].reshape(nbc, 64)
+        mv = tail[:mb_h * mb_w * 2].reshape(mb_h, mb_w, 2)
+        nbx = mb_w * 2
+        ymb = zz_y.reshape(mb_h * 2, mb_w * 2, 64)
+        yany = (ymb != 0).any(-1)
+        yany = (yany.reshape(mb_h, 2, mb_w, 2).any(1).any(-1))
+        uany = (zz_u != 0).any(-1).reshape(mb_h, mb_w)
+        vany = (zz_v != 0).any(-1).reshape(mb_h, mb_w)
+        self._anchor_skip = (~yany & ~uany & ~vany
+                             & (mv == 0).all(-1))
+        self._anchor_mvs = np.asarray(mv, np.int32).copy()
+
+    def encode_async(self, frame: VideoFrame, *, force_type=None,
+                     display_idx=None) -> dict:
         """Dispatch the device pass for one frame (non-blocking: XLA
         execution and the result transfer proceed asynchronously) and
         return a handle for encode_finish."""
         if frame.format not in ("yuv420p", "yuvj420p"):
             raise Unsupported(f"mpeg4: input must be yuv420p, got "
                               f"{frame.format}")
-        is_i_next = (self._frame_idx % self.opts["gop_size"] == 0
-                     or self._ref is None)
+        if force_type is not None:
+            is_i_next = force_type == "I"
+        else:
+            is_i_next = (self._frame_idx % self.opts["gop_size"] == 0
+                         or self._ref is None)
         if self.opts["bit_rate"] > 0:
             if self._rc is None:
                 self._rc = RateController(self.opts["bit_rate"],
@@ -553,8 +832,9 @@ class Mpeg4Encoder(Encoder):
         else:
             q = self.opts["qscale"]
         if self._packer is None:
-            self._packer = _Mpeg4Packer(self.width, self.height,
-                                        self.framerate, q)
+            self._packer = _Mpeg4Packer(
+                self.width, self.height, self.framerate, q,
+                bframes=bool(self.opts["max_b_frames"]))
         # keep planes wherever they live (device arrays flow straight
         # into the jitted pass -- no host fetch of filter-graph output)
         y, u, v = frame.planes
@@ -568,8 +848,9 @@ class Mpeg4Encoder(Encoder):
                         ((0, self._pad_h // 2), (0, self._pad_w // 2)),
                         mode="edge")
 
-        is_i = (self._frame_idx % self.opts["gop_size"] == 0
-                or self._ref is None)
+        is_i = is_i_next
+        hdr_idx = display_idx if display_idx is not None \
+            else self._frame_idx
         bw = BitWriter()
         if self._frame_idx == 0:
             data0 = self._packer.sequence_headers()
@@ -601,8 +882,9 @@ class Mpeg4Encoder(Encoder):
             packed = out
             recon = (out["y"][1], out["u"][1], out["v"][1])
             self._ref = recon
-            self._packer.vop(bw, 1, self._frame_idx, q)
-            pts = frame.pts if frame.pts != NOPTS else self._next_pts
+            self._packer.vop(bw, 1, hdr_idx, q)
+            pts = display_idx if display_idx is not None else (
+                frame.pts if frame.pts != NOPTS else self._next_pts)
             self._next_pts = pts + 1
             handle = {"bw": bw, "data0": data0, "q": q, "is_i": False,
                       "mesh_out": out, "planes": (y, u, v),
@@ -620,9 +902,10 @@ class Mpeg4Encoder(Encoder):
                 jnp.int32(q), self.opts["search_range"], slim,
                 *(() if slim else self._fat_caps()))
         self._ref = recon
-        self._packer.vop(bw, 0 if is_i else 1, self._frame_idx, q)
+        self._packer.vop(bw, 0 if is_i else 1, hdr_idx, q)
 
-        pts = frame.pts if frame.pts != NOPTS else self._next_pts
+        pts = display_idx if display_idx is not None else (
+            frame.pts if frame.pts != NOPTS else self._next_pts)
         self._next_pts = pts + 1
         handle = {"bw": bw, "data0": data0, "q": q, "is_i": is_i,
                   "packed": packed, "planes": (y, u, v), "refs": refs,
@@ -697,6 +980,8 @@ class Mpeg4Encoder(Encoder):
                     False, *caps)
             h["caps"] = caps
         bw = h["bw"]
+        if self.opts["max_b_frames"]:
+            self._stash_anchor_skip(is_i, flat, tail)
         if is_i:
             body = self._pack_i(bw, flat, tail, q)
         else:
@@ -843,8 +1128,8 @@ class Mpeg4Encoder(Encoder):
         mv = tail[:bh * bwd * 2].reshape(bh, bwd, 2).astype(np.int32)
 
         mb_w, mb_h = self.cw // 16, self.ch // 16
-        # MV prediction: median of left/top/top-right in half-pel units
-        mvh = mv * 2                               # halfpel
+        # MVs arrive in half-pel units from the device pass
+        mvh = mv
         from librempeg_tpu.native import build as native
 
         if native.available():
@@ -913,4 +1198,9 @@ class Mpeg4Encoder(Encoder):
         return px, py
 
     def flush(self):
-        return []
+        if not self._pending:
+            return []
+        # trailing frames: the last buffered one becomes the final
+        # anchor; earlier ones encode as B between the two anchors
+        frame, d = self._pending.pop()
+        return self._emit_anchor_group(frame, d, is_i=False)

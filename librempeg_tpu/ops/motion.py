@@ -105,19 +105,23 @@ def full_search(cur: jax.Array, ref: jax.Array, search_range: int = 8,
 
 def full_search_mc_prepadded(cur: jax.Array, ref_vpad: jax.Array,
                              search_range: int = 8,
-                             block_size: int = 16, step: int = 1):
+                             block_size: int = 16, step: int = 1,
+                             vpad: int | None = None):
     """full_search_mc_xla over a VERTICALLY pre-padded reference
-    (rows already extended by `search_range` real neighbor rows, e.g.
-    a shard-map halo exchange); horizontal padding stays replicate.
-    Bit-identical to the unsharded search on the corresponding band."""
+    (rows already extended by `vpad` (default search_range) real
+    neighbor rows, e.g. a shard-map halo exchange); horizontal padding
+    stays replicate. Bit-identical to the unsharded search on the
+    corresponding band."""
     n, h, w = cur.shape
     bs = block_size
     r = search_range
+    if vpad is None:
+        vpad = r
     curb = cur.astype(jnp.bfloat16)
     refb = ref_vpad.astype(jnp.bfloat16)
     ref_pad = jnp.pad(refb, ((0, 0), (0, 0), (r, r)), mode="edge")
     dy, dx = np.mgrid[-r:r + 1:step, -r:r + 1:step]
-    cands = jnp.asarray(np.stack([dy.ravel() + r, dx.ravel() + r],
+    cands = jnp.asarray(np.stack([dy.ravel() + vpad, dx.ravel() + r],
                                  axis=1))
 
     def body(carry, cand):
@@ -141,8 +145,24 @@ def full_search_mc_prepadded(cur: jax.Array, ref_vpad: jax.Array,
             jnp.zeros((n, bh, bw), jnp.int32),
             jnp.zeros((n, h, w), jnp.bfloat16))
     (cost, idx, pred), _ = jax.lax.scan(body, init, cands3)
-    mv = (cands.astype(jnp.int32) - r)[idx]
+    mv = (cands.astype(jnp.int32)
+          - jnp.asarray([vpad, r], jnp.int32)[None, :])[idx]
     return mv, cost, pred.astype(jnp.float32)
+
+
+def full_search_mc_hpel_prepadded(cur: jax.Array, ref_vpad: jax.Array,
+                                  search_range: int = 8,
+                                  block_size: int = 16,
+                                  rounding: int = 0, step: int = 2):
+    """Integer prepadded search + half-pel refinement over a band whose
+    reference carries a (search_range+2)-row halo."""
+    r = search_range
+    mv_i, _, _ = full_search_mc_prepadded(cur, ref_vpad, r, block_size,
+                                          step, vpad=r + 2)
+    ref_pad = jnp.pad(ref_vpad.astype(jnp.int32),
+                      ((0, 0), (0, 0), (r + 2, r + 2)), mode="edge")
+    return _hpel_refine(cur, ref_pad, r + 2, r + 2, mv_i, rounding,
+                        block_size)
 
 
 @functools.partial(jax.jit, static_argnames=("search_range",
@@ -193,6 +213,157 @@ def full_search_mc_xla(cur: jax.Array, ref: jax.Array,
     (cost, idx, pred), _ = jax.lax.scan(body, init, cands3)
     mv = (cands.astype(jnp.int32) - r)[idx]      # tiny-table lookup
     return mv, cost, pred.astype(jnp.float32)
+
+
+def _gather_windows(ref_pad, oy, ox, win):
+    """[N,Hp,Wp] + per-block top-left (padded coords) -> block windows
+    [N,bh,bw,win,win] (one moderate gather per frame)."""
+    n = ref_pad.shape[0]
+    iy = oy[..., None, None] + jnp.arange(win)[None, None, None, :, None]
+    ix = ox[..., None, None] + jnp.arange(win)[None, None, None, None, :]
+    nidx = jnp.arange(n)[:, None, None, None, None]
+    return ref_pad[nidx, iy, ix]
+
+
+def _hpel_refine(cur, ref_pad, pad_y, pad_x, mv_i, rounding, bs):
+    """Half-pel refinement around per-block integer winners.
+
+    cur [N,H,W]; ref_pad int-valued [N,H+2py,W+2px]; mv_i [N,bh,bw,2]
+    (pixel units, |mv| <= pad-1).  Interpolation follows the decoder's
+    integer half-pel rules ((a+b+1-rnd)>>1 / (4-sum+2-rnd)>>2), so the
+    returned prediction is exactly what a conforming decoder computes.
+    Returns (mv half-pel [N,bh,bw,2], cost f32, pred f32 int-valued).
+    """
+    n, h, w = cur.shape
+    bh, bw = h // bs, w // bs
+    rr = 2                  # half-pel refinement radius (covers the
+    #                         odd integer MVs a step-2 stage-1 misses)
+    win = bs + 2 * rr - 1
+    by = (jnp.arange(bh) * bs)[None, :, None]
+    bx = (jnp.arange(bw) * bs)[None, None, :]
+    oy = by + mv_i[..., 0] + pad_y - 1
+    ox = bx + mv_i[..., 1] + pad_x - 1
+    wd = _gather_windows(ref_pad.astype(jnp.int32), oy, ox, win)
+    curb = cur.reshape(n, bh, bs, bw, bs).transpose(0, 1, 3, 2, 4) \
+        .astype(jnp.int32)
+    r1 = 1 - rounding
+    r2 = 2 - rounding
+
+    def sub(dy, dx):
+        return jax.lax.dynamic_slice(
+            wd, (0, 0, 0, 1 + dy, 1 + dx), (n, bh, bw, bs, bs))
+
+    best_cost = jnp.full((n, bh, bw), 2 ** 31 - 1, jnp.int32)
+    best_d = jnp.zeros((n, bh, bw, 2), jnp.int32)
+    best_pred = jnp.zeros((n, bh, bw, bs, bs), jnp.int32)
+    for dy in range(-rr, rr + 1):
+        for dx in range(-rr, rr + 1):
+            ody, odx = dy >> 1, dx >> 1
+            fy, fx = dy & 1, dx & 1
+            a = sub(ody, odx)
+            if fy == 0 and fx == 0:
+                p = a
+            elif fy == 0:
+                p = (a + sub(ody, odx + 1) + r1) >> 1
+            elif fx == 0:
+                p = (a + sub(ody + 1, odx) + r1) >> 1
+            else:
+                p = (a + sub(ody, odx + 1) + sub(ody + 1, odx)
+                     + sub(ody + 1, odx + 1) + r2) >> 2
+            sad = jnp.abs(curb - p).sum(axis=(-2, -1))
+            take = sad < best_cost
+            best_cost = jnp.where(take, sad, best_cost)
+            best_d = jnp.where(
+                take[..., None],
+                jnp.asarray([dy, dx], jnp.int32)[None, None, None, :],
+                best_d)
+            best_pred = jnp.where(take[..., None, None], p, best_pred)
+    mv_h = 2 * mv_i + best_d
+    pred = best_pred.transpose(0, 1, 3, 2, 4).reshape(n, h, w)
+    return mv_h, best_cost.astype(jnp.float32), \
+        pred.astype(jnp.float32)
+
+
+def full_search_mc_hpel(cur: jax.Array, ref: jax.Array,
+                        search_range: int = 8, block_size: int = 16,
+                        rounding: int = 0, step: int = 2):
+    """Integer full search (shifted-SAD scan) + half-pel refinement.
+
+    Returns (mv [N,bh,bw,2] int32 HALF-PEL units, cost, pred f32) —
+    the prediction is decoder-exact for vop_rounding_type=`rounding`.
+    """
+    mv_i, _, _ = full_search_mc_xla(cur, ref, search_range,
+                                    block_size, step)
+    pad = search_range + 2
+    ref_pad = jnp.pad(ref.astype(jnp.int32),
+                      ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    return _hpel_refine(cur, ref_pad, pad, pad, mv_i, rounding,
+                        block_size)
+
+
+def mc_hpel(ref: jax.Array, mv_h: jax.Array, block_size: int,
+            pad: int, rounding: int = 0) -> jax.Array:
+    """Half-pel motion compensation at given per-block half-pel MVs
+    (decoder-exact integer interpolation). ref [N,H,W]; mv_h
+    [N,bh,bw,2]; |mv_h| <= 2*(pad-1)."""
+    n, h, w = ref.shape
+    bs = block_size
+    bh, bw = h // bs, w // bs
+    ref_pad = jnp.pad(ref.astype(jnp.int32),
+                      ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    iy = mv_h[..., 0] >> 1
+    ix = mv_h[..., 1] >> 1
+    fy = (mv_h[..., 0] & 1)[..., None, None]
+    fx = (mv_h[..., 1] & 1)[..., None, None]
+    by = (jnp.arange(bh) * bs)[None, :, None]
+    bx = (jnp.arange(bw) * bs)[None, None, :]
+    wd = _gather_windows(ref_pad, by + iy + pad, bx + ix + pad, bs + 1)
+    r1 = 1 - rounding
+    r2 = 2 - rounding
+    a = wd[..., :bs, :bs]
+    b = wd[..., :bs, 1:]
+    c = wd[..., 1:, :bs]
+    d = wd[..., 1:, 1:]
+    p_h = (a + b + r1) >> 1
+    p_v = (a + c + r1) >> 1
+    p_hv = (a + b + c + d + r2) >> 2
+    p = jnp.where(fy == 0, jnp.where(fx == 0, a, p_h),
+                  jnp.where(fx == 0, p_v, p_hv))
+    return p.transpose(0, 1, 3, 2, 4).reshape(n, h, w) \
+        .astype(jnp.float32)
+
+
+
+
+def mc_hpel_vpad(ref_vpad: jax.Array, mv_h: jax.Array, block_size: int,
+                 pad_y: int, pad_x: int, rounding: int = 0) -> jax.Array:
+    """mc_hpel over a vertically pre-padded reference band (halo rows
+    already exchanged); horizontal padding stays replicate-local."""
+    n, hp, w = ref_vpad.shape
+    h = hp - 2 * pad_y
+    bs = block_size
+    bh, bw = h // bs, w // bs
+    ref_pad = jnp.pad(ref_vpad.astype(jnp.int32),
+                      ((0, 0), (0, 0), (pad_x, pad_x)), mode="edge")
+    iy = mv_h[..., 0] >> 1
+    ix = mv_h[..., 1] >> 1
+    fy = (mv_h[..., 0] & 1)[..., None, None]
+    fx = (mv_h[..., 1] & 1)[..., None, None]
+    by = (jnp.arange(bh) * bs)[None, :, None]
+    bx = (jnp.arange(bw) * bs)[None, None, :]
+    wd = _gather_windows(ref_pad, by + iy + pad_y, bx + ix + pad_x,
+                         bs + 1)
+    r1 = 1 - rounding
+    r2 = 2 - rounding
+    a = wd[..., :bs, :bs]
+    b = wd[..., :bs, 1:]
+    c = wd[..., 1:, :bs]
+    d = wd[..., 1:, 1:]
+    p = jnp.where(fy == 0,
+                  jnp.where(fx == 0, a, (a + b + r1) >> 1),
+                  jnp.where(fx == 0, (a + c + r1) >> 1,
+                            (a + b + c + d + r2) >> 2))
+    return p.transpose(0, 1, 3, 2, 4).reshape(n, h, w)         .astype(jnp.float32)
 
 
 def _median3x3(mv: jax.Array) -> jax.Array:

@@ -128,22 +128,22 @@ def mpeg4_encode_p_sharded(y, u, v, ry, ru, rv, qscale,
     zz_perm = jnp.asarray(np.asarray(T.ZIGZAG))
 
     def band(yb, ub, vb, ryb, rub, rvb, qs):
+        from librempeg_tpu.codecs.mpeg4.encoder import _chroma_mv_dev
+
         yf = yb.astype(jnp.float32)[None]
         ry_h = exchange_row_halo(
-            ryb.astype(jnp.float32)[None], sr, "spatial")
-        mv, _, pred_y = motion.full_search_mc_prepadded(
-            yf, ry_h, sr, block_size=16, step=2)
+            ryb.astype(jnp.float32)[None], sr + 2, "spatial")
+        mv, _, pred_y = motion.full_search_mc_hpel_prepadded(
+            yf, ry_h, sr, block_size=16, rounding=0, step=2)
         pred_y = pred_y[0]
-        mv_c = mv // 2
-        rc = sr // 2
+        mv_c = _chroma_mv_dev(mv)
+        rc = sr // 2 + 2
         ru_h = exchange_row_halo(
             rub.astype(jnp.float32)[None], rc, "spatial")
         rv_h = exchange_row_halo(
             rvb.astype(jnp.float32)[None], rc, "spatial")
-        pred_u = motion.motion_compensate_scan_prepadded(
-            ru_h, mv_c, 8, rc)[0]
-        pred_v = motion.motion_compensate_scan_prepadded(
-            rv_h, mv_c, 8, rc)[0]
+        pred_u = motion.mc_hpel_vpad(ru_h, mv_c, 8, rc, rc, 0)[0]
+        pred_v = motion.mc_hpel_vpad(rv_h, mv_c, 8, rc, rc, 0)[0]
         outs = [mv[0]]
         for plane, pred in ((yf[0], pred_y), (ub, pred_u),
                             (vb, pred_v)):

@@ -149,7 +149,10 @@ class _StreamChain:
         # of frame i+1 (the role of the reference scheduler's per-node
         # threads, ffmpeg_sched.h:31-87, collapsed to the one boundary
         # that matters on a TPU tunnel)
-        self._pipelined = hasattr(self.encoder, "encode_async")
+        self._pipelined = callable(
+            getattr(self.encoder, "encode_async", None)) and \
+            not getattr(self.encoder, "opts", {}).get(
+                "max_b_frames", 0)
         if self._pipelined:
             import queue
             import threading
