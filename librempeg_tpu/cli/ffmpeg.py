@@ -155,6 +155,8 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             video.codec_opts["gop_size"] = int(val())
         elif a == "-bf":
             video.codec_opts["max_b_frames"] = int(val())
+        elif a == "-trellis":
+            video.codec_opts["trellis"] = int(val())
         elif a == "-map":
             spec_kw.setdefault("maps", []).append(val())
         elif a == "-metadata":

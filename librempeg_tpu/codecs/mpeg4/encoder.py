@@ -30,6 +30,7 @@ import numpy as np
 
 from librempeg_tpu.codecs.api import CodecInfo, Encoder, register_encoder
 from librempeg_tpu.codecs.mpeg4 import tables as T
+from librempeg_tpu.codecs.mpeg4 import trellis as rdq
 from librempeg_tpu.codecs.mpeg4.bits import BitWriter
 from librempeg_tpu.core.errors import InvalidData, Unsupported
 from librempeg_tpu.core.frame import VideoFrame
@@ -101,7 +102,48 @@ def _quant_inter(coeffs, qscale):
 
 
 @jax.jit
-def _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma):
+def _dequant_recon(zz_levels, qscale):
+    """Inverse-zigzag + H.263 AC dequant -> [nblk, 8, 8] ISO coeffs
+    (DC slot left at whatever zz_levels[:, 0] dequantizes to; intra
+    callers overwrite it)."""
+    lev = jnp.zeros_like(zz_levels) \
+        .at[:, jnp.asarray(T.ZIGZAG)].set(zz_levels)
+    even = 1 - (qscale & 1)
+    deq = jnp.where(
+        lev != 0,
+        jnp.sign(lev) * (qscale * (2 * jnp.abs(lev) + 1) - even),
+        0).astype(jnp.float32)
+    return deq.reshape(-1, 8, 8)
+
+
+def _quant_intra_rd(coeffs, qscale, dc_scale):
+    """Trellis (RD) intra quant: DC as in _quant_intra, AC levels via
+    the Viterbi lattice (trellis.quantize_rd).  Returns
+    (dc_level, zz_levels [nblk,64], recon)."""
+    qscale = jnp.asarray(qscale, jnp.int32)
+    dc_scale = jnp.asarray(dc_scale, jnp.int32)
+    dc = coeffs[..., 0, 0]
+    dc_level = jnp.round(dc / dc_scale).astype(jnp.int32)
+    zzc = coeffs.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+    zz = rdq.quantize_rd(zzc, qscale, True, 1)
+    deq = _dequant_recon(zz, qscale)
+    deq = deq.at[:, 0, 0].set(
+        dc_level.reshape(-1).astype(jnp.float32) * dc_scale)
+    recon = _idct_spec(deq).reshape(coeffs.shape)
+    return dc_level, zz, recon
+
+
+def _quant_inter_rd(coeffs, qscale):
+    """Trellis (RD) inter quant. Returns (zz_levels, recon_resid)."""
+    qscale = jnp.asarray(qscale, jnp.int32)
+    zzc = coeffs.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+    zz = rdq.quantize_rd(zzc, qscale, False, 0)
+    recon = _idct_spec(_dequant_recon(zz, qscale)).reshape(coeffs.shape)
+    return zz, recon
+
+
+def _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma,
+                     trellis=False):
     """I-VOP device pass over one frame's planes.
 
     Returns per-plane (dc_levels [bh,bw], ac_zz [nblk,64], recon plane).
@@ -114,9 +156,13 @@ def _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma):
         blocks = dct8x8.to_blocks(p)
         coeffs = _fdct_spec(blocks)
         dcs = dcs_chroma if chroma else dcs_luma
-        dc, ac, recon = _quant_intra(coeffs, qscale, dcs)
-        zz = ac.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
-            .astype(jnp.int16)
+        if trellis:
+            dc, zz, recon = _quant_intra_rd(coeffs, qscale, dcs)
+            zz = zz.astype(jnp.int16)
+        else:
+            dc, ac, recon = _quant_intra(coeffs, qscale, dcs)
+            zz = ac.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
+                .astype(jnp.int16)
         out[name] = (
             dc.reshape(h // 8, w // 8),
             zz,
@@ -237,12 +283,14 @@ def _sparsify_slim(zz):
             tslot.astype(jnp.int16), trows.ravel(), dbid, dval, cnt16]
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "ecap"))
-def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap, ecap):
+@functools.partial(jax.jit, static_argnames=("cap", "ecap", "trellis"))
+def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap, ecap,
+                     trellis=False):
     """I-VOP pass returning (packed int16, device recon planes): all the
     host-side data (sparse zz coefficients + dc levels) in ONE array so
     the tunnel round-trip is a single small fetch per frame."""
-    out = _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma)
+    out = _encode_i_device(y, u, v, qscale, dcs_luma, dcs_chroma,
+                           trellis)
     zz_blocks = jnp.concatenate([out[k][1] for k in ("y", "u", "v")])
     parts = _sparsify_fat(zz_blocks, cap, ecap)
     parts += [out[k][0].ravel().astype(jnp.int16) for k in ("y", "u", "v")]
@@ -251,10 +299,11 @@ def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap, ecap):
 
 
 @functools.partial(jax.jit, static_argnames=("search_range", "slim",
-                                             "cap", "ecap"))
+                                             "cap", "ecap", "trellis"))
 def _encode_p_packed(y, u, v, ry, ru, rv, qscale, search_range, slim,
-                     cap=0, ecap=0):
-    out = _encode_p_device(y, u, v, ry, ru, rv, qscale, search_range)
+                     cap=0, ecap=0, trellis=False):
+    out = _encode_p_device(y, u, v, ry, ru, rv, qscale, search_range,
+                           trellis)
     zz_blocks = jnp.concatenate([out["y"][0], out["u"][0], out["v"][0]])
     if slim:
         parts = _sparsify_slim(zz_blocks)
@@ -272,9 +321,9 @@ def _chroma_mv_dev(mv_h):
     return jnp.sign(mv_h) * ((a >> 1) | (a & 1))
 
 
-@functools.partial(jax.jit, static_argnames=("search_range",))
+@functools.partial(jax.jit, static_argnames=("search_range", "trellis"))
 def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
-                     search_range: int = 8):
+                     search_range: int = 8, trellis: bool = False):
     """P-VOP device pass: integer full search + half-pel refinement on
     luma (decoder-exact interpolation), spec chroma MVs, residual
     transform coding, in-loop recon. MVs are in HALF-PEL units."""
@@ -297,9 +346,13 @@ def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
         h, w = p.shape
         resid = p - pred
         coeffs = _fdct_spec(dct8x8.to_blocks(resid))
-        level, rec_res = _quant_inter(coeffs, qscale)
-        zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
-            .astype(jnp.int16)
+        if trellis:
+            zz, rec_res = _quant_inter_rd(coeffs, qscale)
+            zz = zz.astype(jnp.int16)
+        else:
+            level, rec_res = _quant_inter(coeffs, qscale)
+            zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
+                .astype(jnp.int16)
         recon = jnp.clip(pred + dct8x8.from_blocks(rec_res, h, w), 0, 255)
         out[name] = (zz, recon)
     return out
@@ -589,6 +642,8 @@ class Mpeg4Encoder(Encoder):
                help="target bitrate (bits/s); 0 = constant qscale"),
         Option("max_b_frames", int, 0, alias="bf", min=0, max=4,
                help="B-frames between anchors (fwd/bwd/bidir modes)"),
+        Option("trellis", int, 0, min=0, max=2,
+               help="RD (trellis) coefficient quantization on I/P"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuv420p",
@@ -891,16 +946,18 @@ class Mpeg4Encoder(Encoder):
                       "refs": refs, "pts": pts, "slim": False}
             self._frame_idx += 1
             return handle
+        rd = bool(self.opts["trellis"])
         if is_i:
             packed, recon = _encode_i_packed(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                 jnp.int32(q), jnp.int32(T.dc_scaler(q, False)),
-                jnp.int32(T.dc_scaler(q, True)), *self._fat_caps())
+                jnp.int32(T.dc_scaler(q, True)), *self._fat_caps(),
+                trellis=rd)
         else:
             packed, recon = _encode_p_packed(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *refs,
                 jnp.int32(q), self.opts["search_range"], slim,
-                *(() if slim else self._fat_caps()))
+                *(() if slim else self._fat_caps()), trellis=rd)
         self._ref = recon
         self._packer.vop(bw, 0 if is_i else 1, hdr_idx, q)
 
@@ -968,16 +1025,17 @@ class Mpeg4Encoder(Encoder):
             # NOTE: recon is identical to the original dispatch (same
             # inputs, only the fetch layout differs) -- self._ref is
             # left alone so a pipelined next-frame dispatch stays valid.
+            rd = bool(self.opts["trellis"])
             if is_i:
                 h["packed"], _ = _encode_i_packed(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     jnp.int32(q), jnp.int32(T.dc_scaler(q, False)),
-                    jnp.int32(T.dc_scaler(q, True)), *caps)
+                    jnp.int32(T.dc_scaler(q, True)), *caps, trellis=rd)
             else:
                 h["packed"], _ = _encode_p_packed(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     *h["refs"], jnp.int32(q), self.opts["search_range"],
-                    False, *caps)
+                    False, *caps, trellis=rd)
             h["caps"] = caps
         bw = h["bw"]
         if self.opts["max_b_frames"]:
