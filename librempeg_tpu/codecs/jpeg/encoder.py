@@ -47,6 +47,75 @@ def _plane_to_coeffs(plane: jax.Array, qtab: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _huff_lengths(bits: tuple, vals: tuple) -> dict:
+    """DHT (BITS, VALS) -> {symbol: code length}."""
+    out = {}
+    k = 0
+    for ln, cnt in enumerate(bits, start=1):
+        for _ in range(cnt):
+            out[vals[k]] = ln
+            k += 1
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _ac_bits_tables(chroma: bool):
+    """Trellis bit-cost tables for the Annex K AC Huffman coder:
+    (bits_notlast, bits_last) int32 [64 runs, 12 size categories].
+    Runs > 15 decompose into ZRL codes; a last event additionally
+    pays the EOB (exact except for a last coefficient at position
+    63, where baseline JPEG omits EOB — a constant few-bit
+    overcount on that rare ending)."""
+    bits = T.AC_CHROMA_BITS if chroma else T.AC_LUMA_BITS
+    vals = T.AC_CHROMA_VALS if chroma else T.AC_LUMA_VALS
+    ln = _huff_lengths(tuple(int(x) for x in bits),
+                       tuple(int(x) for x in vals))
+    zrl = ln[0xF0]
+    eob = ln[0x00]
+    b0 = np.zeros((64, 12), np.int32)
+    for run in range(64):
+        for size in range(1, 12):
+            sym = ((run % 16) << 4) | size
+            b0[run, size] = (run // 16) * zrl + ln.get(sym, 64) + size
+    b1 = b0 + eob
+    return b0, b1
+
+
+@functools.partial(jax.jit, static_argnames=("chroma",))
+def _plane_to_coeffs_rd(plane: jax.Array, qtab: jax.Array, lam,
+                        chroma: bool) -> jax.Array:
+    """Trellis variant of _plane_to_coeffs: RD-optimal AC levels under
+    the component's Huffman table, conventional DC rounding.
+
+    Behavioral counterpart of the reference's FMT_MJPEG trellis branch
+    (mpegvideo_enc.c:4075); the lattice is ops/trellis.viterbi_rl.
+    """
+    from librempeg_tpu.ops.trellis import viterbi_rl
+
+    x = plane.astype(jnp.float32) - 128.0
+    coeffs = dct8x8.fdct(dct8x8.to_blocks(x)) \
+        * jnp.asarray(_jpeg_scale(), jnp.float32)[None, :, :]
+    zzc = coeffs.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
+    qt = qtab.reshape(-1)[jnp.asarray(T.ZIGZAG)] \
+        .astype(jnp.float32)[None, :]
+    mag = jnp.abs(zzc)
+    l0 = jnp.round(mag / qt).astype(jnp.int32)
+    cands = jnp.stack([jnp.clip(l0, 1, 1023),
+                       jnp.clip(l0 - 1, 1, 1023)], axis=-1)
+    dist_c = (cands.astype(jnp.float32) * qt[..., None]
+              - mag[..., None]) ** 2
+    bidx = jnp.int32(jnp.ceil(jnp.log2(cands.astype(jnp.float32) + 1)))
+    b0, b1 = _ac_bits_tables(chroma)
+    zz = viterbi_rl(zzc, cands, dist_c, bidx,
+                    jnp.asarray(b0, jnp.float32),
+                    jnp.asarray(b1, jnp.float32), lam, 1)
+    dc = jnp.trunc(zzc[:, 0] / qt[0, 0]
+                   + jnp.where(zzc[:, 0] >= 0, 0.5, -0.5)) \
+        .astype(jnp.int32)
+    return zz.at[:, 0].set(dc).astype(jnp.int16)
+
+
+@functools.lru_cache(maxsize=None)
 def _jpeg_scale() -> np.ndarray:
     """Orthonormal-DCT -> JPEG reference DCT scaling (x2 per axis, DC
     x sqrt(2)... net: jpeg_dct = ortho_dct * 8 / (c_k c_l) with
@@ -96,6 +165,8 @@ class JpegEncoder(Encoder):
                      codec_type="video")
     OPTIONS = OptionTable(
         Option("quality", int, 90, alias="q", min=1, max=100),
+        Option("trellis", int, 0, min=0, max=2,
+               help="RD (trellis) AC coefficient quantization"),
     )
 
     def __init__(self, width=0, height=0, pix_fmt="yuvj420p", **opts):
@@ -120,7 +191,8 @@ class JpegEncoder(Encoder):
                        flags=PktFlags.KEY, time_base=frame.time_base)]
 
 
-def encode_jpeg(frame: VideoFrame, quality: int = 90) -> bytes:
+def encode_jpeg(frame: VideoFrame, quality: int = 90,
+                trellis: int = 0) -> bytes:
     """Encode one VideoFrame (yuvj420p/yuvj444p/yuv420p/gray) as JPEG."""
     if not native.available():
         raise Unsupported("native extension unavailable for JPEG encode")
@@ -157,8 +229,17 @@ def encode_jpeg(frame: VideoFrame, quality: int = 90) -> bytes:
         if pad_h or pad_w:
             plane = np.pad(plane, ((0, pad_h), (0, pad_w)), mode="edge")
         q = lq if i == 0 else cq
-        zz = np.asarray(_plane_to_coeffs(
-            jnp.asarray(plane), jnp.asarray(q.reshape(-1))))
+        if trellis:
+            # lambda follows the frame's quality point (the reference
+            # scales its trellis lambda with qscale^2; our quality-
+            # folded tables play that role)
+            lam = 0.85 * float(np.mean(lq.reshape(-1)[1:])) ** 2
+            zz = np.asarray(_plane_to_coeffs_rd(
+                jnp.asarray(plane), jnp.asarray(q.reshape(-1)),
+                jnp.float32(lam), i > 0))
+        else:
+            zz = np.asarray(_plane_to_coeffs(
+                jnp.asarray(plane), jnp.asarray(q.reshape(-1))))
         comp_blocks.append((zz, nbx, nby, ch, cv))
 
     # interleave into MCU order

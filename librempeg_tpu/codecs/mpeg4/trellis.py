@@ -7,13 +7,8 @@ packer emits).  Mirrors the behavior of the reference trellis
 quantizer (mpegvideo_enc.c:3923 dct_quantize_trellis_c): candidate
 levels {L, L-1} (or +/-1 below the quantization threshold), exact
 bit costs, squared error in ISO-DCT coefficient space, and an
-optimal choice of the final coded coefficient — but restructured as
-a dense Viterbi lattice over *all* blocks at once: a ``lax.scan``
-over the 64 zigzag positions whose state is a [nblk, 65] cost
-tensor (state s = "last nonzero at zigzag position s-1", s=0 =
-"nothing coded").  No survivor pruning is needed — the full lattice
-is one vectorized min-reduction per step, which is how a TPU wants
-to run 10^3..10^5 simultaneous trellises.
+optimal choice of the final coded coefficient.  The lattice itself
+(dense vectorized Viterbi over all blocks) lives in ops/trellis.py.
 """
 from __future__ import annotations
 
@@ -23,15 +18,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from librempeg_tpu.ops.trellis import viterbi_rl
+
 from . import tables as T
 
 _ESC_BITS = 30          # escape type 3: 7+2+1+6+1+12+1
-_INF = 1e18
 
 
 @functools.lru_cache(maxsize=None)
 def _bits_tables(intra: bool):
-    """(bits_notlast, bits_last) uint8 arrays [64 runs, 64 levels];
+    """(bits_notlast, bits_last) int32 arrays [64 runs, 64 levels];
     level index 0 is unused, absent events cost the 30-bit escape."""
     idx = T.INTRA_RL_INDEX if intra else T.INTER_RL_INDEX
     b0 = np.full((64, 64), _ESC_BITS, np.int32)
@@ -60,7 +56,6 @@ def quantize_rd(zz: jax.Array, qscale, intra: bool, first: int):
 
     Returns int32 [nblk, 64] levels (positions < first are zero).
     """
-    nblk = zz.shape[0]
     qscale = jnp.asarray(qscale, jnp.int32)
     qf = qscale.astype(jnp.float32)
     # reference lambda (mpegvideo_enc.c:3947): lambda2 >> (SHIFT-6)
@@ -69,102 +64,16 @@ def quantize_rd(zz: jax.Array, qscale, intra: bool, first: int):
     lam = 0.85 * qf * qf
 
     b0_tab, b1_tab = _bits_tables(intra)
-    b0_tab = jnp.asarray(b0_tab, jnp.float32)
-    b1_tab = jnp.asarray(b1_tab, jnp.float32)
-
     mag = jnp.abs(zz)
-    sgn = jnp.where(zz < 0, -1, 1).astype(jnp.int32)
     l0 = jnp.trunc(mag / (2.0 * qf)).astype(jnp.int32)
     l0 = jnp.clip(l0, 0, 2047)
     # candidates: {L, L-1} when L>=2, {1} when L<=1 (coding a below-
     # threshold coefficient as +/-1 is allowed when RD-favorable)
-    cand_a = jnp.maximum(l0, 1)
-    cand_b = jnp.maximum(l0 - 1, 1)
-    cands = jnp.stack([cand_a, cand_b], axis=-1)        # [nblk,64,2]
+    cands = jnp.stack([jnp.maximum(l0, 1), jnp.maximum(l0 - 1, 1)],
+                      axis=-1)                          # [nblk,64,2]
     dqm = _dequant_mag(cands, qscale).astype(jnp.float32)
     dist_c = (dqm - mag[..., None]) ** 2                # [nblk,64,2]
     bidx = jnp.minimum(cands, 63)                       # escape past 63
-
-    zsq = zz * zz
-    zpre = jnp.concatenate(
-        [jnp.zeros((nblk, 1), jnp.float32),
-         jnp.cumsum(zsq.astype(jnp.float32), axis=1)], axis=1)  # [nblk,65]
-
-    # state s: 0 = nothing coded; s>=1 = last nonzero at position s-1.
-    # prev coded index for run computation: first-1 for s=0, s-1 else.
-    states = jnp.arange(65)
-    prev_idx = jnp.where(states == 0, first - 1, states - 1)    # [65]
-
-    # dual lattice as in the reference: `cost` assumes the state's
-    # code is NOT the last one (continuation); the best LAST-coded
-    # ending is tracked separately per position (the argmin under
-    # last=0 bit costs need not be the argmin under last=1 costs)
-    cost0 = jnp.full((nblk, 65), _INF, jnp.float32).at[:, 0].set(0.0)
-
-    def step(cost, pos):
-        run = pos - prev_idx - 1                        # [65]
-        valid = (states <= pos) & (run >= 0) & (run < 64) \
-            & (pos >= first)
-        runc = jnp.clip(run, 0, 63)
-        # zeros skipped between prev+1 .. pos-1
-        zskip = zpre[:, pos][:, None] \
-            - zpre[jnp.arange(nblk)[:, None],
-                   jnp.clip(prev_idx + 1, 0, 64)[None, :]]
-        base = jnp.where(valid[None, :], cost + zskip, _INF)    # [nblk,65]
-        lc = bidx[:, pos, :]                            # [nblk,2]
-        bits0 = b0_tab[runc[None, :, None],
-                       lc[:, None, :]]                  # [nblk,65,2]
-        bits1 = b1_tab[runc[None, :, None], lc[:, None, :]]
-        body = base[..., None] + dist_c[:, pos, None, :]
-        # continuation lattice (this code is not last)
-        flat = (body + lam * bits0).reshape(nblk, -1)
-        best = jnp.argmin(flat, axis=1)
-        bcost = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
-        bs, bk = best // 2, best % 2
-        blev = jnp.take_along_axis(cands[:, pos, :], bk[:, None], 1)[:, 0]
-        cost = cost.at[:, pos + 1].set(bcost)
-        # termination lattice (this code is last; add trailing zeros)
-        tailz = zpre[:, 64] - zpre[:, pos + 1]          # [nblk]
-        flatl = (body + lam * bits1).reshape(nblk, -1)
-        bestl = jnp.argmin(flatl, axis=1)
-        lcost = jnp.take_along_axis(flatl, bestl[:, None], 1)[:, 0] + tailz
-        ls, lk = bestl // 2, bestl % 2
-        llev = jnp.take_along_axis(cands[:, pos, :], lk[:, None], 1)[:, 0]
-        return cost, (bs.astype(jnp.int32), blev.astype(jnp.int32),
-                      lcost, ls.astype(jnp.int32),
-                      llev.astype(jnp.int32))
-
-    cost, (bp, lev, lcost, lbp, llev) = jax.lax.scan(
-        step, cost0, jnp.arange(64))
-    # stacked [64 steps, nblk]; step i wrote continuation state i+1
-    # and the best "ends exactly at position i" cost
-
-    blkrange = jnp.arange(nblk)
-    bestpos = jnp.argmin(lcost, axis=0).astype(jnp.int32)  # [nblk]
-    bestcost = lcost[bestpos, blkrange]
-    uncoded = zpre[:, 64] - zpre[:, first]
-    coded = bestcost < uncoded
-
-    # seed the traceback with the last coefficient, then follow the
-    # continuation lattice's backpointers
-    out0 = jnp.where(
-        (jnp.arange(64)[None, :] == bestpos[:, None]) & coded[:, None],
-        (llev[bestpos, blkrange]
-         * sgn[blkrange, bestpos])[:, None],
-        jnp.zeros((nblk, 64), jnp.int32))
-    cur0 = jnp.where(coded, lbp[bestpos, blkrange], 0)
-
-    def walk(carry, _):
-        cur, out = carry
-        active = cur > 0
-        pos = jnp.clip(cur - 1, 0, 63)
-        l = lev[pos, blkrange] * sgn[blkrange, pos]
-        onehot = (jnp.arange(64)[None, :] == pos[:, None]) \
-            & active[:, None]
-        out = jnp.where(onehot, l[:, None], out)
-        nxt = bp[pos, blkrange]
-        cur = jnp.where(active, nxt, cur)
-        return (cur, out), None
-
-    (_, out), _ = jax.lax.scan(walk, (cur0, out0), None, length=64)
-    return out
+    return viterbi_rl(zz, cands, dist_c, bidx,
+                      jnp.asarray(b0_tab, jnp.float32),
+                      jnp.asarray(b1_tab, jnp.float32), lam, first)
