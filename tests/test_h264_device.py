@@ -59,6 +59,7 @@ def _sparse(res):
     return jnp.asarray(idx), jnp.asarray(flat[idx].astype(np.int16))
 
 
+@pytest.mark.slow
 def test_device_recon_and_deblock_match_host():
     w, h = 96, 64
     mb_w, mb_h = w // 16, h // 16
@@ -175,6 +176,7 @@ def test_decoder_device_mode_variety_torture():
                 assert np.array_equal(np.asarray(pa), np.asarray(pb))
 
 
+@pytest.mark.slow
 def test_decoder_device_mode_intra_heavy():
     """P frames with DENSE intra-in-P (scene-change band refreshed with
     fresh noise every frame -> runs of adjacent intra MBs incl. frame
@@ -221,6 +223,7 @@ def test_decoder_device_mode_intra_heavy():
                 assert np.array_equal(np.asarray(pa), np.asarray(pb))
 
 
+@pytest.mark.slow
 def test_pallas_deblock_interpret_bit_exact():
     """The Pallas deblock kernel (deblock_pallas.py), run in interpret
     mode on CPU, matches the native C++ deblock bit-exactly -- incl.
@@ -265,6 +268,7 @@ def test_pallas_deblock_interpret_bit_exact():
     assert n >= 4
 
 
+@pytest.mark.slow
 def test_pallas_mc_and_pred_recon_bit_exact():
     """The Pallas MC path (mc_pallas.mc_predict windowed DMA, interpret
     mode) + recon_p_frame_pred matches recon_p_frame (XLA gather MC)

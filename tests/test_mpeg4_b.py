@@ -111,6 +111,7 @@ def test_p_only_regressions(src_yuv, tmp_path):
                               "+aic"])
 
 
+@pytest.mark.slow
 def test_encoder_b_frames(tmp_path):
     """Our encoder's B streams: decoded by the reference cleanly and
     by our decoder bit-identically to the reference; B coding beats

@@ -48,6 +48,7 @@ def _encode(frames, force_fat=False):
     return enc, data
 
 
+@pytest.mark.slow
 def test_slim_eligible_and_bit_identical_to_fat():
     frames = _frames(3)
     enc_s, data_s = _encode(frames)

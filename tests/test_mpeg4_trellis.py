@@ -73,6 +73,7 @@ def test_lattice_beats_uniform_quant_rd():
 
 @pytest.mark.skipif(reference_ffmpeg() is None,
                     reason="reference not built")
+@pytest.mark.slow
 def test_trellis_parity_with_reference(tmp_path):
     """Our -trellis stream: decodable by the reference, bit-exact in
     our own decoder, smaller than the plain stream, and within 5% of

@@ -87,11 +87,13 @@ class TestGraftEntry:
         assert out["y"].shape == (2, 192, 256)
         assert out["mv"].shape == (2, 12, 16, 2)
 
+    @pytest.mark.slow
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_dryrun_multichip_2(self):
         import __graft_entry__ as ge
 

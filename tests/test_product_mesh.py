@@ -9,6 +9,8 @@ from librempeg_tpu.core.rational import Rational
 from librempeg_tpu.parallel import product_mesh as PM
 from librempeg_tpu.utils import testgen
 
+pytestmark = pytest.mark.slow  # multi-minute mesh conformance
+
 
 @pytest.fixture(autouse=True)
 def _reset_mesh():

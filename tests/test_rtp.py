@@ -151,6 +151,7 @@ def test_g711_static_payload():
     assert len(out) == 1 and len(out[0].data) == 160
 
 
+@pytest.mark.slow
 def test_rtsp_record_push_loopback():
     """Scripted RTSP pushing peer (ANNOUNCE/SETUP/RECORD + interleaved
     RTP) against our listen demuxer; depacketized stream must decode

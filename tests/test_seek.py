@@ -63,6 +63,7 @@ def test_seek_avi(tmp_path):
     _seek_compare(tmp_path, _mk_input(tmp_path, "avi", "mpeg4"))
 
 
+@pytest.mark.slow
 def test_seek_flv(tmp_path):
     """FLV (h264 payload from our own encoder; both decoders read it)."""
     import numpy as np
