@@ -239,9 +239,15 @@ class HevcDecoder(Decoder):
             raise InvalidData("hevc: slice overread")
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
             else Rational(1, 25)
-        return VideoFrame(planes=(pic.y, pic.u, pic.v),
-                          format="yuv420p", width=self.sps.width,
-                          height=self.sps.height, pts=pkt.pts,
+        sps = self.sps
+        ow, oh = sps.out_width, sps.out_height
+        cl, ct = sps.crop_l, sps.crop_t
+        planes = (pic.y[ct:ct + oh, cl:cl + ow],
+                  pic.u[ct // 2:(ct + oh) // 2, cl // 2:(cl + ow) // 2],
+                  pic.v[ct // 2:(ct + oh) // 2, cl // 2:(cl + ow) // 2])
+        return VideoFrame(planes=planes,
+                          format="yuv420p", width=ow,
+                          height=oh, pts=pkt.pts,
                           time_base=tb)
 
 
@@ -256,8 +262,16 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
                     p_frames: bool = False,
                     max_merge: int = 5) -> bytes:
     """Randomized-but-valid HEVC stream (annex B): an IDR picture,
-    followed by TRAIL_R P pictures when p_frames is set."""
-    sps = PS.HevcSPS(width=width, height=height, log2_ctb=ctb_log2,
+    followed by TRAIL_R P pictures when p_frames is set.
+
+    width/height are the DISPLAY size; non-multiple-of-8 dimensions get
+    a coded size rounded up to the min-CB grid plus a conformance
+    window (§7.4.3.2.1) cropping back — the path every real-encoder
+    stream with an odd display size exercises."""
+    cw = (width + 7) & ~7
+    ch = (height + 7) & ~7
+    sps = PS.HevcSPS(width=cw, height=ch, crop_r=cw - width,
+                     crop_b=ch - height, log2_ctb=ctb_log2,
                      log2_max_tb=min(5, ctb_log2))
     pps = PS.HevcPPS(init_qp=qp)
     out = bytearray()

@@ -57,8 +57,14 @@ def split_nals(data: bytes, raw: bool = False):
 
 @dataclass
 class HevcSPS:
-    width: int = 0
+    width: int = 0                  # coded size (multiple of min CB)
     height: int = 0
+    # conformance window (§7.4.3.2.1), in LUMA samples; output size is
+    # width - crop_l - crop_r x height - crop_t - crop_b
+    crop_l: int = 0
+    crop_r: int = 0
+    crop_t: int = 0
+    crop_b: int = 0
     chroma_format_idc: int = 1
     log2_min_cb: int = 3
     log2_ctb: int = 5
@@ -79,6 +85,14 @@ class HevcSPS:
         return 1 << self.log2_ctb
 
     @property
+    def out_width(self) -> int:
+        return self.width - self.crop_l - self.crop_r
+
+    @property
+    def out_height(self) -> int:
+        return self.height - self.crop_t - self.crop_b
+
+    @property
     def pic_w_ctb(self) -> int:
         return -(-self.width // self.ctb_size)
 
@@ -97,6 +111,8 @@ class HevcPPS:
     cr_qp_offset: int = 0
     transform_skip_enabled: bool = False
     deblocking_disabled: bool = True
+    beta_offset: int = 0            # beta_offset_div2 * 2
+    tc_offset: int = 0              # tc_offset_div2 * 2
 
 
 def _write_ptl(bw: BitWriterMSB) -> None:
@@ -155,7 +171,14 @@ def write_sps(sps: HevcSPS) -> bytes:
     _write_ue(bw, sps.chroma_format_idc)
     _write_ue(bw, sps.width)
     _write_ue(bw, sps.height)
-    bw.write(0, 1)                  # conformance_window
+    crop = sps.crop_l or sps.crop_r or sps.crop_t or sps.crop_b
+    bw.write(1 if crop else 0, 1)   # conformance_window_flag
+    if crop:
+        # offsets in units of SubWidthC/SubHeightC (2 for 4:2:0)
+        _write_ue(bw, sps.crop_l // 2)
+        _write_ue(bw, sps.crop_r // 2)
+        _write_ue(bw, sps.crop_t // 2)
+        _write_ue(bw, sps.crop_b // 2)
     _write_ue(bw, 0)                # bit_depth_luma - 8
     _write_ue(bw, 0)                # bit_depth_chroma - 8
     _write_ue(bw, sps.log2_max_poc_lsb - 4)
@@ -215,8 +238,10 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
     s.width = g.ue()
     s.height = g.ue()
     if g.u(1):                      # conformance window
-        g.ue(), g.ue(), g.ue(), g.ue()
-        raise Unsupported("hevc: conformance window cropping")
+        s.crop_l = g.ue() * 2       # 4:2:0: SubWidthC = SubHeightC = 2
+        s.crop_r = g.ue() * 2
+        s.crop_t = g.ue() * 2
+        s.crop_b = g.ue() * 2
     if g.ue() or g.ue():
         raise Unsupported("hevc: bit depth > 8")
     s.log2_max_poc_lsb = g.ue() + 4
@@ -301,8 +326,8 @@ def write_pps(pps: HevcPPS) -> bytes:
     bw.write(0, 1)                  # deblocking_filter_override_enabled
     bw.write(1 if pps.deblocking_disabled else 0, 1)
     if not pps.deblocking_disabled:
-        _write_se(bw, 0)            # beta_offset / 2
-        _write_se(bw, 0)            # tc_offset / 2
+        _write_se(bw, pps.beta_offset // 2)
+        _write_se(bw, pps.tc_offset // 2)
     bw.write(0, 1)                  # pps_scaling_list_data_present
     bw.write(0, 1)                  # lists_modification_present
     _write_ue(bw, 0)                # log2_parallel_merge_level - 2
@@ -351,7 +376,8 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
             raise Unsupported("hevc: deblocking override")
         p.deblocking_disabled = bool(g.u(1))
         if not p.deblocking_disabled:
-            g.se(), g.se()
+            p.beta_offset = g.se() * 2
+            p.tc_offset = g.se() * 2
     else:
         p.deblocking_disabled = False
     if g.u(1):

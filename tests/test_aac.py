@@ -193,6 +193,7 @@ class TestAacPsyQuality:
     bitrate (the aacpsy.c + twoloop acceptance: competitive rate/
     distortion, not just decodability)."""
 
+    @pytest.mark.skipif(reference_ffmpeg() is None, reason="no reference")
     def test_128k_within_reference(self, tmp_path):
         import subprocess
 
