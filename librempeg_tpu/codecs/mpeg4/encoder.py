@@ -299,11 +299,12 @@ def _encode_i_packed(y, u, v, qscale, dcs_luma, dcs_chroma, cap, ecap,
 
 
 @functools.partial(jax.jit, static_argnames=("search_range", "slim",
-                                             "cap", "ecap", "trellis"))
+                                             "cap", "ecap", "trellis",
+                                             "pallas_mc"))
 def _encode_p_packed(y, u, v, ry, ru, rv, qscale, search_range, slim,
-                     cap=0, ecap=0, trellis=False):
+                     cap=0, ecap=0, trellis=False, pallas_mc=False):
     out = _encode_p_device(y, u, v, ry, ru, rv, qscale, search_range,
-                           trellis)
+                           trellis, pallas_mc)
     zz_blocks = jnp.concatenate([out["y"][0], out["u"][0], out["v"][0]])
     if slim:
         parts = _sparsify_slim(zz_blocks)
@@ -321,23 +322,41 @@ def _chroma_mv_dev(mv_h):
     return jnp.sign(mv_h) * ((a >> 1) | (a & 1))
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "trellis"))
+def _use_pallas_mc() -> bool:
+    """Windowed-DMA Pallas MC on accelerator backends; the XLA gather
+    path stays for CPU/tests (bit-identical, asserted in
+    tests/test_mpeg4_pallas.py)."""
+    return jax.default_backend() not in ("cpu",)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "trellis",
+                                             "pallas_mc"))
 def _encode_p_device(y, u, v, ref_y, ref_u, ref_v, qscale,
-                     search_range: int = 8, trellis: bool = False):
+                     search_range: int = 8, trellis: bool = False,
+                     pallas_mc: bool = False):
     """P-VOP device pass: integer full search + half-pel refinement on
     luma (decoder-exact interpolation), spec chroma MVs, residual
     transform coding, in-loop recon. MVs are in HALF-PEL units."""
     yf = y.astype(jnp.float32)[None]
     ry = ref_y.astype(jnp.float32)[None]
-    mv, _, pred_y = motion.full_search_mc_hpel(
-        yf, ry, search_range, block_size=16, rounding=0, step=2)
-    pred_y = pred_y[0]
-    mv_c = _chroma_mv_dev(mv)
-    cpad = search_range // 2 + 2
-    pred_u = motion.mc_hpel(
-        ref_u.astype(jnp.float32)[None], mv_c, 8, cpad, 0)[0]
-    pred_v = motion.mc_hpel(
-        ref_v.astype(jnp.float32)[None], mv_c, 8, cpad, 0)[0]
+    if pallas_mc:
+        from librempeg_tpu.codecs.mpeg4 import me_pallas as MEP
+
+        mv_i, _, _ = motion.full_search_mc_xla(
+            yf, ry, search_range, 16, 2)
+        mvh, pred_y, pred_u, pred_v = MEP.hpel_refine_mc(
+            yf[0], ref_y, ref_u, ref_v, mv_i[0], rnd=0)
+        mv = mvh[None]
+    else:
+        mv, _, pred_y = motion.full_search_mc_hpel(
+            yf, ry, search_range, block_size=16, rounding=0, step=2)
+        pred_y = pred_y[0]
+        mv_c = _chroma_mv_dev(mv)
+        cpad = search_range // 2 + 2
+        pred_u = motion.mc_hpel(
+            ref_u.astype(jnp.float32)[None], mv_c, 8, cpad, 0)[0]
+        pred_v = motion.mc_hpel(
+            ref_v.astype(jnp.float32)[None], mv_c, 8, cpad, 0)[0]
 
     out = {"mv": mv[0]}
     for name, plane, pred in (("y", yf[0], pred_y), ("u", u, pred_u),
@@ -957,7 +976,8 @@ class Mpeg4Encoder(Encoder):
             packed, recon = _encode_p_packed(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *refs,
                 jnp.int32(q), self.opts["search_range"], slim,
-                *(() if slim else self._fat_caps()), trellis=rd)
+                *(() if slim else self._fat_caps()), trellis=rd,
+                pallas_mc=_use_pallas_mc())
         self._ref = recon
         self._packer.vop(bw, 0 if is_i else 1, hdr_idx, q)
 
@@ -1035,7 +1055,8 @@ class Mpeg4Encoder(Encoder):
                 h["packed"], _ = _encode_p_packed(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     *h["refs"], jnp.int32(q), self.opts["search_range"],
-                    False, *caps, trellis=rd)
+                    False, *caps, trellis=rd,
+                    pallas_mc=_use_pallas_mc())
             h["caps"] = caps
         bw = h["bw"]
         if self.opts["max_b_frames"]:
