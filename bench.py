@@ -219,12 +219,19 @@ def _leg_e2e(warm: int = 16, measured: int = 24) -> dict:
     for _ in range(warm):                      # compile + cache warm
         chain.send_packet(next(it), tc.mux)
     chain.sync()
+    from librempeg_tpu.utils import stagetimer
+
+    stagetimer.reset()
     t0 = time.perf_counter()
     for _ in range(measured):
         chain.send_packet(next(it), tc.mux)
     chain.sync()                               # include in-flight encodes
     dt = time.perf_counter() - t0
-    return {"fps": measured / dt}
+    out = {"fps": measured / dt}
+    if stagetimer.ENABLED:
+        out["split"] = {k: v["s"]
+                        for k, v in stagetimer.report().items()}
+    return out
 
 
 if __name__ == "__main__":

@@ -594,6 +594,7 @@ class H264Decoder(Decoder):
     def _decode_slice(self, nal: NalUnit, pkt: Packet):
         from librempeg_tpu.codecs.h264 import recon as R
         from librempeg_tpu.native import build as native
+        from librempeg_tpu.utils.stagetimer import stage
 
         if self.sps is None or self.pps is None:
             raise InvalidData("h264: slice before SPS/PPS")
@@ -616,19 +617,21 @@ class H264Decoder(Decoder):
             self._dpb.clear()
         st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
         conceal = self.opts["err_detect"] != "explode"
-        if self.pps.entropy_coding_mode:
-            res = native.h264_decode_slice_cabac(
-                nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                st_code, sh.qp, sh.num_ref_idx_l0, sh.cabac_init_idc,
-                sh.num_ref_idx_l1,
-                transform_8x8_mode=self.pps.transform_8x8_mode,
-                partial=conceal)
-        else:
-            res = native.h264_decode_slice_cavlc(
-                nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1,
-                transform_8x8_mode=self.pps.transform_8x8_mode,
-                partial=conceal)
+        with stage("h264.entropy"):
+            if self.pps.entropy_coding_mode:
+                res = native.h264_decode_slice_cabac(
+                    nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
+                    st_code, sh.qp, sh.num_ref_idx_l0,
+                    sh.cabac_init_idc, sh.num_ref_idx_l1,
+                    transform_8x8_mode=self.pps.transform_8x8_mode,
+                    partial=conceal)
+            else:
+                res = native.h264_decode_slice_cavlc(
+                    nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
+                    st_code, sh.qp, sh.num_ref_idx_l0,
+                    sh.num_ref_idx_l1,
+                    transform_8x8_mode=self.pps.transform_8x8_mode,
+                    partial=conceal)
 
         # accumulate slices into the current frame. slice_id feeds the
         # §6.4.9 neighbor-availability rule (intra prediction must not
@@ -736,9 +739,10 @@ class H264Decoder(Decoder):
                   and not (self._slice_no and n_intra)
                   and not had_error)
         if dev_ok:
-            y, u, v, pack, tiles = self._decode_device(
-                res, mb_w, mb_h, sh, do_deblock, l0,
-                make_ref=bool(nal.ref_idc))
+            with stage("h264.device"):
+                y, u, v, pack, tiles = self._decode_device(
+                    res, mb_w, mb_h, sh, do_deblock, l0,
+                    make_ref=bool(nal.ref_idc))
             if nal.ref_idc:
                 if pack is None:
                     from librempeg_tpu.codecs.h264 import (
@@ -756,21 +760,25 @@ class H264Decoder(Decoder):
         else:
             # host path needs host planes for every reference: device-
             # decoded frames are fetched once (intra frames are rare)
-            for ent in self._dpb:
-                if ent[1] is None:
-                    ent[1] = tuple(np.asarray(p) for p in ent[3])
-                if ent[2] is None:
-                    ent[2] = R.RefPack(*ent[1])
-            y, u, v = R.reconstruct_frame_native(
-                res, mb_w, mb_h, cqo,
-                [e[2] for e in l0],
-                [e[2] for e in l1] if is_b else None,
-                qmul4=qmul4, qmul8=qmul8, cqp_off2=cqo2,
-                weights=weights, impw=impw)
+            with stage("h264.host_fetch_refs"):
+                for ent in self._dpb:
+                    if ent[1] is None:
+                        ent[1] = tuple(np.asarray(p) for p in ent[3])
+                    if ent[2] is None:
+                        ent[2] = R.RefPack(*ent[1])
+            with stage("h264.host_recon"):
+                y, u, v = R.reconstruct_frame_native(
+                    res, mb_w, mb_h, cqo,
+                    [e[2] for e in l0],
+                    [e[2] for e in l1] if is_b else None,
+                    qmul4=qmul4, qmul8=qmul8, cqp_off2=cqo2,
+                    weights=weights, impw=impw)
             if do_deblock:
                 y = np.ascontiguousarray(y)
                 u = np.ascontiguousarray(u)
                 v = np.ascontiguousarray(v)
+                _sdb = stage("h264.host_deblock")
+                _sdb.__enter__()
                 native.h264_deblock_frame(
                     y, u, v, res["kind"], res["qp"], res["mv"],
                     res["ref"], res["ncoef"], mb_w, mb_h, sh.alpha_off,
@@ -782,6 +790,7 @@ class H264Decoder(Decoder):
                     l1pic=np.asarray([e[5] for e in l1], np.int32)
                     if is_b else None,
                     info=res["info"], cqp_off2=cqo2)
+                _sdb.__exit__()
             if nal.ref_idc:
                 self._mark_references(sh, nal)
                 lt = next((v2 for op, v1, v2 in sh.mmco if op == 6),
@@ -825,6 +834,7 @@ class H264Decoder(Decoder):
         import jax.numpy as jnp
 
         from librempeg_tpu.codecs.h264 import device_recon as D
+        from librempeg_tpu.utils.stagetimer import stage
 
         if np.any(res["ref"] >= len(l0)):
             raise InvalidData("h264: ref idx out of range")
@@ -839,14 +849,16 @@ class H264Decoder(Decoder):
         # native compact scan (ncoef-pruned): ~16 ms/frame cheaper than
         # numpy flatnonzero over the dense tensor at 1080p
         buf_n = getattr(self, "_sp_bufn", 1 << 17)
-        while True:
-            nzi = np.empty(buf_n, np.int32)
-            nzv16 = np.empty(buf_n, np.int16)
-            k = native_b.h264_sparse_coeffs(res["coeffs"], res["ncoef"],
-                                            nzi, nzv16)
-            if k >= 0:
-                break
-            buf_n *= 4
+        with stage("h264.sparse_scan"):
+            while True:
+                nzi = np.empty(buf_n, np.int32)
+                nzv16 = np.empty(buf_n, np.int16)
+                k = native_b.h264_sparse_coeffs(res["coeffs"],
+                                                res["ncoef"],
+                                                nzi, nzv16)
+                if k >= 0:
+                    break
+                buf_n *= 4
         self._sp_bufn = buf_n
         # pad sparse + intra lists to size buckets: one XLA program per
         # bucket, not one per frame-specific count. Pad with a POSITIVE
@@ -862,6 +874,18 @@ class H264Decoder(Decoder):
             else 0
         ilist = np.full(max(icap, 1), -1, np.int32)
         ilist[:len(intra)] = intra
+        # leveled wavefront grouping (TPU path): intra MBs that don't
+        # depend on each other reconstruct in parallel within a level
+        if len(intra):
+            with stage("h264.levels"):
+                lv = D.build_intra_levels(intra, mb_w)
+                lvl_l = _bucket(len(lv), 2, 4096)
+                lvl_k = _bucket(max(len(g) for g in lv), 8,
+                                _INTRA_CAP_MAX)
+                levels = D.pack_levels(lv, lvl_l, lvl_k)
+        else:
+            lvl_l = lvl_k = 0
+            levels = np.empty(0, np.int32)
         cqo = self.pps.chroma_qp_index_offset
 
         if jax.default_backend() not in ("cpu",):
@@ -879,11 +903,12 @@ class H264Decoder(Decoder):
                 lt = jnp.concatenate([e[4][3] for e in l0])
                 ct = jnp.concatenate([e[4][4] for e in l0])
             nmb = mb_w * mb_h
-            selA, selB = M.build_selectors(
-                res, mb_w, mb_h, l0[0][4][0].shape[1],
-                l0[0][4][0].shape[2],
-                l0[0][4][1].shape[0],
-                l0[0][4][1].shape[1])
+            with stage("h264.selectors"):
+                selA, selB = M.build_selectors(
+                    res, mb_w, mb_h, l0[0][4][0].shape[1],
+                    l0[0][4][0].shape[2],
+                    l0[0][4][1].shape[0],
+                    l0[0][4][1].shape[1])
             lenb = len(selB) // 16
             # generous floor: a handful of wasted dummy steps is far
             # cheaper than another XLA compile over the tunnel
@@ -895,16 +920,19 @@ class H264Decoder(Decoder):
             i4m = res["i4modes"] if icap else \
                 np.zeros((nmb, 16), np.int8)
             if _FUSED_STEP:
-                buf, layout = DS.pack_args(idx, vals,
-                                           res["qp"].astype(np.int32),
-                                           res["kind"].astype(np.int32),
-                                           res["info"].astype(np.int32),
-                                           i4m, ilist, selA, sb,
-                                           res["mv"], res["ref"])
-                return DS.decode_p_step(
-                    jnp.asarray(buf), lt, ct, layout, mb_w, mb_h, cqo,
-                    icap, nb, sh.alpha_off, sh.beta_off, do_deblock,
-                    make_ref)
+                with stage("h264.pack_args"):
+                    buf, layout = DS.pack_args(
+                        idx, vals,
+                        res["qp"].astype(np.int32),
+                        res["kind"].astype(np.int32),
+                        res["info"].astype(np.int32),
+                        i4m, levels, selA, sb,
+                        res["mv"], res["ref"])
+                with stage("h264.dispatch"):
+                    return DS.decode_p_step(
+                        jnp.asarray(buf), lt, ct, layout, mb_w, mb_h,
+                        cqo, lvl_l, lvl_k, nb, sh.alpha_off,
+                        sh.beta_off, do_deblock, make_ref)
             # split dispatch: stages pipeline with their own uploads
             from librempeg_tpu.codecs.h264.deblock_pallas import (
                 deblock_frame_pallas,
@@ -919,7 +947,7 @@ class H264Decoder(Decoder):
             y, u, v = D.recon_p_frame_pred(
                 py, pu, pv, idxj, valsj, qpj, kindj,
                 jnp.asarray(res["info"]), jnp.asarray(i4m),
-                jnp.asarray(ilist), mb_w, mb_h, cqo, icap)
+                jnp.asarray(levels), mb_w, mb_h, cqo, lvl_l, lvl_k)
             if do_deblock:
                 y, u, v = deblock_frame_pallas(
                     y, u, v, idxj, valsj, jnp.asarray(res["mv"]),

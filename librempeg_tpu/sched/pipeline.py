@@ -196,17 +196,23 @@ class _StreamChain:
                 if len(batch) > 1 and all(
                         p is not None and not isinstance(p, np.ndarray)
                         for p in packed):
-                    for (h, _), val in zip(
-                            batch, jax.device_get(packed)):
+                    from librempeg_tpu.utils.stagetimer import stage
+
+                    with stage("enc_finish.device_get"):
+                        vals = jax.device_get(packed)
+                    for (h, _), val in zip(batch, vals):
                         h["packed_np"] = np.asarray(val)
 
             except Exception:
                 pass                        # per-frame fetch fallback
+            from librempeg_tpu.utils.stagetimer import stage
+
             for handle, mux in batch:
                 try:
-                    for pkt in self.encoder.encode_finish(handle):
-                        mux.write(pkt.replace(
-                            stream_index=self.out_stream.index))
+                    with stage("enc_finish.worker"):
+                        for pkt in self.encoder.encode_finish(handle):
+                            mux.write(pkt.replace(
+                                stream_index=self.out_stream.index))
                 except Exception as e:      # propagated on next call
                     self._perr = e
                 finally:
@@ -247,12 +253,16 @@ class _StreamChain:
 
     # -- data flow ----------------------------------------------------
     def send_packet(self, pkt, mux) -> None:
+        from librempeg_tpu.utils.stagetimer import stage
+
         if self.eof:
             return
         if self.copy:
             mux.write(pkt.replace(stream_index=self.out_stream.index))
             return
-        for frame in self.decoder.decode(pkt):
+        with stage(f"{self.media}.decode"):
+            frames = self.decoder.decode(pkt)
+        for frame in frames:
             self._through_graph(frame, mux)
 
     def _through_graph(self, frame, mux, flush=False) -> None:
@@ -280,9 +290,12 @@ class _StreamChain:
                        if self.media == "audio" else 0)
             if nxt < self.discard_until - 1e-9:
                 return                       # exact -ss: decode & drop
-        outs = self.graph.push(frame) if frame is not None else []
-        if flush:
-            outs += self.graph.finish()
+        from librempeg_tpu.utils.stagetimer import stage
+
+        with stage(f"{self.media}.graph"):
+            outs = self.graph.push(frame) if frame is not None else []
+            if flush:
+                outs += self.graph.finish()
         for f in outs:
             if self.smap.frames_limit and \
                     self.frames_done >= self.smap.frames_limit:
@@ -292,11 +305,14 @@ class _StreamChain:
             if self._perr_check():
                 return
             if self._pipelined:
-                self._pq.put((self.encoder.encode_async(f), mux))
+                with stage(f"{self.media}.enc_dispatch"):
+                    h = self.encoder.encode_async(f)
+                self._pq.put((h, mux))
             else:
-                for pkt in self.encoder.encode(f):
-                    mux.write(pkt.replace(
-                        stream_index=self.out_stream.index))
+                with stage(f"{self.media}.enc"):
+                    for pkt in self.encoder.encode(f):
+                        mux.write(pkt.replace(
+                            stream_index=self.out_stream.index))
 
     def _perr_check(self) -> bool:
         if getattr(self, "_perr", None) is not None:
