@@ -870,22 +870,14 @@ class H264Decoder(Decoder):
         vals = np.zeros(cap, np.int16)
         vals[:k] = nzv16[:k]
         intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
-        icap = _bucket(len(intra), 256, _INTRA_CAP_MAX) if len(intra) \
+        # scan length = the bucketed intra count: each lax.scan step
+        # reconstructs one MB, so a tight bucket (32 floor, was 256)
+        # directly cuts the sequential device time on typical P frames
+        # with ~1% scattered intra
+        icap = _bucket(len(intra), 32, _INTRA_CAP_MAX) if len(intra) \
             else 0
         ilist = np.full(max(icap, 1), -1, np.int32)
         ilist[:len(intra)] = intra
-        # leveled wavefront grouping (TPU path): intra MBs that don't
-        # depend on each other reconstruct in parallel within a level
-        if len(intra):
-            with stage("h264.levels"):
-                lv = D.build_intra_levels(intra, mb_w)
-                lvl_l = _bucket(len(lv), 2, 4096)
-                lvl_k = _bucket(max(len(g) for g in lv), 8,
-                                _INTRA_CAP_MAX)
-                levels = D.pack_levels(lv, lvl_l, lvl_k)
-        else:
-            lvl_l = lvl_k = 0
-            levels = np.empty(0, np.int32)
         cqo = self.pps.chroma_qp_index_offset
 
         if jax.default_backend() not in ("cpu",):
@@ -926,12 +918,12 @@ class H264Decoder(Decoder):
                         res["qp"].astype(np.int32),
                         res["kind"].astype(np.int32),
                         res["info"].astype(np.int32),
-                        i4m, levels, selA, sb,
+                        i4m, ilist, selA, sb,
                         res["mv"], res["ref"])
                 with stage("h264.dispatch"):
                     return DS.decode_p_step(
                         jnp.asarray(buf), lt, ct, layout, mb_w, mb_h,
-                        cqo, lvl_l, lvl_k, nb, sh.alpha_off,
+                        cqo, icap, nb, sh.alpha_off,
                         sh.beta_off, do_deblock, make_ref)
             # split dispatch: stages pipeline with their own uploads
             from librempeg_tpu.codecs.h264.deblock_pallas import (
@@ -947,7 +939,7 @@ class H264Decoder(Decoder):
             y, u, v = D.recon_p_frame_pred(
                 py, pu, pv, idxj, valsj, qpj, kindj,
                 jnp.asarray(res["info"]), jnp.asarray(i4m),
-                jnp.asarray(levels), mb_w, mb_h, cqo, lvl_l, lvl_k)
+                jnp.asarray(ilist), mb_w, mb_h, cqo, icap)
             if do_deblock:
                 y, u, v = deblock_frame_pallas(
                     y, u, v, idxj, valsj, jnp.asarray(res["mv"]),

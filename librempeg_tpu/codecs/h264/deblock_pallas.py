@@ -218,55 +218,52 @@ def _hpass_chroma(ct, prm, ci, base):
     return jnp.concatenate([ct[:1]] + rows[1:10] + [ct[10:]], axis=0)
 
 
+_G = 8                                # MBs per grid step
+
+
 def _deblock_kernel(mb_w: int, mb_h: int,
                     p_ref, yi, ui, vi, yo, uo, vo):
-    """One grid step = a HORIZONTAL PAIR of macroblocks, raster order
-    (identical to spec §8.7 MB order — left MB fully filtered before
-    the right one, via per-MB pass sequencing inside the step). Pairing
-    halves the sequential step count and amortizes the window
-    load/roll/store. Planes are aliased in/out through yo/uo/vo."""
+    """One grid step = a horizontal GROUP of _G macroblocks, raster
+    order (identical to spec §8.7 MB order — each MB fully filtered,
+    vertical then horizontal edges, before the next one, via per-MB
+    pass sequencing inside the step). Grouping by 8 cuts the
+    sequential step count 8x vs per-MB and makes the luma window
+    128-aligned (x = px*128), removing the lane roll entirely.
+    Planes are aliased in/out through yo/uo/vo."""
     i = pl.program_id(0)
-    wpairs = (mb_w + 1) // 2
-    my = i // wpairs
-    px = i % wpairs
-    # two [1, 128] rows per pair (lane-offset sub-slices of a wider
-    # row break Mosaic's layout inference)
-    prm0 = p_ref[pl.ds(2 * i, 1), :]
-    prm1 = p_ref[pl.ds(2 * i + 1, 1), :]   # zeros for a phantom MB
+    wq = (mb_w + _G - 1) // _G
+    my = i // wq
+    px = i % wq
+    # one [1, 128] row per MB (lane-offset sub-slices of a wider row
+    # break Mosaic's layout inference); zeros for phantom MBs
+    prms = [p_ref[pl.ds(_G * i + g, 1), :] for g in range(_G)]
     ri = _row_iota()
     ci = _col_iota()
 
     # ---------------- luma ----------------
-    x = px * 32                      # padded window col (pad left = 4)
-    xa = pl.multiple_of((x // 128) * 128, 128)
-    off = x - xa                     # multiple of 32, 0..96
+    xa = pl.multiple_of(px * (16 * _G), 128)   # 128-aligned window col
     r0 = pl.multiple_of(my * 16, 16)
     t = yo[pl.ds(r0, 32), pl.ds(xa, 256)].astype(jnp.int32)
-    t = pltpu.roll(t, -off, 1)
-    # window geometry: col 0 = unpadded px*32-4; left MB cols 4..20,
-    # right MB cols 20..36
-    t = _vpass_luma(t, prm0, ri, 0)
-    t = _hpass_luma(t, prm0, ci, 0)
-    t = _vpass_luma(t, prm1, ri, 16)
-    t = _hpass_luma(t, prm1, ci, 16)
-    t = pltpu.roll(t, off, 1)
+    # window geometry: col 0 = unpadded px*128-4; MB g cols
+    # 4+16g..20+16g
+    for g in range(_G):
+        t = _vpass_luma(t, prms[g], ri, 16 * g)
+        t = _hpass_luma(t, prms[g], ci, 16 * g)
     yo[pl.ds(r0, 32), pl.ds(xa, 256)] = t.astype(yo.dtype)
 
     # ---------------- chroma (4:2:0) ----------------
-    cx = px * 16                     # padded window col (pad left = 2)
+    cx = px * (8 * _G)               # padded window col (pad left = 2)
     ca = pl.multiple_of((cx // 128) * 128, 128)
-    coff = cx - ca                   # multiple of 16
+    coff = cx - ca                   # 0 or 64
     cr0 = pl.multiple_of(my * 8, 8)
     ri16 = _row_iota(16)
     for c_ref in (uo, vo):
         ct = c_ref[pl.ds(cr0, 16), pl.ds(ca, 256)].astype(jnp.int32)
         ct = pltpu.roll(ct, -coff, 1)
-        # window col 0 = unpadded px*16-2; left MB cols 2..10,
-        # right MB cols 10..18
-        ct = _vpass_chroma(ct, prm0, ri16, 0)
-        ct = _hpass_chroma(ct, prm0, ci, 0)
-        ct = _vpass_chroma(ct, prm1, ri16, 8)
-        ct = _hpass_chroma(ct, prm1, ci, 8)
+        # window col 0 = unpadded px*64-2; MB g cols 2+8g..10+8g
+        for g in range(_G):
+            ct = _vpass_chroma(ct, prms[g], ri16, 8 * g)
+            ct = _hpass_chroma(ct, prms[g], ci, 8 * g)
         ct = pltpu.roll(ct, coff, 1)
         c_ref[pl.ds(cr0, 16), pl.ds(ca, 256)] = ct.astype(c_ref.dtype)
 
@@ -299,20 +296,22 @@ def deblock_frame_pallas(y, u, v, coeff_idx, coeff_val, mv, ref, qp,
     P = P.at[:, 4:6, 4:8].set(hc[:, 0::2, :])      # chroma H [e, col]
     # one [1, 128] row per MB: a [nmb*8, 16] layout pads lanes 16->128
     # in VMEM (8x memory -> scoped-vmem OOM inside fused programs);
-    # pair layout: [mb_h * wpairs, 256] — each row holds a horizontal
-    # MB pair (right half zero for a phantom MB on odd widths)
+    # group layout: [mb_h * wq * _G, 128] — each grid step reads the
+    # _G rows of its horizontal MB group (zeros for phantom MBs)
     P = P.reshape(nmb, 128)
-    wpairs = (mb_w + 1) // 2
-    Pp = jnp.zeros((mb_h, wpairs * 2, 128), jnp.int32)
+    wq = (mb_w + _G - 1) // _G
+    Pp = jnp.zeros((mb_h, wq * _G, 128), jnp.int32)
     Pp = Pp.at[:, :mb_w].set(P.reshape(mb_h, mb_w, 128))
-    P = Pp.reshape(mb_h * wpairs * 2, 128)
+    P = Pp.reshape(mb_h * wq * _G, 128)
 
     # padded planes: left/top pad so window geometry is uniform,
     # right/bottom so the largest [32, 256] aligned window fits
-    wp = max(_align_up(max(W - 16, 0), 128) + 256, _align_up(W + 8, 128))
+    wp = max(_align_up(max(W - 16, 0), 128) + 256,
+             _align_up(W + 8, 128), (wq - 1) * 128 + 256)
     hp = H + 32
     wc = max(_align_up(max(W // 2 - 8, 0), 128) + 256,
-             _align_up(W // 2 + 8, 128))
+             _align_up(W // 2 + 8, 128),
+             ((wq - 1) * 64 // 128) * 128 + 256)
     hc2 = H // 2 + 32
     yp = jnp.pad(y, ((4, hp - H - 4), (4, wp - W - 4)))
     up = jnp.pad(u, ((2, hc2 - H // 2 - 2), (2, wc - W // 2 - 2)))
@@ -321,7 +320,7 @@ def deblock_frame_pallas(y, u, v, coeff_idx, coeff_val, mv, ref, qp,
     kern = functools.partial(_deblock_kernel, mb_w, mb_h)
     yd, ud, vd = pl.pallas_call(
         kern,
-        grid=(mb_h * wpairs,),
+        grid=(mb_h * wq,),
         out_shape=[jax.ShapeDtypeStruct(yp.shape, yp.dtype),
                    jax.ShapeDtypeStruct(up.shape, up.dtype),
                    jax.ShapeDtypeStruct(vp.shape, vp.dtype)],

@@ -23,18 +23,17 @@ from librempeg_tpu.codecs.h264 import device_recon as DR
 from librempeg_tpu.codecs.h264 import mc_pallas as MC
 from librempeg_tpu.codecs.h264.deblock_pallas import deblock_frame_pallas
 
-_FIELDS = ("idx", "vals", "qp", "kind", "info", "i4modes", "levels",
+_FIELDS = ("idx", "vals", "qp", "kind", "info", "i4modes", "ilist",
            "selA", "selB", "mv", "ref")
 
 
-def pack_args(idx, vals, qp, kind, info, i4modes, levels, selA, selB,
+def pack_args(idx, vals, qp, kind, info, i4modes, ilist, selA, selB,
               mv, ref):
     """Host side: one contiguous uint8 buffer + the static layout
-    (field byte sizes in _FIELDS order). levels: flattened
-    device_recon.pack_levels intra wavefront table."""
+    (field byte sizes in _FIELDS order)."""
     parts = [np.ascontiguousarray(a).view(np.uint8).ravel()
-             for a in (idx, vals, qp, kind, info, i4modes, levels,
-                       selA, selB, mv, ref)]
+             for a in (idx, vals, qp, kind, info, i4modes, ilist, selA,
+                       selB, mv, ref)]
     layout = tuple(p.size for p in parts)
     return np.concatenate(parts), layout
 
@@ -52,10 +51,10 @@ def _i8(seg):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "layout", "mb_w", "mb_h", "chroma_qp_off", "lvl_l", "lvl_k", "nb",
+    "layout", "mb_w", "mb_h", "chroma_qp_off", "icap", "nb",
     "alpha_off", "beta_off", "do_deblock", "make_ref"))
 def decode_p_step(buf, lt, ct, layout, mb_w: int, mb_h: int,
-                  chroma_qp_off: int, lvl_l: int, lvl_k: int, nb: int,
+                  chroma_qp_off: int, icap: int, nb: int,
                   alpha_off: int, beta_off: int, do_deblock: bool,
                   make_ref: bool):
     """buf: pack_args() buffer; lt/ct: tiled DPB refs (concatenated,
@@ -71,7 +70,7 @@ def decode_p_step(buf, lt, ct, layout, mb_w: int, mb_h: int,
     kind = _i32(segs[3])
     info = _i32(segs[4])
     i4modes = _i8(segs[5]).reshape(nmb, 16)
-    levels = _i32(segs[6])
+    ilist = _i32(segs[6])
     selA = _i32(segs[7])
     selB = _i32(segs[8])
     mv = _i16(segs[9]).reshape(nmb, 16, 2)
@@ -79,8 +78,8 @@ def decode_p_step(buf, lt, ct, layout, mb_w: int, mb_h: int,
 
     py, pu, pv = MC.mc_predict(lt, ct, selA, selB, nmb, nb)
     y, u, v = DR.recon_p_frame_pred(py, pu, pv, idx, vals, qp, kind,
-                                    info, i4modes, levels, mb_w, mb_h,
-                                    chroma_qp_off, lvl_l, lvl_k)
+                                    info, i4modes, ilist, mb_w, mb_h,
+                                    chroma_qp_off, icap)
     if do_deblock:
         y, u, v = deblock_frame_pallas(y, u, v, idx, vals, mv, ref,
                                        qp, kind, mb_w, mb_h,

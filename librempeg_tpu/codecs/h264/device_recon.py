@@ -437,77 +437,11 @@ def _intra_scan(yp, up, vp, intra_list, kind, info, i4modes, lres, cres,
     """Reconstruct the listed intra MBs in raster order over planes
     padded by 1 (top/left) and 8 (bottom/right). intra_list [cap] int32
     MB indices ascending, -1 padding. Exactly mirrors native/h264.cpp
-    h264_intra_recon (bit-exactness asserted in tests).
+    h264_intra_recon (bit-exactness asserted in tests)."""
 
-    Raster order == leveled wavefront with one MB per level, so this
-    delegates to _intra_scan_leveled (single shared per-MB recon
-    implementation)."""
-    return _intra_scan_leveled(yp, up, vp, intra_list[:, None], kind,
-                               info, i4modes, lres, cres, mb_w, mb_h)
-
-
-def build_intra_levels(intra: np.ndarray, mb_w: int):
-    """Wavefront dependency levels for scattered intra MBs.
-
-    An intra MB depends on neighbors whose RECONSTRUCTED pixels feed
-    its prediction: left, top, top-right (I_4x4 diagonal modes) and
-    top-left -- but only when the neighbor is itself intra (inter MBs
-    are already final after the parallel MC+residual pass).  Grouping
-    by dependency depth turns the per-MB sequential scan into a scan
-    over LEVELS with every MB inside one level reconstructed in
-    parallel (vmap): typical P frames with ~1% scattered intra
-    collapse from hundreds of sequential steps to a handful.  This is
-    the same wavefront structure the reference exploits for HEVC WPP
-    (SURVEY.md §2.10 SP/CP row).
-
-    intra: ascending MB indices (raster order, so every dependency
-    precedes its dependent). Returns a list of int32 index arrays.
-    """
-    lev: dict = {}
-    out: list = []
-    for m in intra:
-        m = int(m)
-        x = m % mb_w
-        up_ = m - mb_w
-        depth = -1
-        if x > 0 and m - 1 in lev:
-            depth = max(depth, lev[m - 1])
-        if up_ >= 0:
-            if up_ in lev:
-                depth = max(depth, lev[up_])
-            if x + 1 < mb_w and up_ + 1 in lev:
-                depth = max(depth, lev[up_ + 1])
-            if x > 0 and up_ - 1 in lev:
-                depth = max(depth, lev[up_ - 1])
-        depth += 1
-        lev[m] = depth
-        if depth >= len(out):
-            out.append([])
-        out[depth].append(m)
-    return [np.asarray(g, np.int32) for g in out]
-
-
-def pack_levels(levels, lvl_l: int, lvl_k: int) -> np.ndarray:
-    """[lvl_l, lvl_k] int32 level table, -1 padded (flattened)."""
-    arr = np.full((lvl_l, lvl_k), -1, np.int32)
-    for i, g in enumerate(levels):
-        arr[i, :len(g)] = g
-    return arr.ravel()
-
-
-def _intra_scan_leveled(yp, up, vp, levels, kind, info, i4modes, lres,
-                        cres, mb_w, mb_h):
-    """Leveled-wavefront intra reconstruction: levels [L, K] int32 MB
-    indices (-1 padding).  Each scan step reconstructs one dependency
-    level with the per-MB work vmapped across the level; region writes
-    within a level are disjoint by construction (adjacent MBs are
-    always in different levels), so the scatter is race-free.
-    Bit-exact with the raster _intra_scan (asserted in tests)."""
-    ar16 = jnp.arange(16)
-    ar8 = jnp.arange(8)
-
-    def mb_regions(yp, up, vp, m):
-        """(y 16x16, u 8x8, v 8x8) uint8 recon regions for MB m."""
+    def step(carry, m):
+        yp, up, vp = carry
+        valid = m >= 0
         mi = jnp.maximum(m, 0)
         my, mx = mi // mb_w, mi % mb_w
         y0 = my * 16 + 1                      # padded coords
@@ -538,6 +472,7 @@ def _intra_scan_leveled(yp, up, vp, levels, kind, info, i4modes, lres,
                 t = tile[ly - 1, lx:lx + 4]
                 l = tile[ly:ly + 4, lx - 1]
                 lt = tile[ly - 1, lx - 1]
+                # top-right availability (decode order, §8.3.1)
                 if by > 0 and bx < 3:
                     av_tr_b = (_ORD4[(by - 1) * 4 + bx + 1]
                                < _ORD4[by * 4 + bx])
@@ -551,9 +486,10 @@ def _intra_scan_leveled(yp, up, vp, levels, kind, info, i4modes, lres,
                 tr = tile[ly - 1, lx + 4:lx + 8]
                 tt = jnp.concatenate([t, jnp.where(av_tr, tr, t[3])])
                 mode = i4modes[mi, by * 4 + bx].astype(jnp.int32)
+                # DC availability variants share mode index 2: compute
+                # the reduced DCs and pick by availability
                 pred = jax.lax.switch(jnp.clip(mode, 0, 8),
-                                      _pred4_branches(t, l, lt, tt),
-                                      None)
+                                      _pred4_branches(t, l, lt, tt), None)
                 avt_b = jnp.asarray(True) if by > 0 else avt
                 avl_b = jnp.asarray(True) if bx > 0 else avl
                 dc_t = jnp.full((4, 4), (t.sum() + 2) >> 2, jnp.int32)
@@ -570,44 +506,31 @@ def _intra_scan_leveled(yp, up, vp, levels, kind, info, i4modes, lres,
             return tile
 
         ntile = jax.lax.cond(k == 2, i4_branch, i16_branch, tile)
-        yreg = ntile[1:17, 1:17].astype(jnp.uint8)
+        region = jnp.where(valid, ntile[1:17, 1:17],
+                           tile[1:17, 1:17]).astype(jnp.uint8)
+        yp = jax.lax.dynamic_update_slice(yp, region, (y0, x0))
 
+        # chroma
         cy0 = my * 8 + 1
         cx0 = mx * 8 + 1
         cmode = (info[mi] >> 4) & 15
         cr = cres[mi]                          # [2, 2, 2, 4, 4]
 
-        def chroma(cp, pl):
+        def do_chroma(cp, pl):
             ctile = jax.lax.dynamic_slice(
                 cp, (cy0 - 1, cx0 - 1), (9, 9)).astype(jnp.int32)
             pred = _pred8c(ctile, cmode, avt, avl)
             res8 = cr[pl].transpose(0, 2, 1, 3).reshape(8, 8)
-            return jnp.clip(pred + res8, 0, 255).astype(jnp.uint8)
+            rec = jnp.clip(pred + res8, 0, 255)
+            region = jnp.where(valid, rec,
+                               ctile[1:9, 1:9]).astype(jnp.uint8)
+            return jax.lax.dynamic_update_slice(cp, region, (cy0, cx0))
 
-        return yreg, chroma(up, 0), chroma(vp, 1)
-
-    def level_step(carry, mbs):
-        yp, up, vp = carry
-        yr, ur, vr = jax.vmap(
-            lambda m: mb_regions(yp, up, vp, m))(mbs)
-        valid = mbs >= 0
-        mi = jnp.maximum(mbs, 0)
-        my, mx = mi // mb_w, mi % mb_w
-        oob = jnp.int32(1 << 20)               # scatter-dropped rows
-        y0 = jnp.where(valid, my * 16 + 1, oob)
-        x0 = mx * 16 + 1
-        ys = y0[:, None, None] + ar16[None, :, None]
-        xs = x0[:, None, None] + ar16[None, None, :]
-        yp = yp.at[ys, xs].set(yr, mode="drop")
-        cy0 = jnp.where(valid, my * 8 + 1, oob)
-        cx0 = mx * 8 + 1
-        cys = cy0[:, None, None] + ar8[None, :, None]
-        cxs = cx0[:, None, None] + ar8[None, None, :]
-        up = up.at[cys, cxs].set(ur, mode="drop")
-        vp = vp.at[cys, cxs].set(vr, mode="drop")
+        up = do_chroma(up, 0)
+        vp = do_chroma(vp, 1)
         return (yp, up, vp), None
 
-    (yp, up, vp), _ = jax.lax.scan(level_step, (yp, up, vp), levels)
+    (yp, up, vp), _ = jax.lax.scan(step, (yp, up, vp), intra_list)
     return yp, up, vp
 
 
@@ -666,19 +589,16 @@ def recon_p_frame(luma4, upad, vpad, coeff_idx, coeff_val, mv, ref, qp,
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h",
-                                             "chroma_qp_off", "lvl_l",
-                                             "lvl_k"))
+                                             "chroma_qp_off", "icap"))
 def recon_p_frame_pred(pred_y, pred_u, pred_v, coeff_idx, coeff_val,
-                       qp, kind, info, i4modes, intra_levels,
+                       qp, kind, info, i4modes, intra_list,
                        mb_w: int, mb_h: int, chroma_qp_off: int,
-                       lvl_l: int = 0, lvl_k: int = 0):
+                       icap: int = 0):
     """recon_p_frame with the inter prediction precomputed in MB-tile
     form (pred_y [nMB, 16, 16], pred_u/v [nMB, 8, 8] uint8 -- the
-    mc_pallas.mc_predict output): residual add + leveled intra scan
-    (intra_levels: pack_levels output, [lvl_l * lvl_k] flattened)."""
+    mc_pallas.mc_predict output): residual add + intra scan only."""
     nmb = mb_w * mb_h
     W, H = mb_w * 16, mb_h * 16
-    icap = lvl_l * lvl_k
     coeffs = jnp.zeros(nmb * 27 * 16, jnp.int32).at[coeff_idx].set(
         coeff_val.astype(jnp.int32), mode="drop").reshape(nmb, 27, 16)
     is_i16 = kind == 3
@@ -706,9 +626,8 @@ def recon_p_frame_pred(pred_y, pred_u, pred_v, coeff_idx, coeff_val,
         yp = jnp.pad(y, ((1, 8), (1, 8)))
         up = jnp.pad(u, ((1, 8), (1, 8)))
         vp = jnp.pad(v, ((1, 8), (1, 8)))
-        yp, up, vp = _intra_scan_leveled(
-            yp, up, vp, intra_levels.reshape(lvl_l, lvl_k), kind,
-            info, i4modes, lres, crespl, mb_w, mb_h)
+        yp, up, vp = _intra_scan(yp, up, vp, intra_list, kind, info,
+                                 i4modes, lres, crespl, mb_w, mb_h)
         y = yp[1:H + 1, 1:W + 1]
         u = up[1:H // 2 + 1, 1:W // 2 + 1]
         v = vp[1:H // 2 + 1, 1:W // 2 + 1]

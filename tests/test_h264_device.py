@@ -298,19 +298,12 @@ def test_pallas_mc_and_pred_recon_bit_exact():
         icap = max(len(intra), 0)
         ilist = np.full(max(icap, 1), -1, np.int32)
         ilist[:len(intra)] = intra
-        if len(intra):
-            lv = D.build_intra_levels(intra, mb_w)
-            lvl_l, lvl_k = len(lv), max(len(g) for g in lv)
-            levels = D.pack_levels(lv, lvl_l, lvl_k)
-        else:
-            lvl_l = lvl_k = 0
-            levels = np.empty(0, np.int32)
         args = (jnp.asarray(res["qp"]), kind, jnp.asarray(res["info"]),
-                jnp.asarray(res["i4modes"]))
+                jnp.asarray(res["i4modes"]), jnp.asarray(ilist))
         y0, u0, v0 = D.recon_p_frame(
             luma4[None], up[None], vp[None], idx, vals,
             jnp.asarray(res["mv"]), jnp.asarray(res["ref"]), *args,
-            jnp.asarray(ilist), mb_w, mb_h, 0, icap)
+            mb_w, mb_h, 0, icap)
 
         lt, ct = M.tile_refpack(luma4, up, vp)
         selA, selB = M.build_selectors(res, mb_w, mb_h, luma4.shape[1],
@@ -325,8 +318,7 @@ def test_pallas_mc_and_pred_recon_bit_exact():
                                   jnp.asarray(sb), nmb, nb,
                                   interpret=True)
         y1, u1, v1 = D.recon_p_frame_pred(py, pu, pv, idx, vals, *args,
-                                          jnp.asarray(levels),
-                                          mb_w, mb_h, 0, lvl_l, lvl_k)
+                                          mb_w, mb_h, 0, icap)
         assert np.array_equal(np.asarray(y0), np.asarray(y1)), "luma"
         assert np.array_equal(np.asarray(u0), np.asarray(u1)), "u"
         assert np.array_equal(np.asarray(v0), np.asarray(v1)), "v"
@@ -336,97 +328,3 @@ def test_pallas_mc_and_pred_recon_bit_exact():
                              for p in fs[-1].planes)
         n += 1
     assert n >= 4
-
-
-def test_leveled_intra_scan_matches_raster():
-    """build_intra_levels + the leveled wavefront scan reconstruct
-    chained intra MBs (runs of adjacent intra, incl. full rows)
-    bit-exactly like the one-MB-per-step raster scan."""
-    from librempeg_tpu.codecs.h264.codec import H264Decoder, H264Encoder
-
-    w, h = 96, 64
-    mb_w = w // 16
-    rng = np.random.default_rng(3)
-    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.uint8)
-    frames = []
-    for i in range(4):
-        y = base[i:h + i, i * 2:w + i * 2].copy()
-        # flat bands whose value jumps every frame: inter prediction
-        # fails, intra DC is perfect -> runs of adjacent intra MBs
-        y[:16, :] = (60 + 47 * i) % 256                  # full intra row
-        y[32:64, 32:80] = (200 - 33 * i) % 256           # intra block
-        u = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
-        v = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
-        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
-                                 width=w, height=h, pts=i,
-                                 time_base=Rational(1, 25)))
-    enc = H264Encoder(width=w, height=h, qp=28, g=4)
-    pkts = [enc.encode(f)[0] for f in frames]
-    sps = P.parse_sps(P.NalUnit.parse(
-        list(P.split_annexb(bytes(pkts[0].data)))[0]).rbsp)
-    pps = P.parse_pps(P.NalUnit.parse(
-        list(P.split_annexb(bytes(pkts[0].data)))[1]).rbsp)
-    dec = H264Decoder(enc.codec_parameters())
-    ref_host = tuple(np.ascontiguousarray(np.asarray(p))
-                     for p in dec.decode(pkts[0])[0].planes)
-    checked = 0
-    for pkt in pkts[1:]:
-        sh, res = _entropy(pkt, sps, pps)
-        intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
-        if not len(intra):
-            continue
-        lv = D.build_intra_levels(intra, mb_w)
-        assert len(lv) > 1, "want chained intra (multiple levels)"
-        assert sum(len(g) for g in lv) == len(intra)
-        # disjointness invariant: no MB shares a level with a neighbor
-        for g in lv:
-            s = set(int(m) for m in g)
-            for m in g:
-                for d in (m - 1, m - mb_w, m - mb_w + 1, m - mb_w - 1):
-                    assert d not in s or d == m
-        lvl_l, lvl_k = len(lv), max(len(g) for g in lv)
-        levels = D.pack_levels(lv, lvl_l, lvl_k)
-        luma4, up, vp = D.make_refpack(*[jnp.asarray(p)
-                                         for p in ref_host])
-        idx, vals = _sparse(res)
-        icap = len(intra)
-        ilist = np.full(icap, -1, np.int32)
-        ilist[:len(intra)] = intra
-        args = (jnp.asarray(res["qp"]), jnp.asarray(res["kind"]),
-                jnp.asarray(res["info"]), jnp.asarray(res["i4modes"]))
-        y0, u0, v0 = D.recon_p_frame(
-            luma4[None], up[None], vp[None], idx, vals,
-            jnp.asarray(res["mv"]), jnp.asarray(res["ref"]), *args,
-            jnp.asarray(ilist), mb_w, h // 16, 0, icap)
-        # leveled path: identical pred tiles derived from the raster
-        # output's inter MBs is not available here, so compare through
-        # the decoder-level device path instead (recon_p_frame uses the
-        # shared mb_regions; the leveled grouping is what's under test)
-        import librempeg_tpu.codecs.h264.device_recon as DR
-
-        yp = jnp.pad(y0, ((1, 8), (1, 8)))
-        upp = jnp.pad(u0, ((1, 8), (1, 8)))
-        vpp = jnp.pad(v0, ((1, 8), (1, 8)))
-        # re-running the scan over already-final planes must be a
-        # fixpoint only if prediction contexts are unchanged -- instead
-        # rebuild from scratch: zero the intra regions, then scan both
-        # ways and compare
-        nmb = mb_w * (h // 16)
-        coeffs = jnp.zeros(nmb * 27 * 16, jnp.int32).at[idx].set(
-            vals.astype(jnp.int32), mode="drop").reshape(nmb, 27, 16)
-        lres, cres = DR._residuals(coeffs, jnp.asarray(res["qp"]), 0,
-                                   nmb,
-                                   is_i16=jnp.asarray(res["kind"] == 3))
-        crespl = cres.reshape(nmb, 2, 2, 2, 4, 4)
-        kindj = jnp.asarray(res["kind"])
-        infoj = jnp.asarray(res["info"])
-        i4mj = jnp.asarray(res["i4modes"])
-        a = DR._intra_scan(yp, upp, vpp, jnp.asarray(ilist), kindj,
-                           infoj, i4mj, lres, crespl, mb_w, h // 16)
-        b = DR._intra_scan_leveled(
-            yp, upp, vpp, jnp.asarray(levels).reshape(lvl_l, lvl_k),
-            kindj, infoj, i4mj, lres, crespl, mb_w, h // 16)
-        for pa, pb in zip(a, b):
-            assert np.array_equal(np.asarray(pa), np.asarray(pb))
-        checked += 1
-    assert checked >= 2
