@@ -239,6 +239,119 @@ class H264Encoder(Encoder):
         return pkts
 
 
+class _DecodeAhead:
+    """Decode-side entropy front end (the r1-promised decode_batch
+    analog of the reference's frame-threading submit_packet,
+    pthread_frame.c:490): a worker thread runs slice-header parsing,
+    native CAVLC/CABAC entropy decode and the sparse-coefficient scan
+    for queued packets strictly in order, overlapping the serial host
+    entropy of packet n+k with device reconstruction of packet n.
+    The native calls go through ctypes, which releases the GIL, so the
+    overlap is real on a single-core host.  Results are consumed in
+    submission order by the main thread, which keeps all DPB/POC/ref
+    bookkeeping single-threaded."""
+
+    def __init__(self, opts, sps, pps, depth: int):
+        import queue
+        import threading
+
+        self.depth = depth
+        self.inflight = 0              # main-thread view only
+        self._sps, self._pps = sps, pps    # worker-local parse state
+        self._conceal = opts["err_detect"] != "explode"
+        self._sp_bufn = 1 << 17
+        self._in: "queue.Queue" = queue.Queue()
+        self._out: "queue.Queue" = queue.Queue()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def submit(self, pkt) -> None:
+        self.inflight += 1
+        self._in.put(pkt)
+
+    def next_result(self):
+        self.inflight -= 1
+        pkt, items, err = self._out.get()
+        if err is not None:
+            raise err
+        return pkt, items
+
+    def _run(self) -> None:
+        while True:
+            pkt = self._in.get()
+            if pkt is None:
+                return
+            items: list = []
+            err = None
+            try:
+                for raw in split_annexb(bytes(pkt.data)):
+                    nal = NalUnit.parse(raw)
+                    pre = None
+                    if nal.type == 7:
+                        self._sps = parse_sps(nal.rbsp)
+                    elif nal.type == 8:
+                        self._pps = parse_pps(nal.rbsp, self._sps)
+                    elif nal.type in (1, 5) and self._sps is not None \
+                            and self._pps is not None:
+                        pre = self._entropy(nal)
+                    items.append((nal, pre))
+            except Exception as e:  # noqa: BLE001 — re-raised in order
+                err = e
+            self._out.put((pkt, items, err))
+
+    def _entropy(self, nal):
+        from librempeg_tpu.native import build as native
+
+        sps, pps = self._sps, self._pps
+        sh = parse_slice_header(nal.rbsp, sps, pps, nal.type,
+                                nal.ref_idc)
+        if sh.slice_type not in ("I", "P", "B"):
+            return (sh, None)
+        mb_w = sps.pic_width_in_mbs
+        mb_h = sps.pic_height_in_map_units
+        st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
+        if pps.entropy_coding_mode:
+            res = native.h264_decode_slice_cabac(
+                nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
+                st_code, sh.qp, sh.num_ref_idx_l0, sh.cabac_init_idc,
+                sh.num_ref_idx_l1,
+                transform_8x8_mode=pps.transform_8x8_mode,
+                partial=self._conceal)
+        else:
+            res = native.h264_decode_slice_cavlc(
+                nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
+                st_code, sh.qp, sh.num_ref_idx_l0, sh.num_ref_idx_l1,
+                transform_8x8_mode=pps.transform_8x8_mode,
+                partial=self._conceal)
+        # sparse scan off the critical path too (single-slice frames
+        # only: multi-slice merges invalidate per-slice sparsity)
+        if sh.first_mb == 0 and res["last_mb"] == mb_w * mb_h:
+            while True:
+                nzi = np.empty(self._sp_bufn, np.int32)
+                nzv = np.empty(self._sp_bufn, np.int16)
+                k = native.h264_sparse_coeffs(res["coeffs"],
+                                              res["ncoef"], nzi, nzv)
+                if k >= 0:
+                    break
+                self._sp_bufn *= 4
+            res["_sparse"] = (k, nzi, nzv)
+            # MC selector build when the frame-global ref remap is the
+            # identity (single L0 ref, no modification): refpack
+            # dimensions are static functions of the SPS
+            if sh.slice_type == "P" and sh.num_ref_idx_l0 == 1 \
+                    and not any(sh.ref_list_mods):
+                from librempeg_tpu.codecs.h264 import device_recon as D
+                from librempeg_tpu.codecs.h264 import mc_pallas as M
+
+                hp = mb_h * 16 + 2 * D.PAD
+                wp = mb_w * 16 + 2 * D.PAD
+                hc = mb_h * 8 + 2 * D.PADC
+                wc = mb_w * 8 + 2 * D.PADC
+                res["_selectors"] = M.build_selectors(
+                    res, mb_w, mb_h, hp, wp, hc, wc)
+        return (sh, res)
+
+
 @register_decoder
 class H264Decoder(Decoder):
     """Baseline-profile decoder: I (I_4x4 / I_16x16) + P slices (all
@@ -261,6 +374,11 @@ class H264Decoder(Decoder):
                help="bitstream-error policy: 'conceal' repairs damaged "
                     "regions and keeps decoding (error_resilience.c "
                     "role), 'explode' raises on the first error"),
+        Option("prefetch", int, -1, min=-1, max=8,
+               help="decode-ahead depth: entropy of packet n+k runs in "
+                    "a worker thread while packet n reconstructs on "
+                    "device (pthread_frame.c analog); -1 = auto (2 on "
+                    "accelerator backends, 0 on CPU)"),
     )
 
     def __init__(self, params=None, **opts):
@@ -281,6 +399,8 @@ class H264Decoder(Decoder):
         self._qmul = None           # cached (qmul4, qmul8) per PPS
         super().__init__(params, **opts)
         self._device_mode = None    # resolved lazily
+        self._da = None             # decode-ahead worker (lazy)
+        self._da_resolved = False
 
     def _use_device(self) -> bool:
         if self._device_mode is None:
@@ -305,16 +425,46 @@ class H264Decoder(Decoder):
             self.pps = parse_pps(nal.rbsp, self.sps)
             self._qmul = None
 
+    def _da_active(self):
+        """Lazily start the decode-ahead worker (needs SPS/PPS from
+        configure() so the worker's parse state starts in sync)."""
+        if not self._da_resolved:
+            self._da_resolved = True
+            from librempeg_tpu.native import build as native
+
+            depth = self.opts["prefetch"]
+            if depth < 0:
+                import jax
+
+                depth = 2 if (self._use_device()
+                              and jax.default_backend() != "cpu") \
+                    else 0
+            if depth > 0 and native.available():
+                self._da = _DecodeAhead(self.opts, self.sps, self.pps,
+                                        depth)
+        return self._da
+
     def decode(self, pkt: Packet):
+        da = self._da_active()
+        if da is not None:
+            da.submit(pkt)
+            frames = []
+            while da.inflight > da.depth:
+                frames.extend(self._consume(*da.next_result()))
+            return frames
+        items = [(NalUnit.parse(raw), None)
+                 for raw in split_annexb(bytes(pkt.data))]
+        return self._consume(pkt, items)
+
+    def _consume(self, pkt: Packet, items):
         frames = []
-        for raw in split_annexb(bytes(pkt.data)):
-            nal = NalUnit.parse(raw)
+        for nal, pre in items:
             if nal.type in (7, 8):
                 self._handle_nal(nal)
             elif nal.type in (1, 5):
                 if nal.type == 5 and self._cur is None:
                     frames.extend(self._drain_reorder())
-                r = self._decode_slice(nal, pkt)
+                r = self._decode_slice(nal, pkt, pre=pre)
                 if r is not None:
                     f, poc = r
                     if (self._last_out_poc is not None
@@ -356,7 +506,12 @@ class H264Decoder(Decoder):
         return max(base, self._reorder_depth)
 
     def flush(self):
-        return self._drain_reorder()
+        frames = []
+        if self._da is not None:
+            while self._da.inflight > 0:
+                frames.extend(self._consume(*self._da.next_result()))
+        frames.extend(self._drain_reorder())
+        return frames
 
     def _drain_reorder(self):
         out = [f for _, f in sorted(self._reorder, key=lambda t: t[0])]
@@ -377,6 +532,8 @@ class H264Decoder(Decoder):
 
         print(f"h264: concealing {n} damaged macroblocks",
               file=sys.stderr)
+        res.pop("_sparse", None)          # concealment edits invalidate
+        res.pop("_selectors", None)       # worker precomputes
         res["coeffs"][und] = 0
         res["ncoef"][und] = 0
         res["info"][und] = 2              # imode16 = DC
@@ -591,7 +748,7 @@ class H264Decoder(Decoder):
             self._poc_state = (msb, lsb)
         return msb + lsb
 
-    def _decode_slice(self, nal: NalUnit, pkt: Packet):
+    def _decode_slice(self, nal: NalUnit, pkt: Packet, pre=None):
         from librempeg_tpu.codecs.h264 import recon as R
         from librempeg_tpu.native import build as native
         from librempeg_tpu.utils.stagetimer import stage
@@ -600,8 +757,9 @@ class H264Decoder(Decoder):
             raise InvalidData("h264: slice before SPS/PPS")
         if not native.available():
             raise Unsupported("h264: native extension required")
-        sh = parse_slice_header(nal.rbsp, self.sps, self.pps, nal.type,
-                                nal.ref_idc)
+        sh = pre[0] if pre is not None else \
+            parse_slice_header(nal.rbsp, self.sps, self.pps, nal.type,
+                               nal.ref_idc)
         if sh.slice_type not in ("I", "P", "B"):
             raise Unsupported(f"h264: {sh.slice_type} slices")
         if self.pps.constrained_intra_pred:
@@ -617,21 +775,25 @@ class H264Decoder(Decoder):
             self._dpb.clear()
         st_code = {"P": 0, "B": 1, "I": 2}[sh.slice_type]
         conceal = self.opts["err_detect"] != "explode"
-        with stage("h264.entropy"):
-            if self.pps.entropy_coding_mode:
-                res = native.h264_decode_slice_cabac(
-                    nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                    st_code, sh.qp, sh.num_ref_idx_l0,
-                    sh.cabac_init_idc, sh.num_ref_idx_l1,
-                    transform_8x8_mode=self.pps.transform_8x8_mode,
-                    partial=conceal)
-            else:
-                res = native.h264_decode_slice_cavlc(
-                    nal.rbsp, sh.data_bit_pos, mb_w, mb_h, sh.first_mb,
-                    st_code, sh.qp, sh.num_ref_idx_l0,
-                    sh.num_ref_idx_l1,
-                    transform_8x8_mode=self.pps.transform_8x8_mode,
-                    partial=conceal)
+        if pre is not None and pre[1] is not None:
+            res = pre[1]
+        else:
+            with stage("h264.entropy"):
+                if self.pps.entropy_coding_mode:
+                    res = native.h264_decode_slice_cabac(
+                        nal.rbsp, sh.data_bit_pos, mb_w, mb_h,
+                        sh.first_mb, st_code, sh.qp,
+                        sh.num_ref_idx_l0, sh.cabac_init_idc,
+                        sh.num_ref_idx_l1,
+                        transform_8x8_mode=self.pps.transform_8x8_mode,
+                        partial=conceal)
+                else:
+                    res = native.h264_decode_slice_cavlc(
+                        nal.rbsp, sh.data_bit_pos, mb_w, mb_h,
+                        sh.first_mb, st_code, sh.qp,
+                        sh.num_ref_idx_l0, sh.num_ref_idx_l1,
+                        transform_8x8_mode=self.pps.transform_8x8_mode,
+                        partial=conceal)
 
         # accumulate slices into the current frame. slice_id feeds the
         # §6.4.9 neighbor-availability rule (intra prediction must not
@@ -691,6 +853,8 @@ class H264Decoder(Decoder):
                       "coeffs", "ncoef", "mv1", "ref1"):
                 self._cur[k][done] = res[k][done]
             self._cur["slice_id"][done] = self._slice_no
+            self._cur.pop("_sparse", None)   # merged: rescan needed
+            self._cur.pop("_selectors", None)
         had_error = bool(res.get("error")) or \
             bool(self._cur.get("error"))
         if had_error:
@@ -848,18 +1012,22 @@ class H264Decoder(Decoder):
 
         # native compact scan (ncoef-pruned): ~16 ms/frame cheaper than
         # numpy flatnonzero over the dense tensor at 1080p
-        buf_n = getattr(self, "_sp_bufn", 1 << 17)
-        with stage("h264.sparse_scan"):
-            while True:
-                nzi = np.empty(buf_n, np.int32)
-                nzv16 = np.empty(buf_n, np.int16)
-                k = native_b.h264_sparse_coeffs(res["coeffs"],
-                                                res["ncoef"],
-                                                nzi, nzv16)
-                if k >= 0:
-                    break
-                buf_n *= 4
-        self._sp_bufn = buf_n
+        sp = res.pop("_sparse", None)        # decode-ahead precomputed
+        if sp is not None:
+            k, nzi, nzv16 = sp
+        else:
+            buf_n = getattr(self, "_sp_bufn", 1 << 17)
+            with stage("h264.sparse_scan"):
+                while True:
+                    nzi = np.empty(buf_n, np.int32)
+                    nzv16 = np.empty(buf_n, np.int16)
+                    k = native_b.h264_sparse_coeffs(res["coeffs"],
+                                                    res["ncoef"],
+                                                    nzi, nzv16)
+                    if k >= 0:
+                        break
+                    buf_n *= 4
+            self._sp_bufn = buf_n
         # pad sparse + intra lists to size buckets: one XLA program per
         # bucket, not one per frame-specific count. Pad with a POSITIVE
         # out-of-bounds index: scatter mode="drop" drops those, while
@@ -895,12 +1063,16 @@ class H264Decoder(Decoder):
                 lt = jnp.concatenate([e[4][3] for e in l0])
                 ct = jnp.concatenate([e[4][4] for e in l0])
             nmb = mb_w * mb_h
-            with stage("h264.selectors"):
-                selA, selB = M.build_selectors(
-                    res, mb_w, mb_h, l0[0][4][0].shape[1],
-                    l0[0][4][0].shape[2],
-                    l0[0][4][1].shape[0],
-                    l0[0][4][1].shape[1])
+            pre_sel = res.pop("_selectors", None)
+            if pre_sel is not None and len(l0) == 1:
+                selA, selB = pre_sel
+            else:
+                with stage("h264.selectors"):
+                    selA, selB = M.build_selectors(
+                        res, mb_w, mb_h, l0[0][4][0].shape[1],
+                        l0[0][4][0].shape[2],
+                        l0[0][4][1].shape[0],
+                        l0[0][4][1].shape[1])
             lenb = len(selB) // 16
             # generous floor: a handful of wasted dummy steps is far
             # cheaper than another XLA compile over the tunnel

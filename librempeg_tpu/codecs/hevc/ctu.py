@@ -235,6 +235,8 @@ class CtuCoder:
             if skip:
                 self.prediction_unit(x0, y0, size, size, 0, 0,
                                      skip=True)
+                if self.on_tu:          # implicit TB = CU (deblock
+                    self.on_tu(x0, y0, log2, 0, None, -1)  # edge maps)
                 return
             want = self.ch.pred_intra() if self.ch else None
             intra = self._bin("PRED_MODE_FLAG", 0, want)
@@ -383,6 +385,8 @@ class CtuCoder:
                 x0, y0, x0, y0, log2, 0, 0, 0, max_depth,
                 cbf_cb=1, cbf_cr=1, modes=None, chroma_mode=-1,
                 intra=False, inter_split=(max_depth == 0 and part != 0))
+        elif self.on_tu:                # implicit TB = CU (deblock)
+            self.on_tu(x0, y0, log2, 0, None, -1)
 
     def prediction_unit(self, x0, y0, w, h, part, idx, skip=False):
         """PU syntax for a P slice (§7.3.8.6: merge, or mvd + mvp

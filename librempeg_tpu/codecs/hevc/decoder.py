@@ -48,6 +48,19 @@ class _PicRecon:
         self.pred4 = np.full((h // 4, w // 4), -1, np.int8)
         self.mv4 = np.zeros((h // 4, w // 4, 2), np.int32)
         self.part_mode = 0              # current CU's part (for merge)
+        # deblock maps (4x4 luma cells): luma cbf, TB/PB edge flags
+        h4, w4 = h // 4, w // 4
+        self.cbf4 = np.zeros((h4, w4), bool)
+        self.tuedge_v = np.zeros((h4, w4), bool)
+        self.tuedge_h = np.zeros((h4, w4), bool)
+        self.pbedge_v = np.zeros((h4, w4), bool)
+        self.pbedge_h = np.zeros((h4, w4), bool)
+
+    def deblock_maps(self):
+        return {"intra": self.pred4 == 0, "inter": self.pred4 == 1,
+                "cbf": self.cbf4, "mv": self.mv4,
+                "tuedge_v": self.tuedge_v, "tuedge_h": self.tuedge_h,
+                "pbedge_v": self.pbedge_v, "pbedge_h": self.pbedge_h}
 
     def on_cu(self, x0, y0, log2, part_nxn, modes, chroma_mode):
         n4 = (1 << log2) // 4
@@ -55,6 +68,12 @@ class _PicRecon:
 
     def on_tu(self, x0, y0, log2, cidx, coeffs, mode):
         n = 1 << log2
+        if cidx == 0:                   # deblock maps (luma TBs only)
+            g0x, g0y, gn = x0 // 4, y0 // 4, n // 4
+            self.tuedge_v[g0y:g0y + gn, g0x] = True
+            self.tuedge_h[g0y, g0x:g0x + gn] = True
+            if coeffs is not None:
+                self.cbf4[g0y:g0y + gn, g0x:g0x + gn] = True
         if cidx == 0:
             plane, qp = self.y, self.qp
             px, py = x0, y0
@@ -164,6 +183,8 @@ class _PicRecon:
         gx, gy = x0 // 4, y0 // 4
         self.pred4[gy:gy + h // 4, gx:gx + w // 4] = 1
         self.mv4[gy:gy + h // 4, gx:gx + w // 4] = mv
+        self.pbedge_v[gy:gy + h // 4, gx] = True
+        self.pbedge_h[gy, gx:gx + w // 4] = True
         ry, ru, rv = self.ref
         self.y[y0:y0 + h, x0:x0 + w] = R.mc_luma(
             ry, x0, y0, w, h, mv[0], mv[1])
@@ -234,9 +255,13 @@ class HevcDecoder(Decoder):
                          on_pu=pic.on_pu, slice_type=sh.slice_type,
                          max_merge=sh.max_merge)
         coder.code_picture()
-        self._ref = (pic.y, pic.u, pic.v)
         if dec.error:
             raise InvalidData("hevc: slice overread")
+        if not self.pps.deblocking_disabled:
+            from librempeg_tpu.codecs.hevc.deblock import deblock_picture
+
+            deblock_picture(pic, self.sps, self.pps, sh)
+        self._ref = (pic.y, pic.u, pic.v)
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
             else Rational(1, 25)
         sps = self.sps
@@ -259,8 +284,9 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
                     seed: int = 0, qp: int = 30, ctb_log2: int = 5,
                     density: float = 0.25, amp: int = 6,
                     split_prob: float = 0.35, nxn_prob: float = 0.3,
-                    p_frames: bool = False,
-                    max_merge: int = 5) -> bytes:
+                    p_frames: bool = False, max_merge: int = 5,
+                    deblock: bool = False, beta_offset: int = 0,
+                    tc_offset: int = 0) -> bytes:
     """Randomized-but-valid HEVC stream (annex B): an IDR picture,
     followed by TRAIL_R P pictures when p_frames is set.
 
@@ -273,7 +299,8 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
     sps = PS.HevcSPS(width=cw, height=ch, crop_r=cw - width,
                      crop_b=ch - height, log2_ctb=ctb_log2,
                      log2_max_tb=min(5, ctb_log2))
-    pps = PS.HevcPPS(init_qp=qp)
+    pps = PS.HevcPPS(init_qp=qp, deblocking_disabled=not deblock,
+                     beta_offset=beta_offset, tc_offset=tc_offset)
     out = bytearray()
     out += PS.write_vps()
     out += PS.write_sps(sps)

@@ -113,6 +113,7 @@ class HevcPPS:
     deblocking_disabled: bool = True
     beta_offset: int = 0            # beta_offset_div2 * 2
     tc_offset: int = 0              # tc_offset_div2 * 2
+    loop_filter_across_slices: bool = True
 
 
 def _write_ptl(bw: BitWriterMSB) -> None:
@@ -370,7 +371,7 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
         raise Unsupported("hevc: transquant bypass")
     if g.u(1) or g.u(1):
         raise Unsupported("hevc: tiles / WPP")
-    g.u(1)                          # loop_filter_across_slices
+    p.loop_filter_across_slices = bool(g.u(1))
     if g.u(1):                      # deblocking control present
         if g.u(1):
             raise Unsupported("hevc: deblocking override")
@@ -428,7 +429,12 @@ def write_slice_header(sps: HevcSPS, pps: HevcPPS, qp: int, *,
         bw.write(0, 1)              # num_ref_idx_active_override
         _write_ue(bw, 5 - max_merge)
     _write_se(bw, qp - pps.init_qp)
-    # deblocking control present + override disabled: nothing more
+    # deblocking control present + override disabled: no override flag.
+    # §7.3.6.1: slice_loop_filter_across_slices_enabled_flag is present
+    # when the PPS across-slices flag is set AND any in-loop filter is
+    # active for the slice (deblocking enabled here; SAO when added)
+    if not pps.deblocking_disabled:
+        bw.write(1, 1)              # slice_loop_filter_across_slices
     bw.write(1, 1)                  # alignment bit (byte_alignment())
     bw.align()
     return bw
@@ -468,6 +474,8 @@ def parse_slice_header(rbsp: bytes, sps: HevcSPS, pps: HevcPPS,
         if not 1 <= sh.max_merge <= 5:
             raise InvalidData("hevc: bad merge cand count")
     sh.qp = pps.init_qp + g.se()
+    if pps.loop_filter_across_slices and not pps.deblocking_disabled:
+        g.u(1)                      # slice_loop_filter_across_slices
     # byte alignment: one 1-bit + zeros
     if g.u(1) != 1:
         raise InvalidData("hevc: slice header alignment")

@@ -328,3 +328,62 @@ def test_pallas_mc_and_pred_recon_bit_exact():
                              for p in fs[-1].planes)
         n += 1
     assert n >= 4
+
+
+def test_decode_ahead_worker_bit_exact():
+    """prefetch=2 (decode-ahead entropy worker) produces the same frame
+    sequence as the synchronous decoder -- mixed IDR/P stream with
+    intra-in-P, frames delayed by the pipeline depth but identical in
+    content and order after flush."""
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 96, 64
+    enc, pkts = _stream(w, h, 8)
+    d_pf = H264Decoder(enc.codec_parameters(), device=1, prefetch=2)
+    d_sync = H264Decoder(enc.codec_parameters(), device=1)
+    got, want = [], []
+    for pkt in pkts:
+        got.extend(d_pf.decode(pkt))
+        want.extend(d_sync.decode(pkt))
+    got.extend(d_pf.flush())
+    want.extend(d_sync.flush())
+    assert len(got) == len(want) == len(pkts)
+    for a, b in zip(got, want):
+        assert a.pts == b.pts
+        for pa, pb in zip(a.planes, b.planes):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_decode_ahead_worker_bframes():
+    """Decode-ahead with B frames (reorder queue downstream of the
+    worker) and in-band SPS/PPS stays bit-exact and ordered."""
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+
+    w, h = 96, 64
+    rng = np.random.default_rng(11)
+    gy, gx = np.mgrid[0:h * 2, 0:w * 2]
+    base = np.clip(128 + 60 * np.sin(gx / 23.0) * np.cos(gy / 17.0)
+                   + rng.normal(0, 2, (h * 2, w * 2)), 0,
+                   255).astype(np.uint8)
+    frames = []
+    for i in range(9):
+        y = base[i:h + i, i * 2:w + i * 2]
+        u = base[i // 2:h // 2 + i // 2, i:w // 2 + i]
+        v = base[i // 2 + 4:h // 2 + i // 2 + 4, i + 2:w // 2 + i + 2]
+        frames.append(VideoFrame(planes=(y.copy(), u.copy(), v.copy()),
+                                 format="yuv420p", width=w, height=h,
+                                 pts=i, time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=26, g=9, bf=1)
+    pkts = [p for f in frames for p in enc.encode(f)] + enc.flush()
+    d_pf = H264Decoder(enc.codec_parameters(), device=0, prefetch=3)
+    d_sync = H264Decoder(enc.codec_parameters(), device=0)
+    got, want = [], []
+    for pkt in pkts:
+        got.extend(d_pf.decode(pkt))
+        want.extend(d_sync.decode(pkt))
+    got.extend(d_pf.flush())
+    want.extend(d_sync.flush())
+    assert len(got) == len(want) == len(frames)
+    for a, b in zip(got, want):
+        for pa, pb in zip(a.planes, b.planes):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))

@@ -227,3 +227,33 @@ def test_demuxer_probe_and_split():
         except EndOfStream:
             break
     assert len(pkts) == 3
+
+
+def test_deblock_intra():
+    """In-loop deblocking on intra pictures (§8.7.2): bit-exact vs the
+    reference across quadtree shapes and residual densities."""
+    check(deblock=True, split_prob=0.4, nxn_prob=0.3, density=0.3,
+          seed=20)
+    check(deblock=True, split_prob=0.0, density=0.6, amp=20, seed=21)
+
+
+def test_deblock_intra_offsets():
+    """Nonzero slice beta/tc offsets change the filter thresholds."""
+    check(deblock=True, density=0.4, amp=12, seed=22, beta_offset=4,
+          tc_offset=2)
+    check(deblock=True, density=0.4, amp=12, seed=23, beta_offset=-2,
+          tc_offset=-2)
+
+
+def test_deblock_qp_sweep():
+    for qp in (18, 30, 42):
+        check(deblock=True, density=0.4, amp=10, qp=qp, seed=24 + qp)
+
+
+def test_deblock_p_frames():
+    """Deblocking across P pictures: MV-delta and cbf bS=1 edges, and
+    the post-deblock picture feeding the DPB."""
+    check(deblock=True, p_frames=True, n_frames=4, density=0.3,
+          seed=30)
+    check(deblock=True, p_frames=True, n_frames=3, density=0.0,
+          seed=31)
