@@ -180,11 +180,20 @@ class Ac3FrameDecoder:
     def __init__(self):
         self.st = BlockState()
         self._window = None
+        # persists across frames (decode_band_structure loads the
+        # default only at blk 0; later blocks may reuse stale values —
+        # reference-compatible)
+        self.cpl_band_struct = [0] * 18
 
     # ------------------------------------------------------------------
     def decode_frame(self, data: bytes):
         if len(data) < 7 or data[0] != 0x0B or data[1] != 0x77:
             raise InvalidData("ac3: bad sync word")
+        # bsid sits at bit 40 in BOTH syntaxes (the E-AC-3 header was
+        # laid out to keep it there; ac3_parser.c:298 reads ahead)
+        bsid_peek = (data[5] >> 3) & 0x1F
+        if 11 <= bsid_peek <= 16:
+            return self._decode_frame_eac3(data)
         br = BitReaderMSB(data)
         br.read(16)                              # sync
         br.read(16)                              # crc1
@@ -195,9 +204,21 @@ class Ac3FrameDecoder:
         self.sample_rate = SAMPLE_RATES[fscod]
         self.sr_code = fscod
         self.sr_shift = 0                        # bsid > 8 would shift
+        self.eac3 = False
+        self.num_blocks = 6
+        self.strmtyp = -1
+        # AC-3 syntax defaults (ac3dec.c:202-210)
+        self.snr_offset_strategy = 2
+        self.block_switch_syntax = 1
+        self.dither_flag_syntax = 1
+        self.bit_allocation_syntax = 1
+        self.fast_gain_syntax = 0
+        self.dba_syntax = 1
+        self.skip_syntax = 1
+        self.first_cpl_leak = False
         bsid = br.read(5)
         if bsid > 8:
-            raise Unsupported(f"ac3: bsid {bsid} (E-AC-3 not supported)")
+            raise Unsupported(f"ac3: bsid {bsid}")
         br.read(3)                               # bsmod
         acmod = br.read(3)
         self.acmod = acmod
@@ -239,8 +260,12 @@ class Ac3FrameDecoder:
 
         # persistent bit-alloc defaults
         self._init_frame_state()
-        out = np.zeros((self.channels, 1536), np.float64)
-        for blk in range(6):
+        return self._decode_blocks(br)
+
+    def _decode_blocks(self, br) -> np.ndarray:
+        nb = self.num_blocks
+        out = np.zeros((self.channels, 256 * nb), np.float64)
+        for blk in range(nb):
             pcm = self._decode_block(br, blk)
             out[:, blk * 256:(blk + 1) * 256] = pcm
         # reorder to the canonical channel layout
@@ -248,6 +273,192 @@ class Ac3FrameDecoder:
         if self.lfeon:
             order.insert(FRONTS[self.acmod], self.fbw)
         return out[order].astype(np.float32)
+
+    # ------------------------------------------------- E-AC-3 (annex E)
+    def _decode_frame_eac3(self, data: bytes) -> np.ndarray:
+        """Independent-stream E-AC-3 frame (ETSI TS 102 366 Annex E).
+        Behavioral reference: libavcodec/ac3_parser.c eac3_parse_header
+        + eac3dec.c ff_eac3_parse_header; AHT/SPX/enhanced-coupling
+        feature points are rejected (eac3dec.c:514 class)."""
+        br = BitReaderMSB(data)
+        br.read(16)                              # sync
+        self.eac3 = True
+        strmtyp = br.read(2)
+        self.strmtyp = strmtyp
+        if strmtyp == 3:
+            raise InvalidData("eac3: reserved frame type")
+        if strmtyp == 1:
+            raise Unsupported("eac3: dependent substreams")
+        substreamid = br.read(3)
+        if substreamid:
+            raise Unsupported("eac3: additional substreams")
+        frmsiz = br.read(11)
+        frame_size = (frmsiz + 1) * 2
+        fscod = br.read(2)
+        if fscod == 3:
+            raise Unsupported("eac3: reduced sample rates")
+        self.sr_code = fscod
+        self.sr_shift = 0
+        self.sample_rate = SAMPLE_RATES[fscod]
+        self.num_blocks = (1, 2, 3, 6)[br.read(2)]
+        acmod = br.read(3)
+        self.acmod = acmod
+        self.lfeon = br.read(1)
+        br.read(5)                               # bsid (16)
+        for _ in range(1 if acmod else 2):
+            br.read(5)                           # dialnorm
+            if br.read(1):
+                br.read(8)                       # compr
+        if br.read(1):                           # mixmdate
+            if acmod > 2:
+                br.read(2)                       # preferred downmix
+                if acmod & 1:
+                    br.read(6)                   # center mix (ltrt+loro)
+                if acmod & 4:
+                    br.read(6)                   # surround mix
+            if self.lfeon and br.read(1):
+                br.read(5)                       # lfe mix level
+            if strmtyp == 0:
+                for _ in range(1 if acmod else 2):
+                    if br.read(1):
+                        br.read(6)               # program scale
+                if br.read(1):
+                    br.read(6)                   # ext program scale
+                mde = br.read(2)
+                if mde == 1:
+                    br.read(5)
+                elif mde == 2:
+                    br.read(12)
+                elif mde == 3:
+                    for _ in range(br.read(5) + 2):
+                        br.read(8)
+                if acmod < 2:
+                    for _ in range(1 if acmod else 2):
+                        if br.read(1):
+                            br.read(14)          # pan info
+                if br.read(1):                   # frame mix config
+                    for _ in range(self.num_blocks):
+                        if self.num_blocks == 1 or br.read(1):
+                            br.read(5)
+        if br.read(1):                           # infomdate
+            br.read(5)                           # bsmod + copyright/orig
+            if acmod == 2:
+                br.read(4)                       # dsurmod + dheadphonmod
+            if acmod >= 6:
+                br.read(2)                       # dsurexmod
+            for _ in range(1 if acmod else 2):
+                if br.read(1):
+                    br.read(8)                   # mix level / room type
+            br.read(1)                           # source sample rate
+        if strmtyp == 0 and self.num_blocks != 6:
+            br.read(1)                           # convsync
+        if strmtyp == 2 and (self.num_blocks == 6 or br.read(1)):
+            br.read(6)                           # orig frame size code
+        if br.read(1):                           # addbsie
+            addbsil = br.read(6)
+            i = 0
+            while i < addbsil + 1:
+                if i == 0:
+                    br.read(7)
+                    if br.read(1):               # extension type A
+                        br.read(8)
+                        i += 1
+                else:
+                    br.read(8)
+                i += 1
+
+        self.fbw = CHANNELS_PER_MODE[acmod]
+        self.channels = self.fbw + self.lfeon
+        self.lfe_ch = self.fbw + 1 if self.lfeon else -1
+        self._init_frame_state()
+
+        # ---- audio frame header (ff_eac3_parse_header role) ----
+        nb = self.num_blocks
+        CPL = 0
+        if nb == 6:
+            expstre = br.read(1)
+            ahte = br.read(1)
+        else:
+            expstre, ahte = 1, 0
+        self.snr_offset_strategy = br.read(2)
+        transproce = br.read(1)
+        self.block_switch_syntax = br.read(1)
+        if not self.block_switch_syntax:
+            self.block_switch = [0] * (self.fbw + 1)
+        self.dither_flag_syntax = br.read(1)
+        if not self.dither_flag_syntax:
+            self.dither_flag = [1] * (self.fbw + 1)
+        self.bit_allocation_syntax = br.read(1)
+        if not self.bit_allocation_syntax:
+            self.ba.update(sd=T.SLOW_DECAY_TAB[2], fd=T.FAST_DECAY_TAB[1],
+                           sg=T.SLOW_GAIN_TAB[1], db=T.DB_PER_BIT_TAB[2],
+                           fl=T.FLOOR_TAB[7])
+        self.fast_gain_syntax = br.read(1)
+        self.dba_syntax = br.read(1)
+        self.skip_syntax = br.read(1)
+        spxattene = br.read(1)
+
+        # coupling use per block
+        self.cpl_strategy_exists = [0] * nb
+        self.cpl_in_use_blk = [0] * nb
+        num_cpl_blocks = 0
+        if acmod > 1:
+            for blk in range(nb):
+                self.cpl_strategy_exists[blk] = \
+                    1 if blk == 0 else br.read(1)
+                if self.cpl_strategy_exists[blk]:
+                    self.cpl_in_use_blk[blk] = br.read(1)
+                else:
+                    self.cpl_in_use_blk[blk] = self.cpl_in_use_blk[blk - 1]
+                num_cpl_blocks += self.cpl_in_use_blk[blk]
+
+        # exponent strategies (frame-level)
+        self.frame_exp_strategy = [dict() for _ in range(nb)]
+        if expstre:
+            for blk in range(nb):
+                first = CPL if self.cpl_in_use_blk[blk] else 1
+                for ch in range(first, self.fbw + 1):
+                    self.frame_exp_strategy[blk][ch] = br.read(2)
+        else:
+            first = CPL if (acmod > 1 and num_cpl_blocks) else 1
+            for ch in range(first, self.fbw + 1):
+                code = br.read(5)
+                for blk in range(6):
+                    self.frame_exp_strategy[blk][ch] = \
+                        T.EAC3_FRM_EXPSTR[code][blk]
+        if self.lfeon:
+            for blk in range(nb):
+                self.frame_exp_strategy[blk][self.lfe_ch] = br.read(1)
+        if strmtyp == 0 and (nb == 6 or br.read(1)):
+            br.read(5 * self.fbw)                # converter exp strategy
+        if ahte:
+            for ch in range((1 if num_cpl_blocks != 6 else 0),
+                            self.channels + 1):
+                use = all(self.frame_exp_strategy[blk].get(ch, 1) == 0
+                          and not (ch == CPL
+                                   and self.cpl_strategy_exists[blk])
+                          for blk in range(1, 6))
+                if use and br.read(1):
+                    raise Unsupported("eac3: AHT")
+        if not self.snr_offset_strategy:
+            csnr = (br.read(6) - 15) << 4
+            snr = (csnr + br.read(4)) << 2
+            for ch in range(0, self.channels + 1):
+                self.snr_offset[ch] = snr
+        if transproce:
+            for ch in range(1, self.fbw + 1):
+                if br.read(1):
+                    br.read(18)                  # transient proc data
+        for ch in range(1, self.fbw + 1):
+            if spxattene and br.read(1):
+                br.read(5)                       # spx atten code
+        if nb > 1 and br.read(1):
+            nbits = (nb - 1) * (4 + (frame_size - 2).bit_length() - 1)
+            for _ in range(nbits):
+                br.read(1)                       # block start info
+        self.first_cpl_coords = [1] * (self.fbw + 1)
+        self.first_cpl_leak = True
+        return self._decode_blocks(br)
 
     # ------------------------------------------------------------------
     def _init_frame_state(self):
@@ -269,19 +480,24 @@ class Ac3FrameDecoder:
         self.num_rematrixing_bands = 0
         self.dither_flag = [1] * (self.fbw + 1)
         self.block_switch = [0] * (self.fbw + 1)
+        self.first_cpl_coords = [1] * (self.fbw + 1)
+        self.cpl_strategy_exists = [0] * 6
+        self.cpl_in_use_blk = [0] * 6
         self.num_cpl_bands = 0
         self.cpl_band_sizes = []
-        self.cpl_band_struct = [0] * 18
 
     # ------------------------------------------------------------------
     def _decode_block(self, br: BitReaderMSB, blk: int) -> np.ndarray:
         st = self.st
         fbw = self.fbw
         CPL = 0
-        for ch in range(1, fbw + 1):             # blksw
-            self.block_switch[ch] = br.read(1)
-        for ch in range(1, fbw + 1):             # dithflag
-            self.dither_flag[ch] = br.read(1)
+        eac3 = self.eac3
+        if self.block_switch_syntax:
+            for ch in range(1, fbw + 1):         # blksw
+                self.block_switch[ch] = br.read(1)
+        if self.dither_flag_syntax:
+            for ch in range(1, fbw + 1):         # dithflag
+                self.dither_flag[ch] = br.read(1)
         for _ in range(2 if self.acmod == 0 else 1):    # dynrng
             if br.read(1):
                 v = br.read(8)
@@ -290,18 +506,31 @@ class Ac3FrameDecoder:
             elif blk == 0:
                 self.dynrng = 1.0
 
+        # spectral extension strategy (E-AC-3)
+        if eac3 and (blk == 0 or br.read(1)):
+            if br.read(1):
+                raise Unsupported("eac3: spectral extension")
+
         stages = {}                              # ch -> bit alloc stage
 
-        if br.read(1):                           # cplstre
+        cplstre = self.cpl_strategy_exists[blk] if eac3 else br.read(1)
+        if cplstre:
             for ch in range(1, fbw + 1):
                 stages[ch] = 3
             stages[CPL] = 3
-            self.cpl_in_use = bool(br.read(1))
+            self.cpl_in_use = bool(self.cpl_in_use_blk[blk]) if eac3 \
+                else bool(br.read(1))
             if self.cpl_in_use:
                 if self.acmod < 2:
                     raise InvalidData("ac3: coupling in mono")
-                for ch in range(1, fbw + 1):
-                    self.channel_in_cpl[ch] = br.read(1)
+                if eac3 and br.read(1):
+                    raise Unsupported("eac3: enhanced coupling")
+                if eac3 and self.acmod == 2:
+                    self.channel_in_cpl[1] = 1
+                    self.channel_in_cpl[2] = 1
+                else:
+                    for ch in range(1, fbw + 1):
+                        self.channel_in_cpl[ch] = br.read(1)
                 if self.acmod == 2:
                     self.phase_flags_in_use = br.read(1)
                 cpl_start = br.read(4)
@@ -310,10 +539,17 @@ class Ac3FrameDecoder:
                     raise InvalidData("ac3: bad coupling range")
                 st.start_freq[CPL] = cpl_start * 12 + 37
                 st.end_freq[CPL] = cpl_end * 12 + 37
-                # band structure
+                # band structure (decode_band_structure role): default
+                # loaded at blk 0, explicit bits overwrite unless the
+                # E-AC-3 "use default" flag is clear
+                if blk == 0:
+                    self.cpl_band_struct = \
+                        list(T.EAC3_DEFAULT_CPL_BAND_STRUCT)
                 n_sub = cpl_end - cpl_start
-                for sb in range(n_sub - 1):
-                    self.cpl_band_struct[cpl_start + 1 + sb] = br.read(1)
+                if not eac3 or br.read(1):
+                    for sb in range(n_sub - 1):
+                        self.cpl_band_struct[cpl_start + 1 + sb] = \
+                            br.read(1)
                 sizes = [12]
                 for sb in range(1, n_sub):
                     if self.cpl_band_struct[cpl_start + sb]:
@@ -325,15 +561,19 @@ class Ac3FrameDecoder:
             else:
                 for ch in range(1, fbw + 1):
                     self.channel_in_cpl[ch] = 0
+                    self.first_cpl_coords[ch] = 1
+                self.first_cpl_leak = eac3
                 self.phase_flags_in_use = 0
-        elif blk == 0:
+        elif blk == 0 and not eac3:
             raise InvalidData("ac3: coupling strategy missing in block 0")
 
         if self.cpl_in_use:                      # coupling coordinates
             coords_exist = False
             for ch in range(1, fbw + 1):
                 if self.channel_in_cpl[ch]:
-                    if br.read(1):
+                    if (eac3 and self.first_cpl_coords[ch]) \
+                            or br.read(1):
+                        self.first_cpl_coords[ch] = 0
                         coords_exist = True
                         master = 3 * br.read(2)
                         coords = []
@@ -348,6 +588,8 @@ class Ac3FrameDecoder:
                         self.cpl_coords[ch] = coords
                     elif blk == 0:
                         raise InvalidData("ac3: missing cpl coords")
+                else:
+                    self.first_cpl_coords[ch] = 1
             if self.acmod == 2 and coords_exist:
                 for bnd in range(self.num_cpl_bands):
                     self.phase_flags[bnd] = (br.read(1)
@@ -355,7 +597,7 @@ class Ac3FrameDecoder:
                                              else 0)
 
         if self.acmod == 2:                      # rematrixing
-            if br.read(1):
+            if (eac3 and blk == 0) or br.read(1):
                 nb = 4
                 if self.cpl_in_use and st.start_freq[CPL] <= 61:
                     nb -= 1 + (st.start_freq[CPL] == 37)
@@ -365,12 +607,15 @@ class Ac3FrameDecoder:
             elif blk == 0:
                 self.num_rematrixing_bands = 0
 
-        # exponent strategies
+        # exponent strategies (E-AC-3: read per-frame in the header)
         chans = ([CPL] if self.cpl_in_use else []) + \
             list(range(1, self.channels + 1))
         for ch in chans:
-            bits = 1 if ch == self.lfe_ch else 2
-            self.exp_strategy[ch] = br.read(bits)
+            if eac3:
+                self.exp_strategy[ch] = self.frame_exp_strategy[blk][ch]
+            else:
+                bits = 1 if ch == self.lfe_ch else 2
+                self.exp_strategy[ch] = br.read(bits)
             if self.exp_strategy[ch] != 0:       # != REUSE
                 stages[ch] = 3
 
@@ -415,33 +660,57 @@ class Ac3FrameDecoder:
                     br.read(2)                   # gainrng
 
         # bit allocation info
-        if br.read(1):
-            self.ba["sd"] = T.SLOW_DECAY_TAB[br.read(2)] >> self.sr_shift
-            self.ba["fd"] = T.FAST_DECAY_TAB[br.read(2)] >> self.sr_shift
-            self.ba["sg"] = T.SLOW_GAIN_TAB[br.read(2)]
-            self.ba["db"] = T.DB_PER_BIT_TAB[br.read(2)]
-            self.ba["fl"] = T.FLOOR_TAB[br.read(3)]
-            for ch in chans:
-                stages[ch] = max(stages.get(ch, 0), 2)
-        elif blk == 0:
-            raise InvalidData("ac3: missing bit alloc info in block 0")
+        if self.bit_allocation_syntax:
+            if br.read(1):
+                self.ba["sd"] = T.SLOW_DECAY_TAB[br.read(2)] \
+                    >> self.sr_shift
+                self.ba["fd"] = T.FAST_DECAY_TAB[br.read(2)] \
+                    >> self.sr_shift
+                self.ba["sg"] = T.SLOW_GAIN_TAB[br.read(2)]
+                self.ba["db"] = T.DB_PER_BIT_TAB[br.read(2)]
+                self.ba["fl"] = T.FLOOR_TAB[br.read(3)]
+                for ch in chans:
+                    stages[ch] = max(stages.get(ch, 0), 2)
+            elif blk == 0:
+                raise InvalidData("ac3: missing bit alloc info")
 
-        if br.read(1):                           # snroffste
-            csnr = (br.read(6) - 15) << 4
+        # SNR offsets (+ fast gains inline for plain AC-3)
+        if not eac3 or blk == 0:
+            if self.snr_offset_strategy and br.read(1):  # snroffste
+                csnr = (br.read(6) - 15) << 4
+                snr = 0
+                first = chans[0]
+                for ch in chans:
+                    if ch == first or self.snr_offset_strategy == 2:
+                        snr = (csnr + br.read(4)) << 2
+                    if blk and self.snr_offset.get(ch) != snr:
+                        stages[ch] = max(stages.get(ch, 0), 1)
+                    self.snr_offset[ch] = snr
+                    if not eac3:
+                        prev = self.fast_gain.get(ch)
+                        self.fast_gain[ch] = T.FAST_GAIN_TAB[br.read(3)]
+                        if blk and prev != self.fast_gain[ch]:
+                            stages[ch] = max(stages.get(ch, 0), 2)
+            elif not eac3 and blk == 0:
+                raise InvalidData("ac3: missing snr offsets in block 0")
+
+        # fast gain (E-AC-3 only)
+        if self.fast_gain_syntax and br.read(1):
             for ch in chans:
-                snr = (csnr + br.read(4)) << 2
-                if blk and self.snr_offset.get(ch) != snr:
-                    stages[ch] = max(stages.get(ch, 0), 1)
-                self.snr_offset[ch] = snr
                 prev = self.fast_gain.get(ch)
                 self.fast_gain[ch] = T.FAST_GAIN_TAB[br.read(3)]
                 if blk and prev != self.fast_gain[ch]:
                     stages[ch] = max(stages.get(ch, 0), 2)
-        elif blk == 0:
-            raise InvalidData("ac3: missing snr offsets in block 0")
+        elif eac3 and blk == 0:
+            for ch in chans:
+                self.fast_gain[ch] = T.FAST_GAIN_TAB[4]
+
+        # E-AC-3 to AC-3 converter SNR offset
+        if self.strmtyp == 0 and br.read(1):
+            br.read(10)
 
         if self.cpl_in_use:                      # coupling leak
-            if br.read(1):
+            if self.first_cpl_leak or br.read(1):
                 fl = br.read(3)
                 sl = br.read(3)
                 if blk and (fl != self.ba["cplfl"]
@@ -449,10 +718,11 @@ class Ac3FrameDecoder:
                     stages[CPL] = max(stages.get(CPL, 0), 2)
                 self.ba["cplfl"] = fl
                 self.ba["cplsl"] = sl
-            elif blk == 0:
+            elif not eac3 and blk == 0:
                 raise InvalidData("ac3: missing coupling leak info")
+            self.first_cpl_leak = False
 
-        if br.read(1):                           # deltbaie
+        if self.dba_syntax and br.read(1):       # deltbaie
             for ch in chans:
                 if ch == self.lfe_ch:
                     continue
@@ -483,7 +753,7 @@ class Ac3FrameDecoder:
             if stage > 0:
                 self._calc_bap(ch)
 
-        if br.read(1):                           # skiple
+        if self.skip_syntax and br.read(1):      # skiple
             skipl = br.read(9)
             for _ in range(skipl):
                 br.read(8)
@@ -685,32 +955,43 @@ class Ac3FrameDecoder:
 
 @register_decoder
 class Ac3Decoder(Decoder):
-    INFO = CodecInfo(name="ac3", long_name="ATSC A/52A (AC-3)",
+    INFO = CodecInfo(name="ac3", long_name="ATSC A/52 (AC-3 / E-AC-3)",
                      codec_type="audio")
+    ALIASES = ("eac3",)
 
     def __init__(self, params=None, **opts):
         self._dec = Ac3FrameDecoder()
         self._pts = 0
+        # container-declared encoder priming (mkv CodecDelay ->
+        # skip_samples side-data role)
+        self._skip = 0
+        if params is not None:
+            self._skip = int(params.extra.get("skip_samples", 0))
         super().__init__(params, **opts)
 
     def decode(self, pkt: Packet):
+        from librempeg_tpu.formats.ac3 import _frame_info
+
         data = bytes(pkt.data)
         frames = []
         pos = 0
         while pos + 8 <= len(data):
-            if data[pos] != 0x0B or data[pos + 1] != 0x77:
+            info = _frame_info(data, pos)
+            if info is None:
                 pos += 1
                 continue
-            frmsizecod = data[pos + 4] & 0x3F
-            fscod = data[pos + 4] >> 6
-            if fscod == 3 or frmsizecod > 37:
-                pos += 1
-                continue
-            size = T.FRAME_SIZE_TAB[frmsizecod][fscod] * 2
+            size, _, _, _, samples = info
             chunk = data[pos:pos + size]
             if len(chunk) < size:
                 break
             pcm = self._dec.decode_frame(chunk)
+            if self._skip:
+                drop = min(self._skip, pcm.shape[1])
+                self._skip -= drop
+                pcm = pcm[:, drop:]
+                if not pcm.shape[1]:
+                    pos += size
+                    continue
             f = AudioFrame(
                 data=pcm, sample_rate=self._dec.sample_rate,
                 sample_fmt="fltp",
@@ -718,7 +999,8 @@ class Ac3Decoder(Decoder):
                 pts=pkt.pts if pkt.pts != NOPTS and not frames
                 else self._pts,
                 time_base=Rational(1, self._dec.sample_rate))
-            self._pts = (f.pts if f.pts != NOPTS else self._pts) + 1536
+            self._pts = (f.pts if f.pts != NOPTS else self._pts) \
+                + pcm.shape[1]
             frames.append(f)
             pos += size
         return frames

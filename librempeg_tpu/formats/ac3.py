@@ -19,26 +19,42 @@ _RATES = (48000, 44100, 32000)
 
 
 def _frame_info(buf: bytes, pos: int):
-    """(size_bytes, sample_rate, channels) or None."""
+    """(size_bytes, sample_rate, channels, codec_id, samples) or None.
+    Handles AC-3 (bsid <= 8) and E-AC-3 (11..16); bsid sits at bit 40
+    in both syntaxes (libavformat/ac3dec.c probe role)."""
     if pos + 7 > len(buf) or buf[pos] != 0x0B or buf[pos + 1] != 0x77:
         return None
-    fscod = buf[pos + 4] >> 6
-    frmsizecod = buf[pos + 4] & 0x3F
-    if fscod == 3 or frmsizecod > 37:
-        return None
     bsid = buf[pos + 5] >> 3
-    if bsid > 8:
-        return None
-    acmod = buf[pos + 6] >> 5
-    nch = (2, 1, 2, 3, 3, 4, 4, 5)[acmod]
-    return (T.FRAME_SIZE_TAB[frmsizecod][fscod] * 2, _RATES[fscod], nch)
+    nchtab = (2, 1, 2, 3, 3, 4, 4, 5)
+    if bsid <= 8:
+        fscod = buf[pos + 4] >> 6
+        frmsizecod = buf[pos + 4] & 0x3F
+        if fscod == 3 or frmsizecod > 37:
+            return None
+        acmod = buf[pos + 6] >> 5
+        return (T.FRAME_SIZE_TAB[frmsizecod][fscod] * 2, _RATES[fscod],
+                nchtab[acmod], "ac3", 1536)
+    if 11 <= bsid <= 16:
+        strmtyp = buf[pos + 2] >> 6
+        if strmtyp == 3:
+            return None
+        frmsiz = ((buf[pos + 2] & 0x07) << 8) | buf[pos + 3]
+        fscod = buf[pos + 4] >> 6
+        if fscod == 3:
+            return None
+        nblocks = (1, 2, 3, 6)[(buf[pos + 4] >> 4) & 3]
+        acmod = (buf[pos + 4] >> 1) & 7
+        lfeon = buf[pos + 4] & 1
+        return ((frmsiz + 1) * 2, _RATES[fscod], nchtab[acmod] + lfeon,
+                "eac3", 256 * nblocks)
+    return None
 
 
 @register_demuxer
 class Ac3Demuxer(Demuxer):
     NAME = "ac3"
-    LONG_NAME = "raw AC-3"
-    EXTENSIONS = ("ac3",)
+    LONG_NAME = "raw AC-3 / E-AC-3"
+    EXTENSIONS = ("ac3", "eac3", "ec3")
     _CHUNK = 1 << 16
 
     @classmethod
@@ -64,10 +80,11 @@ class Ac3Demuxer(Demuxer):
         self._idx = 0
         if not self._sync(7):
             raise InvalidData("ac3: no sync")
-        _, rate, nch = _frame_info(self._buf, 0)
-        par = CodecParameters(codec_type="audio", codec_id="ac3",
+        _, rate, nch, codec_id, samples = _frame_info(self._buf, 0)
+        self._samples = samples
+        par = CodecParameters(codec_type="audio", codec_id=codec_id,
                               sample_rate=rate, nb_channels=nch,
-                              frame_size=1536)
+                              frame_size=samples)
         self.streams = [Stream(index=0, codecpar=par,
                                time_base=Rational(1, rate))]
 
@@ -99,9 +116,10 @@ class Ac3Demuxer(Demuxer):
             raise EndOfStream
         data, self._buf = self._buf[:size], self._buf[size:]
         self._consumed += size
-        pts = self._idx * 1536
+        samples = self._samples
+        pts = self._idx * samples
         self._idx += 1
-        return Packet(data=data, pts=pts, dts=pts, duration=1536,
+        return Packet(data=data, pts=pts, dts=pts, duration=samples,
                       flags=PktFlags.KEY,
                       time_base=self.streams[0].time_base)
 

@@ -171,9 +171,12 @@ class MatroskaDemuxer(Demuxer):
             w = h = 0
             rate = 0
             channels = 0
+            codec_delay_ns = 0
             for eid2, s2, e2 in _iter_elements(data, ts, te):
                 if eid2 == _TRACK_NUMBER:
                     num = _uint(data[s2:e2])
+                elif eid2 == 0x56AA:            # CodecDelay (ns)
+                    codec_delay_ns = _uint(data[s2:e2])
                 elif eid2 == _TRACK_TYPE:
                     ttype = _uint(data[s2:e2])
                 elif eid2 == _CODEC_ID:
@@ -225,6 +228,11 @@ class MatroskaDemuxer(Demuxer):
                                       sample_rate=rate or 48000,
                                       nb_channels=channels or 2,
                                       extradata=bytes(private))
+                if codec_delay_ns:
+                    # encoder priming samples to drop at decode start
+                    # (mkv CodecDelay; skip_samples side-data role)
+                    par.extra["skip_samples"] = round(
+                        codec_delay_ns * (rate or 48000) / 1_000_000_000)
             elif ttype == 0x11:
                 par = CodecParameters(codec_type="subtitle",
                                       codec_id=cid,
