@@ -32,6 +32,7 @@ _MODULES = (
     "librempeg_tpu.codecs.h264.codec",
     "librempeg_tpu.codecs.hevc.decoder",
     "librempeg_tpu.codecs.mpeg12.decoder",
+    "librempeg_tpu.codecs.mpeg12.encoder",
     "librempeg_tpu.codecs.subtitles",
     "librempeg_tpu.codecs.flac.codec",
 )

@@ -70,6 +70,13 @@ class MJpegESMuxer(_RawESMuxer):
     EXTENSIONS = ("mjpeg", "mjpg")
 
 
+@register_muxer
+class MpegVideoMuxer(_RawESMuxer):
+    NAME = "mpegvideo"
+    LONG_NAME = "raw MPEG-1/2 video"
+    EXTENSIONS = ("m1v", "m2v", "mpgv")
+
+
 class _RawESDemuxer(Demuxer):
     """Whole-stream read + startcode split into one packet per frame."""
 
