@@ -38,7 +38,8 @@ class CliError(SystemExit):
 def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
     spec_kw: dict = {"input_url": None, "output_url": None}
     in_opts: dict = {}
-    glob: dict = {"overwrite": False, "benchmark": False, "threads": 0}
+    glob: dict = {"overwrite": False, "benchmark": False, "threads": 0,
+                  "progress": "", "stats_period": 0.5}
     video = StreamMap()
     audio = StreamMap()
     pre_input = True
@@ -73,6 +74,10 @@ def parse_args(argv: list[str]) -> tuple[TranscodeSpec, dict]:
             set_level(val())
         elif a == "-benchmark":
             glob["benchmark"] = True
+        elif a == "-progress":
+            glob["progress"] = val()
+        elif a == "-stats_period":
+            glob["stats_period"] = float(val())
         elif a == "-threads":
             glob["threads"] = int(val())
         elif a in ("-s", "-video_size", "-s:v"):
@@ -230,7 +235,34 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     t0 = time.perf_counter()
     tc = Transcoder(spec)
-    stats = tc.run()
+    prog_cb = None
+    prog_io = None
+    if glob["progress"]:
+        # machine-readable key=value feed (ffmpeg.c:344 -progress):
+        # one block per report, terminated by progress=continue/end
+        url = glob["progress"]
+        if url in ("-", "pipe:", "pipe:1"):
+            prog_io = sys.stdout
+        else:
+            prog_io = open(url, "w")
+
+        def prog_cb(st):
+            h = int(st["out_time_s"] // 3600)
+            m = int(st["out_time_s"] // 60) % 60
+            s = st["out_time_s"] % 60
+            prog_io.write(
+                f"frame={st['frame']}\n"
+                f"fps={st['fps']:.2f}\n"
+                f"out_time_us={int(st['out_time_s'] * 1e6)}\n"
+                f"out_time={h:02d}:{m:02d}:{s:09.6f}\n"
+                f"speed={st['speed']:.3g}x\n"
+                f"progress={'end' if st['done'] else 'continue'}\n")
+            prog_io.flush()
+
+    stats = tc.run(progress=prog_cb,
+                   progress_interval=glob["stats_period"])
+    if prog_io is not None and prog_io is not sys.stdout:
+        prog_io.close()
     dt = time.perf_counter() - t0
     frames = sum(stats["frames"].values())
     print(f"frames={frames} packets={stats['packets']} "

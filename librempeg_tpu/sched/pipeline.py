@@ -432,7 +432,12 @@ class Transcoder:
         if not self.chains:
             raise InvalidData("no streams selected for transcoding")
 
-    def run(self) -> dict:
+    def run(self, progress=None, progress_interval: float = 0.5) -> dict:
+        """progress: optional callback(stats_dict) fired at most every
+        progress_interval seconds from the packet loop and once at EOF
+        (the -progress key=value feed's data source, ffmpeg.c:344)."""
+        import time as _time
+
         spec = self.spec
         if spec.seek:
             # container-level seek on the first seekable stream (video
@@ -464,7 +469,13 @@ class Transcoder:
             for chain in self.chains.values():
                 chain.discard_until = start + spec.seek
         n_packets = 0
+        t0 = _time.perf_counter()
+        next_prog = t0 + progress_interval
         for pkt in self.demux.packets():
+            if progress is not None and \
+                    _time.perf_counter() >= next_prog:
+                next_prog = _time.perf_counter() + progress_interval
+                progress(self._progress_stats(n_packets, t0, False))
             chain = self.chains.get(pkt.stream_index)
             if chain is None:
                 continue
@@ -485,7 +496,42 @@ class Transcoder:
             chain.finish(self.mux)
         self.mux.close()
         self.demux.close()
+        if progress is not None:
+            progress(self._progress_stats(n_packets, t0, True))
         return {
             "packets": n_packets,
             "frames": {i: c.frames_done for i, c in self.chains.items()},
+        }
+
+    def _progress_stats(self, n_packets: int, t0: float,
+                        done: bool) -> dict:
+        """Snapshot for the -progress feed (print_report fields)."""
+        import time as _time
+
+        dt = max(_time.perf_counter() - t0, 1e-6)
+        vframes = 0
+        out_time = 0.0
+        for c in self.chains.values():
+            if getattr(c, "media", "") == "video" and not c.copy:
+                vframes = c.frames_done
+                fr = c.graph.output_props.frame_rate \
+                    if c.graph is not None else None
+                fps = (fr.num / fr.den) if fr and fr.num else 25.0
+                out_time = c.frames_done / fps
+                break
+        else:
+            for c in self.chains.values():
+                if getattr(c, "media", "") == "audio" and not c.copy:
+                    enc = c.encoder
+                    rate = getattr(enc, "sample_rate", 0) or 48000
+                    fsz = getattr(enc, "frame_size", 0) or 1024
+                    out_time = c.frames_done * fsz / rate
+                    break
+        return {
+            "frame": vframes,
+            "fps": vframes / dt,
+            "packets": n_packets,
+            "out_time_s": out_time,
+            "speed": out_time / dt,
+            "done": done,
         }

@@ -297,3 +297,26 @@ def test_ss_decode_and_discard(tmp_path):
     first_pkt = next(dm_out.packets())
     y00 = bytes(first_pkt.data)[0]          # rawvideo yuv420p luma [0,0]
     assert abs(int(y00) - (20 + 8 * 10)) <= 6
+
+
+def test_progress_feed(tmp_path):
+    """-progress URL emits ffmpeg-compatible key=value blocks ending
+    with progress=end (fftools/ffmpeg.c:344 machine feed)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "o.avi"
+    feed = tmp_path / "progress.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "librempeg_tpu.cli.ffmpeg", "-y",
+         "-f", "lavfi", "-i", "testsrc=size=64x48:duration=0.4",
+         "-progress", str(feed), "-stats_period", "0.1",
+         "-c:v", "mpeg4", str(out)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-400:]
+    txt = feed.read_text()
+    assert "progress=end" in txt
+    lines = dict(ln.split("=", 1) for ln in txt.splitlines()
+                 if "=" in ln)
+    assert int(lines["frame"]) == 10
+    assert "out_time" in lines and "speed" in lines
