@@ -985,6 +985,7 @@ class Ac3Decoder(Decoder):
             if len(chunk) < size:
                 break
             pcm = self._dec.decode_frame(chunk)
+            drop = 0
             if self._skip:
                 drop = min(self._skip, pcm.shape[1])
                 self._skip -= drop
@@ -992,12 +993,20 @@ class Ac3Decoder(Decoder):
                 if not pcm.shape[1]:
                     pos += size
                     continue
+            pts = pkt.pts if pkt.pts != NOPTS and not frames \
+                else self._pts
+            # trimmed priming samples shift presentation forward: the
+            # first decodable sample of this frame is `drop` samples
+            # after the packet's nominal timestamp (the reference
+            # subtracts the CodecDelay from track timestamps instead;
+            # same presentation either way)
+            if drop and pts != NOPTS:
+                pts += drop
             f = AudioFrame(
                 data=pcm, sample_rate=self._dec.sample_rate,
                 sample_fmt="fltp",
                 layout=ChannelLayout.default(pcm.shape[0]),
-                pts=pkt.pts if pkt.pts != NOPTS and not frames
-                else self._pts,
+                pts=pts,
                 time_base=Rational(1, self._dec.sample_rate))
             self._pts = (f.pts if f.pts != NOPTS else self._pts) \
                 + pcm.shape[1]

@@ -269,6 +269,13 @@ class _DecodeAhead:
         self.inflight += 1
         self._in.put(pkt)
 
+    def close(self) -> None:
+        """Stop the worker (it exits on the None sentinel) and join, so
+        long-running multi-transcode processes don't accumulate daemon
+        threads (one per decoder instance)."""
+        self._in.put(None)
+        self._t.join(timeout=5.0)
+
     def next_result(self):
         self.inflight -= 1
         pkt, items, err = self._out.get()
@@ -510,8 +517,17 @@ class H264Decoder(Decoder):
         if self._da is not None:
             while self._da.inflight > 0:
                 frames.extend(self._consume(*self._da.next_result()))
+            self._da.close()           # flush is terminal: reap worker
+            self._da = None
+            self._da_resolved = False  # a reused decoder restarts it
         frames.extend(self._drain_reorder())
         return frames
+
+    def close(self) -> None:
+        if self._da is not None:
+            self._da.close()
+            self._da = None
+            self._da_resolved = False
 
     def _drain_reorder(self):
         out = [f for _, f in sorted(self._reorder, key=lambda t: t[0])]

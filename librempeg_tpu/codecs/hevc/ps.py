@@ -433,7 +433,7 @@ def write_slice_header(sps: HevcSPS, pps: HevcPPS, qp: int, *,
     # §7.3.6.1: slice_loop_filter_across_slices_enabled_flag is present
     # when the PPS across-slices flag is set AND any in-loop filter is
     # active for the slice (deblocking enabled here; SAO when added)
-    if not pps.deblocking_disabled:
+    if pps.loop_filter_across_slices and not pps.deblocking_disabled:
         bw.write(1, 1)              # slice_loop_filter_across_slices
     bw.write(1, 1)                  # alignment bit (byte_alignment())
     bw.align()

@@ -182,9 +182,13 @@ class Mpeg1Encoder(Encoder):
         bw.w(temporal_ref & 0x3FF, 10)
         bw.w(ptype, 3)                   # 1 = I, 2 = P
         bw.w(0xFFFF, 16)                 # vbv_delay
-        if not self.MPEG2 and ptype == 2:
+        if ptype == 2:
+            # H.262 §6.3.9 keeps full_pel_forward_vector + forward_f_code
+            # in the picture header even for MPEG-2 (where they must be
+            # 0 / '111'; the real codes live in the coding extension).
+            # The reference encoder writes them too (mpeg12enc.c).
             bw.w(0, 1)                   # full_pel_forward
-            bw.w(self._fc, 3)
+            bw.w(7 if self.MPEG2 else self._fc, 3)
         data = bw.bytes()
         if self.MPEG2:
             bw = BitW()

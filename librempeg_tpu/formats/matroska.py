@@ -233,6 +233,11 @@ class MatroskaDemuxer(Demuxer):
                     # (mkv CodecDelay; skip_samples side-data role)
                     par.extra["skip_samples"] = round(
                         codec_delay_ns * (rate or 48000) / 1_000_000_000)
+                    # block timestamps include the delay: shift them
+                    # back like the reference (matroskadec.c subtracts
+                    # codec_delay_in_track_tb from block timecodes)
+                    par.extra["codec_delay_ticks"] = round(
+                        codec_delay_ns / self.timescale)
             elif ttype == 0x11:
                 par = CodecParameters(codec_type="subtitle",
                                       codec_id=cid,
@@ -351,6 +356,9 @@ class MatroskaDemuxer(Demuxer):
             payload = lp_to_annexb(
                 payload, st.codecpar.extra.get("nal_length_size", 4),
                 force=True)
+        delay = st.codecpar.extra.get("codec_delay_ticks", 0)
+        if delay:
+            ts -= delay
         return Packet(data=payload, pts=ts, dts=ts, duration=dur,
                       stream_index=sidx,
                       flags=PktFlags.KEY if key else 0,
