@@ -115,6 +115,25 @@ class Chooser:
     def cbf(self, cidx):
         return int(self.rng.random() < 0.7)
 
+    # ---- SAO choices (per CTB / component) ----
+    def sao_merge(self):
+        return int(self.rng.random() < 0.3)
+
+    def sao_type(self):
+        return int(self.rng.integers(0, 3))    # 0 off, 1 band, 2 edge
+
+    def sao_offset_abs(self):
+        return int(self.rng.integers(0, 8))
+
+    def sao_offset_sign(self):
+        return int(self.rng.integers(0, 2))
+
+    def sao_band_pos(self):
+        return int(self.rng.integers(0, 32))
+
+    def sao_eo_class(self):
+        return int(self.rng.integers(0, 4))
+
     def levels(self, n):
         lv = np.zeros(n, np.int32)
         m = self.rng.random(n) < self.density
@@ -126,7 +145,8 @@ class Chooser:
 class CtuCoder:
     def __init__(self, sps, pps, qp, *, dec=None, enc=None,
                  chooser=None, on_tu=None, on_cu=None, on_pu=None,
-                 slice_type=2, max_merge=5):
+                 slice_type=2, max_merge=5, sao_luma=False,
+                 sao_chroma=False):
         self.sps = sps
         self.pps = pps
         self.qp = qp
@@ -138,6 +158,15 @@ class CtuCoder:
         self.on_pu = on_pu      # (x0, y0, w, h, part_mode, part_idx, pu)
         self.slice_type = slice_type
         self.max_merge = max_merge
+        self.sao_luma = sao_luma
+        self.sao_chroma = sao_chroma
+        # per-CTB SAO params [hctb, wctb, 3, 6]: per component
+        # (type 0/1/2, off1..off4 signed, band_pos-or-eo_class)
+        self.saog = np.zeros((sps.pic_h_ctb, sps.pic_w_ctb, 3, 6),
+                             np.int32)
+        # slice id per CTB (multi-slice: SAO merge + CABAC restart)
+        self.slice_of_ctb = np.zeros(
+            sps.pic_h_ctb * sps.pic_w_ctb, np.int32)
         w, h = sps.width, sps.height
         self.min_cb = 1 << sps.log2_min_cb
         # per-4x4 grids for context/mode derivation
@@ -177,14 +206,100 @@ class CtuCoder:
 
     # ----------------------------------------------------------- picture
     def code_picture(self):
+        n_ctb = self.sps.pic_w_ctb * self.sps.pic_h_ctb
+        self.code_slice(0, n_ctb)
+
+    def code_slice(self, start_ctb: int, end_ctb: int,
+                   slice_id: int = 0):
+        """Code the CTBs [start_ctb, end_ctb) of one slice segment.
+        The caller owns the CABAC engine (fresh per slice segment,
+        §9.3.1); picture-wide grids persist across slices."""
         sps = self.sps
         ctb = 1 << self.ctb_log2
-        n_ctb = sps.pic_w_ctb * sps.pic_h_ctb
-        for i in range(n_ctb):
-            x0 = (i % sps.pic_w_ctb) * ctb
-            y0 = (i // sps.pic_w_ctb) * ctb
-            self.coding_quadtree(x0, y0, self.ctb_log2, 0)
-            self._terminate(0 if i < n_ctb - 1 else 1)
+        self._slice_start = start_ctb
+        for i in range(start_ctb, end_ctb):
+            self.slice_of_ctb[i] = slice_id
+            rx = i % sps.pic_w_ctb
+            ry = i // sps.pic_w_ctb
+            if self.sao_luma or self.sao_chroma:
+                self._sao(i, rx, ry)
+            self.coding_quadtree(rx * ctb, ry * ctb, self.ctb_log2, 0)
+            self._terminate(0 if i < end_ctb - 1 else 1)
+
+    # --------------------------------------------------------------- sao
+    def _sao_offset_abs(self, want=None):
+        """sao_offset_abs: TR cMax 7, bypass bins (§9.3.3.1)."""
+        if self.dec is not None:
+            v = 0
+            while v < 7 and self._bypass():
+                v += 1
+            return v
+        v = int(want)
+        for _ in range(v):
+            self._bypass(1)
+        if v < 7:
+            self._bypass(0)
+        return v
+
+    def _sao(self, addr, rx, ry):
+        """Per-CTB sao() syntax (§7.3.8.3; hevcdec.c hls_sao_param)."""
+        g = self.saog
+        merged = False
+        if rx > 0 and addr - 1 >= self._slice_start:
+            want = self.ch.sao_merge() if self.ch else None
+            if self._bin("SAO_MERGE_FLAG", 0, want):
+                g[ry, rx] = g[ry, rx - 1]
+                merged = True
+        if not merged and ry > 0 \
+                and addr - self.sps.pic_w_ctb >= self._slice_start:
+            want = self.ch.sao_merge() if self.ch else None
+            if self._bin("SAO_MERGE_FLAG", 0, want):
+                g[ry, rx] = g[ry - 1, rx]
+                merged = True
+        if merged:
+            return
+        for cidx in range(3):
+            if (cidx == 0 and not self.sao_luma) or \
+                    (cidx > 0 and not self.sao_chroma):
+                g[ry, rx, cidx] = 0
+                continue
+            if cidx == 2:
+                typ = int(g[ry, rx, 1, 0])   # copied from Cb
+            else:
+                want = self.ch.sao_type() if self.ch else None
+                first = self._bin(
+                    "SAO_TYPE_IDX", 0,
+                    None if want is None else int(want != 0))
+                if first:
+                    b = self._bypass(
+                        None if want is None else int(want == 2))
+                    typ = 2 if b else 1
+                else:
+                    typ = 0
+            g[ry, rx, cidx, 0] = typ
+            if typ == 0:
+                continue
+            offs = [self._sao_offset_abs(
+                self.ch.sao_offset_abs() if self.ch else None)
+                for _ in range(4)]
+            if typ == 1:                     # band
+                for i in range(4):
+                    if offs[i]:
+                        want = self.ch.sao_offset_sign() \
+                            if self.ch else None
+                        if self._bypass(want):
+                            offs[i] = -offs[i]
+                want = self.ch.sao_band_pos() if self.ch else None
+                pos = self._bypass_bits(5, want)
+            else:                            # edge: signs are implied
+                offs = [offs[0], offs[1], -offs[2], -offs[3]]
+                if cidx == 2:
+                    pos = int(g[ry, rx, 1, 5])   # eo class from Cb
+                else:
+                    want = self.ch.sao_eo_class() if self.ch else None
+                    pos = self._bypass_bits(2, want)
+            g[ry, rx, cidx, 1:5] = offs
+            g[ry, rx, cidx, 5] = pos
 
     # -------------------------------------------------------------- tree
     def coding_quadtree(self, x0, y0, log2, depth):

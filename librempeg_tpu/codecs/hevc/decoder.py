@@ -253,7 +253,8 @@ class HevcDecoder(Decoder):
         coder = CtuCoder(self.sps, self.pps, sh.qp, dec=dec,
                          on_tu=pic.on_tu, on_cu=pic.on_cu,
                          on_pu=pic.on_pu, slice_type=sh.slice_type,
-                         max_merge=sh.max_merge)
+                         max_merge=sh.max_merge, sao_luma=sh.sao_luma,
+                         sao_chroma=sh.sao_chroma)
         coder.code_picture()
         if dec.error:
             raise InvalidData("hevc: slice overread")
@@ -261,6 +262,11 @@ class HevcDecoder(Decoder):
             from librempeg_tpu.codecs.hevc.deblock import deblock_picture
 
             deblock_picture(pic, self.sps, self.pps, sh)
+        if sh.sao_luma or sh.sao_chroma:
+            from librempeg_tpu.codecs.hevc.sao import sao_filter_picture
+
+            pic.sao = coder.saog
+            sao_filter_picture(pic, self.sps, sh)
         self._ref = (pic.y, pic.u, pic.v)
         tb = pkt.time_base if pkt.time_base.valid and pkt.time_base.num \
             else Rational(1, 25)
@@ -286,7 +292,8 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
                     split_prob: float = 0.35, nxn_prob: float = 0.3,
                     p_frames: bool = False, max_merge: int = 5,
                     deblock: bool = False, beta_offset: int = 0,
-                    tc_offset: int = 0) -> bytes:
+                    tc_offset: int = 0, sao: bool = False,
+                    sao_chroma: bool | None = None) -> bytes:
     """Randomized-but-valid HEVC stream (annex B): an IDR picture,
     followed by TRAIL_R P pictures when p_frames is set.
 
@@ -298,9 +305,10 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
     ch = (height + 7) & ~7
     sps = PS.HevcSPS(width=cw, height=ch, crop_r=cw - width,
                      crop_b=ch - height, log2_ctb=ctb_log2,
-                     log2_max_tb=min(5, ctb_log2))
+                     log2_max_tb=min(5, ctb_log2), sao_enabled=sao)
     pps = PS.HevcPPS(init_qp=qp, deblocking_disabled=not deblock,
                      beta_offset=beta_offset, tc_offset=tc_offset)
+    sao_c = sao if sao_chroma is None else sao_chroma
     out = bytearray()
     out += PS.write_vps()
     out += PS.write_sps(sps)
@@ -311,12 +319,13 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
         hdr = PS.write_slice_header(
             sps, pps, qp, slice_type=stype,
             poc_lsb=i % (1 << sps.log2_max_poc_lsb),
-            max_merge=max_merge)
+            max_merge=max_merge, sao_luma=sao, sao_chroma=sao_c)
         enc = CabacEncoder(1 if is_p else 0, qp)
         ch = Chooser(seed=seed + 1000 * i, qp=qp, density=density,
                      amp=amp, split_prob=split_prob, nxn_prob=nxn_prob)
         coder = CtuCoder(sps, pps, qp, enc=enc, chooser=ch,
-                         slice_type=stype, max_merge=max_merge)
+                         slice_type=stype, max_merge=max_merge,
+                         sao_luma=sao, sao_chroma=sao_c)
         coder.code_picture()
         rbsp = hdr.bytes() + enc.bytes()
         out += PS.rbsp_to_nal(rbsp, 1 if is_p else PS.NAL_IDR_W_RADL)

@@ -261,8 +261,6 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
         raise Unsupported("hevc: scaling lists")
     s.amp_enabled = bool(g.u(1))
     s.sao_enabled = bool(g.u(1))
-    if s.sao_enabled:
-        raise Unsupported("hevc: SAO")
     if g.u(1):
         raise Unsupported("hevc: PCM")
     if g.ue():
@@ -391,49 +389,71 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
 
 @dataclass
 class HevcSliceHeader:
-    slice_type: int = 2             # 2 = I, 1 = P
+    slice_type: int = 2             # 2 = I, 1 = P, 0 = B
     qp: int = 26
     data_bit_pos: int = 0
     first_slice: bool = True
+    segment_address: int = 0        # CTB raster address of this slice
     poc_lsb: int = 0
-    poc_delta: int = 1              # st RPS: single negative ref
+    poc_delta: int = 1              # st RPS: negative (past) ref delta
+    poc_delta_pos: int = 0          # st RPS: positive (future) delta
     max_merge: int = 5
+    sao_luma: bool = False
+    sao_chroma: bool = False
 
     @property
     def init_type(self) -> int:
-        """CABAC initType (§9.3.2.2): I -> 0, P (cabac_init 0) -> 1."""
-        return 0 if self.slice_type == 2 else 1
+        """CABAC initType (§9.3.2.2): I -> 0, P -> 1, B -> 2
+        (cabac_init_flag 0)."""
+        return {2: 0, 1: 1, 0: 2}[self.slice_type]
 
 
 def write_slice_header(sps: HevcSPS, pps: HevcPPS, qp: int, *,
                        slice_type: int = 2, poc_lsb: int = 0,
-                       poc_delta: int = 1,
-                       max_merge: int = 5) -> BitWriterMSB:
-    """Slice segment header bits for a one-slice picture (IDR I, or a
-    TRAIL_R P slice with a one-picture short-term RPS); CABAC data is
-    appended byte-aligned after these bits."""
+                       poc_delta: int = 1, poc_delta_pos: int = 0,
+                       max_merge: int = 5, sao_luma: bool = False,
+                       sao_chroma: bool = False, first_slice: bool = True,
+                       segment_address: int = 0) -> BitWriterMSB:
+    """Slice segment header bits (IDR I, or a TRAIL_R P/B slice with a
+    one-past(+one-future for B) short-term RPS); CABAC data is appended
+    byte-aligned after these bits."""
     bw = BitWriterMSB()
-    bw.write(1, 1)                  # first_slice_segment_in_pic
+    bw.write(1 if first_slice else 0, 1)   # first_slice_segment_in_pic
     if slice_type == 2:
         bw.write(0, 1)              # no_output_of_prior_pics (IRAP)
     _write_ue(bw, 0)                # pps id
+    if not first_slice:
+        n_ctb = sps.pic_w_ctb * sps.pic_h_ctb
+        bits = max(1, (n_ctb - 1).bit_length())
+        bw.write(segment_address, bits)
     _write_ue(bw, slice_type)
     if slice_type != 2:
         bw.write(poc_lsb, sps.log2_max_poc_lsb)
         bw.write(0, 1)              # short_term_ref_pic_set_sps_flag
-        # st_ref_pic_set(0): one negative (past) reference
+        # st_ref_pic_set(0): one negative (past) reference, plus one
+        # positive (future) reference for B slices
         _write_ue(bw, 1)            # num_negative_pics
-        _write_ue(bw, 0)            # num_positive_pics
+        _write_ue(bw, 1 if slice_type == 0 else 0)  # num_positive_pics
         _write_ue(bw, poc_delta - 1)
         bw.write(1, 1)              # used_by_curr_pic_s0
+        if slice_type == 0:
+            _write_ue(bw, poc_delta_pos - 1)
+            bw.write(1, 1)          # used_by_curr_pic_s1
+    if sps.sao_enabled:
+        bw.write(1 if sao_luma else 0, 1)
+        bw.write(1 if sao_chroma else 0, 1)
+    if slice_type != 2:
         bw.write(0, 1)              # num_ref_idx_active_override
+        if slice_type == 0:
+            bw.write(0, 1)          # mvd_l1_zero_flag
         _write_ue(bw, 5 - max_merge)
     _write_se(bw, qp - pps.init_qp)
     # deblocking control present + override disabled: no override flag.
     # §7.3.6.1: slice_loop_filter_across_slices_enabled_flag is present
     # when the PPS across-slices flag is set AND any in-loop filter is
-    # active for the slice (deblocking enabled here; SAO when added)
-    if pps.loop_filter_across_slices and not pps.deblocking_disabled:
+    # active for the slice (deblocking or SAO)
+    if pps.loop_filter_across_slices and (
+            sao_luma or sao_chroma or not pps.deblocking_disabled):
         bw.write(1, 1)              # slice_loop_filter_across_slices
     bw.write(1, 1)                  # alignment bit (byte_alignment())
     bw.align()
@@ -445,16 +465,18 @@ def parse_slice_header(rbsp: bytes, sps: HevcSPS, pps: HevcPPS,
     g = ExpGolombReader(rbsp)
     sh = HevcSliceHeader()
     sh.first_slice = bool(g.u(1))
-    if not sh.first_slice:
-        raise Unsupported("hevc: multiple slice segments")
     if 16 <= nal_type <= 23:        # IRAP
         g.u(1)                      # no_output_of_prior_pics
     if g.ue() != 0:
         raise InvalidData("hevc: bad pps id")
+    if not sh.first_slice:
+        n_ctb = sps.pic_w_ctb * sps.pic_h_ctb
+        bits = max(1, (n_ctb - 1).bit_length())
+        sh.segment_address = g.u(bits)
+        if not 0 < sh.segment_address < n_ctb:
+            raise InvalidData("hevc: bad slice segment address")
     sh.slice_type = g.ue()
-    if sh.slice_type == 0:
-        raise Unsupported("hevc: B slices")
-    if sh.slice_type not in (1, 2):
+    if sh.slice_type not in (0, 1, 2):
         raise InvalidData("hevc: bad slice type")
     if nal_type not in (19, 20):
         sh.poc_lsb = g.u(sps.log2_max_poc_lsb)
@@ -462,19 +484,33 @@ def parse_slice_header(rbsp: bytes, sps: HevcSPS, pps: HevcPPS,
             raise Unsupported("hevc: SPS short-term RPS")
         n_neg = g.ue()
         n_pos = g.ue()
-        if n_neg != 1 or n_pos != 0:
+        if n_neg != 1 or n_pos > 1:
             raise Unsupported("hevc: multi-picture RPS")
         sh.poc_delta = g.ue() + 1
         if not g.u(1):
             raise Unsupported("hevc: unused RPS pictures")
-    if sh.slice_type == 1:
+        if n_pos:
+            sh.poc_delta_pos = g.ue() + 1
+            if not g.u(1):
+                raise Unsupported("hevc: unused RPS pictures")
+        if sh.slice_type == 0 and n_pos != 1:
+            raise InvalidData("hevc: B slice without future ref")
+    if sps.sao_enabled:
+        sh.sao_luma = bool(g.u(1))
+        sh.sao_chroma = bool(g.u(1))
+    if sh.slice_type != 2:
         if g.u(1):                  # num_ref_idx_active_override
             raise Unsupported("hevc: ref idx override")
+        if sh.slice_type == 0:
+            if g.u(1):              # mvd_l1_zero_flag
+                raise Unsupported("hevc: mvd_l1_zero")
         sh.max_merge = 5 - g.ue()
         if not 1 <= sh.max_merge <= 5:
             raise InvalidData("hevc: bad merge cand count")
     sh.qp = pps.init_qp + g.se()
-    if pps.loop_filter_across_slices and not pps.deblocking_disabled:
+    if pps.loop_filter_across_slices and (
+            sh.sao_luma or sh.sao_chroma
+            or not pps.deblocking_disabled):
         g.u(1)                      # slice_loop_filter_across_slices
     # byte alignment: one 1-bit + zeros
     if g.u(1) != 1:

@@ -257,3 +257,26 @@ def test_deblock_p_frames():
           seed=30)
     check(deblock=True, p_frames=True, n_frames=3, density=0.0,
           seed=31)
+
+
+def test_sao_band_edge():
+    """SAO (§8.7.3): band and edge offsets, merges, deblock off."""
+    check(sao=True, seed=40)
+    check(sao=True, seed=41, density=0.4, amp=10)
+
+
+def test_sao_after_deblock():
+    """SAO classification reads the post-deblock picture."""
+    check(sao=True, deblock=True, seed=42)
+    check(sao=True, deblock=True, p_frames=True, n_frames=3, seed=43)
+
+
+def test_sao_luma_only():
+    """slice_sao_chroma_flag off: chroma passes through."""
+    check(sao=True, sao_chroma=False, seed=44)
+
+
+def test_sao_ctb_sizes():
+    """SAO param grid across CTB sizes (merge topology changes)."""
+    for ctb in (4, 5, 6):
+        check(sao=True, ctb_log2=ctb, seed=45 + ctb)
