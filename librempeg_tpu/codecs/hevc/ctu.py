@@ -173,6 +173,11 @@ class CtuCoder:
         gw, gh = w // 4, h // 4
         self.depth4 = np.full((gh, gw), -1, np.int8)    # cqt depth
         self.mode4 = np.full((gh, gw), -1, np.int8)     # intra pred mode
+        # slice id per 4x4 cell (-1 = not yet decoded): neighbours in a
+        # different slice segment are unavailable for every prediction
+        # (§6.4.1 zAvailability)
+        self.slice4 = np.full((gh, gw), -1, np.int32)
+        self.cur_slice = 0
         # cu_skip ctx grid at min-CB granularity (hevcdec.c:2459)
         cw, ch_ = w >> sps.log2_min_cb, h >> sps.log2_min_cb
         self.skipg = np.zeros((ch_, cw), np.int8)
@@ -217,14 +222,24 @@ class CtuCoder:
         sps = self.sps
         ctb = 1 << self.ctb_log2
         self._slice_start = start_ctb
+        self.cur_slice = slice_id
+        g4 = ctb // 4
         for i in range(start_ctb, end_ctb):
             self.slice_of_ctb[i] = slice_id
             rx = i % sps.pic_w_ctb
             ry = i // sps.pic_w_ctb
+            self.slice4[ry * g4:(ry + 1) * g4,
+                        rx * g4:(rx + 1) * g4] = slice_id
             if self.sao_luma or self.sao_chroma:
                 self._sao(i, rx, ry)
             self.coding_quadtree(rx * ctb, ry * ctb, self.ctb_log2, 0)
             self._terminate(0 if i < end_ctb - 1 else 1)
+
+    def _avail4(self, gx, gy):
+        """Neighbour 4x4 cell availability: decoded AND same slice."""
+        if gx < 0 or gy < 0:
+            return False
+        return self.slice4[gy, gx] == self.cur_slice
 
     # --------------------------------------------------------------- sao
     def _sao_offset_abs(self, want=None):
@@ -311,9 +326,11 @@ class CtuCoder:
             # split_cu_flag, ctx from neighbor depths (§9.3.4.2.2)
             gx, gy = x0 // 4, y0 // 4
             inc = 0
-            if gx > 0 and self.depth4[gy, gx - 1] > depth:
+            if self._avail4(gx - 1, gy) and \
+                    self.depth4[gy, gx - 1] > depth:
                 inc += 1
-            if gy > 0 and self.depth4[gy - 1, gx] > depth:
+            if self._avail4(gx, gy - 1) and \
+                    self.depth4[gy - 1, gx] > depth:
                 inc += 1
             want = None
             if self.ch is not None:
@@ -340,9 +357,9 @@ class CtuCoder:
         ncb = size >> sps.log2_min_cb
         if self.slice_type != 2:
             inc = 0
-            if x0 > 0 and self.skipg[cby, cbx - 1]:
+            if self._avail4(g0x - 1, g0y) and self.skipg[cby, cbx - 1]:
                 inc += 1
-            if y0 > 0 and self.skipg[cby - 1, cbx]:
+            if self._avail4(g0x, g0y - 1) and self.skipg[cby - 1, cbx]:
                 inc += 1
             want = self.ch.cu_skip() if self.ch else None
             skip = self._bin("SKIP_FLAG", inc, want)
@@ -683,10 +700,10 @@ class CtuCoder:
         above neighbor outside the current CTB row reads as DC."""
         gx, gy = px // 4, py // 4
         a = b = 1                         # DC when unavailable
-        if gx > 0 and self.mode4[gy, gx - 1] >= 0:
+        if self._avail4(gx - 1, gy) and self.mode4[gy, gx - 1] >= 0:
             a = int(self.mode4[gy, gx - 1])
         ctb = 1 << self.ctb_log2
-        if gy > 0 and self.mode4[gy - 1, gx] >= 0 \
+        if self._avail4(gx, gy - 1) and self.mode4[gy - 1, gx] >= 0 \
                 and (py % ctb) != 0:
             b = int(self.mode4[gy - 1, gx])
         if a == b:

@@ -55,6 +55,15 @@ class _PicRecon:
         self.tuedge_h = np.zeros((h4, w4), bool)
         self.pbedge_v = np.zeros((h4, w4), bool)
         self.pbedge_h = np.zeros((h4, w4), bool)
+        # per-4x4 slice-id grid (the walker's; None = single slice):
+        # prediction never crosses slice segments (§6.4.1)
+        self.slice4 = None
+
+    def _sl_ok(self, cy, cx, cur_sl) -> bool:
+        return self.slice4 is None or self.slice4[cy, cx] == cur_sl
+
+    def _cur_sl(self, gx, gy):
+        return 0 if self.slice4 is None else int(self.slice4[gy, gx])
 
     def deblock_maps(self):
         return {"intra": self.pred4 == 0, "inter": self.pred4 == 1,
@@ -85,9 +94,11 @@ class _PicRecon:
         # the done grid is 4x4 in LUMA coords; chroma planes index it
         # at half resolution (2 chroma samples per cell)
         shift = 2 if cidx == 0 else 1
+        cur_sl = self._cur_sl(px >> shift, py >> shift)
 
         def avail(sx, sy):
-            return bool(done[sy >> shift, sx >> shift])
+            cy, cx = sy >> shift, sx >> shift
+            return bool(done[cy, cx]) and self._sl_ok(cy, cx, cur_sl)
 
         if mode >= 0:                   # intra TU
             pred = self.pred[cidx].predict(px, py, n, mode, cidx,
@@ -110,12 +121,15 @@ class _PicRecon:
                  px * 2 // 4:(px + n) * 2 // 4] = True
 
     # ---------------------------------------------------------- inter
-    def _nb(self, x, y):
+    def _nb(self, x, y, cur_sl=0):
         """Neighbor MV at luma (x, y), or None when outside the
-        picture, not yet decoded (z-scan order), or intra."""
+        picture, not yet decoded (z-scan order), in another slice,
+        or intra."""
         h4, w4 = self.pred4.shape
         gx, gy = x >> 2, y >> 2
         if x < 0 or y < 0 or gx >= w4 or gy >= h4:
+            return None
+        if not self._sl_ok(gy, gx, cur_sl):
             return None
         if self.pred4[gy, gx] != 1:
             return None
@@ -124,24 +138,25 @@ class _PicRecon:
     def _merge_list(self, x0, y0, w, h, part, idx):
         """Spatial merge candidates + zero fill (mvs.c:287; temporal
         MVP disabled in the SPS, P slice so no combined-bi)."""
+        sl = self._cur_sl(x0 >> 2, y0 >> 2)
         cands = []
         a1 = b1 = None
         if not (idx == 1 and part == 2):        # Nx2N PU1: A1 excluded
-            a1 = self._nb(x0 - 1, y0 + h - 1)
+            a1 = self._nb(x0 - 1, y0 + h - 1, sl)
             if a1 is not None:
                 cands.append(a1)
         if not (idx == 1 and part == 1):        # 2NxN PU1: B1 excluded
-            b1 = self._nb(x0 + w - 1, y0 - 1)
+            b1 = self._nb(x0 + w - 1, y0 - 1, sl)
             if b1 is not None and b1 != a1:
                 cands.append(b1)
-        b0 = self._nb(x0 + w, y0 - 1)
+        b0 = self._nb(x0 + w, y0 - 1, sl)
         if b0 is not None and b0 != b1:
             cands.append(b0)
-        a0 = self._nb(x0 - 1, y0 + h)
+        a0 = self._nb(x0 - 1, y0 + h, sl)
         if a0 is not None and a0 != a1:
             cands.append(a0)
         if len(cands) != 4:
-            b2 = self._nb(x0 - 1, y0 - 1)
+            b2 = self._nb(x0 - 1, y0 - 1, sl)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
         while len(cands) < self.max_merge:
@@ -151,13 +166,14 @@ class _PicRecon:
     def _amvp(self, x0, y0, w, h):
         """AMVP candidate pair (mvs.c ff_hevc_luma_mv_mvp_mode; single
         same-POC reference so the scaling branches are identities)."""
-        a0 = self._nb(x0 - 1, y0 + h)
-        a1 = self._nb(x0 - 1, y0 + h - 1)
+        sl = self._cur_sl(x0 >> 2, y0 >> 2)
+        a0 = self._nb(x0 - 1, y0 + h, sl)
+        a1 = self._nb(x0 - 1, y0 + h - 1, sl)
         scaled = a0 is not None or a1 is not None
         mxa = a0 if a0 is not None else a1
-        b0 = self._nb(x0 + w, y0 - 1)
-        b1 = self._nb(x0 + w - 1, y0 - 1)
-        b2 = self._nb(x0 - 1, y0 - 1)
+        b0 = self._nb(x0 + w, y0 - 1, sl)
+        b1 = self._nb(x0 + w - 1, y0 - 1, sl)
+        b2 = self._nb(x0 - 1, y0 - 1, sl)
         mxb = b0 if b0 is not None else (
             b1 if b1 is not None else b2)
         avail_a = mxa is not None
@@ -224,40 +240,68 @@ class HevcDecoder(Decoder):
 
     def decode(self, pkt):
         frames = []
+        pending = []                    # slice NALs of one picture
         for ntype, rbsp in PS.split_nals(bytes(pkt.data)):
             if ntype == PS.NAL_SPS:
                 self.sps = PS.parse_sps(rbsp)
             elif ntype == PS.NAL_PPS:
                 self.pps = PS.parse_pps(rbsp)
             elif ntype in (PS.NAL_IDR_W_RADL, 20, 0, 1):
-                frames.append(self._decode_slice(rbsp, ntype, pkt))
+                if self.sps is None or self.pps is None:
+                    raise InvalidData("hevc: slice before SPS/PPS")
+                sh = PS.parse_slice_header(rbsp, self.sps, self.pps,
+                                           ntype)
+                if sh.first_slice and pending:
+                    frames.append(self._decode_picture(pending, pkt))
+                    pending = []
+                pending.append((ntype, rbsp, sh))
             elif ntype < 32:
                 raise Unsupported(
                     f"hevc: nal type {ntype} (B/RASL pictures)")
+        if pending:
+            frames.append(self._decode_picture(pending, pkt))
         return frames
 
     def flush(self):
         return []
 
-    def _decode_slice(self, rbsp, ntype, pkt):
-        if self.sps is None or self.pps is None:
-            raise InvalidData("hevc: slice before SPS/PPS")
-        sh = PS.parse_slice_header(rbsp, self.sps, self.pps, ntype)
+    def _decode_picture(self, slices, pkt):
+        """Decode one picture's slice segments (all NALs of one AU)."""
+        ntype, _, sh0 = slices[0]
+        if not sh0.first_slice:
+            raise InvalidData("hevc: picture lacks its first slice")
         if ntype in (19, 20):
             self._ref = None            # IDR: DPB reset
-        if sh.slice_type == 1 and self._ref is None:
+        if sh0.slice_type != 2 and self._ref is None:
             raise InvalidData("hevc: P slice without a reference")
-        pic = _PicRecon(self.sps, sh.qp, self.pps, ref=self._ref,
-                        max_merge=sh.max_merge)
-        dec = CabacDecoder(rbsp, sh.data_bit_pos, sh.init_type, sh.qp)
-        coder = CtuCoder(self.sps, self.pps, sh.qp, dec=dec,
+        pic = _PicRecon(self.sps, sh0.qp, self.pps, ref=self._ref,
+                        max_merge=sh0.max_merge)
+        coder = CtuCoder(self.sps, self.pps, sh0.qp,
+                         dec=None,
                          on_tu=pic.on_tu, on_cu=pic.on_cu,
-                         on_pu=pic.on_pu, slice_type=sh.slice_type,
-                         max_merge=sh.max_merge, sao_luma=sh.sao_luma,
-                         sao_chroma=sh.sao_chroma)
-        coder.code_picture()
-        if dec.error:
-            raise InvalidData("hevc: slice overread")
+                         on_pu=pic.on_pu, slice_type=sh0.slice_type,
+                         max_merge=sh0.max_merge, sao_luma=sh0.sao_luma,
+                         sao_chroma=sh0.sao_chroma)
+        if len(slices) > 1:
+            pic.slice4 = coder.slice4
+        n_ctb = self.sps.pic_w_ctb * self.sps.pic_h_ctb
+        sh = sh0
+        for k, (nt, rbsp, sh) in enumerate(slices):
+            start = sh.segment_address
+            end = slices[k + 1][2].segment_address \
+                if k + 1 < len(slices) else n_ctb
+            if (k == 0 and start != 0) or not start < end <= n_ctb:
+                raise InvalidData("hevc: bad slice segment order")
+            dec = CabacDecoder(rbsp, sh.data_bit_pos, sh.init_type,
+                               sh.qp)
+            coder.dec = dec
+            coder.slice_type = sh.slice_type
+            coder.max_merge = sh.max_merge
+            pic.max_merge = sh.max_merge
+            coder.code_slice(start, end, slice_id=k)
+            if dec.error:
+                raise InvalidData("hevc: slice overread")
+        sh = sh0
         if not self.pps.deblocking_disabled:
             from librempeg_tpu.codecs.hevc.deblock import deblock_picture
 
@@ -293,7 +337,8 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
                     p_frames: bool = False, max_merge: int = 5,
                     deblock: bool = False, beta_offset: int = 0,
                     tc_offset: int = 0, sao: bool = False,
-                    sao_chroma: bool | None = None) -> bytes:
+                    sao_chroma: bool | None = None,
+                    slices: int = 1) -> bytes:
     """Randomized-but-valid HEVC stream (annex B): an IDR picture,
     followed by TRAIL_R P pictures when p_frames is set.
 
@@ -313,20 +358,27 @@ def generate_stream(width: int, height: int, n_frames: int = 1, *,
     out += PS.write_vps()
     out += PS.write_sps(sps)
     out += PS.write_pps(pps)
+    n_ctb = sps.pic_w_ctb * sps.pic_h_ctb
+    nsl = max(1, min(slices, n_ctb))
+    bounds = [round(k * n_ctb / nsl) for k in range(nsl + 1)]
     for i in range(n_frames):
         is_p = p_frames and i > 0
         stype = 1 if is_p else 2
-        hdr = PS.write_slice_header(
-            sps, pps, qp, slice_type=stype,
-            poc_lsb=i % (1 << sps.log2_max_poc_lsb),
-            max_merge=max_merge, sao_luma=sao, sao_chroma=sao_c)
-        enc = CabacEncoder(1 if is_p else 0, qp)
         ch = Chooser(seed=seed + 1000 * i, qp=qp, density=density,
                      amp=amp, split_prob=split_prob, nxn_prob=nxn_prob)
-        coder = CtuCoder(sps, pps, qp, enc=enc, chooser=ch,
+        coder = CtuCoder(sps, pps, qp, enc=None, chooser=ch,
                          slice_type=stype, max_merge=max_merge,
                          sao_luma=sao, sao_chroma=sao_c)
-        coder.code_picture()
-        rbsp = hdr.bytes() + enc.bytes()
-        out += PS.rbsp_to_nal(rbsp, 1 if is_p else PS.NAL_IDR_W_RADL)
+        for k in range(nsl):
+            hdr = PS.write_slice_header(
+                sps, pps, qp, slice_type=stype,
+                poc_lsb=i % (1 << sps.log2_max_poc_lsb),
+                max_merge=max_merge, sao_luma=sao, sao_chroma=sao_c,
+                first_slice=(k == 0), segment_address=bounds[k])
+            enc = CabacEncoder(1 if is_p else 0, qp)
+            coder.enc = enc
+            coder.code_slice(bounds[k], bounds[k + 1], slice_id=k)
+            rbsp = hdr.bytes() + enc.bytes()
+            out += PS.rbsp_to_nal(
+                rbsp, 1 if is_p else PS.NAL_IDR_W_RADL)
     return bytes(out)

@@ -280,3 +280,19 @@ def test_sao_ctb_sizes():
     """SAO param grid across CTB sizes (merge topology changes)."""
     for ctb in (4, 5, 6):
         check(sao=True, ctb_log2=ctb, seed=45 + ctb)
+
+
+def test_multi_slice():
+    """Multiple independent slice segments per picture: per-slice CABAC
+    restart, slice_segment_address, prediction broken at boundaries
+    (§6.4.1 availability)."""
+    check(slices=2, seed=50)
+    check(slices=3, seed=51, deblock=True)
+    check(slices=4, seed=53, ctb_log2=4)
+
+
+def test_multi_slice_sao_p():
+    """SAO merge gating + inter prediction across slice boundaries."""
+    check(slices=2, seed=52, sao=True, p_frames=True, n_frames=3)
+    check(slices=3, seed=54, sao=True, deblock=True, p_frames=True,
+          n_frames=2)

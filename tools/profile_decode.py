@@ -30,14 +30,20 @@ def _time_call(fn, reps=12, chain=8):
     once (device executes them serially; dispatch/fetch latency is paid
     once per chain, not per call)."""
     import jax
+    import jax.numpy as jnp
 
-    r = fn()
-    jax.block_until_ready(r)
+    def force(out):
+        # axon tunnel: block_until_ready does not execute; fetch a
+        # scalar from the LAST program (device executes in order)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
+
+    force(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         outs = [fn() for _ in range(chain)]
-        jax.block_until_ready(outs)
+        force(outs[-1])
         dt1 = time.perf_counter() - t0
         ts.append(dt1 * 1e3 / chain)
     return statistics.median(ts)
