@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from librempeg_tpu.codecs.h264 import device_recon as DR
+from librempeg_tpu.codecs.h264 import intra_pallas as IP
 from librempeg_tpu.codecs.h264 import mc_pallas as MC
 from librempeg_tpu.codecs.h264.deblock_pallas import deblock_frame_pallas
 
@@ -77,9 +78,14 @@ def decode_p_step(buf, lt, ct, layout, mb_w: int, mb_h: int,
     ref = _i8(segs[10]).reshape(nmb, 4)
 
     py, pu, pv = MC.mc_predict(lt, ct, selA, selB, nmb, nb)
-    y, u, v = DR.recon_p_frame_pred(py, pu, pv, idx, vals, qp, kind,
-                                    info, i4modes, ilist, mb_w, mb_h,
-                                    chroma_qp_off, icap)
+    y, u, v, lres_t, cres_t = DR.recon_p_frame_pred_noscan(
+        py, pu, pv, idx, vals, qp, kind, mb_w, mb_h, chroma_qp_off,
+        fold_i16=bool(icap))
+    if icap:
+        scal = IP.build_intra_scalars(ilist, kind, info, i4modes,
+                                      mb_w, mb_h, icap)
+        y, u, v = IP.intra_scan_pallas(y, u, v, scal, lres_t, cres_t,
+                                       mb_w, mb_h, icap)
     if do_deblock:
         y, u, v = deblock_frame_pallas(y, u, v, idx, vals, mv, ref,
                                        qp, kind, mb_w, mb_h,

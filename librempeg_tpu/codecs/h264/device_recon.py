@@ -634,6 +634,41 @@ def recon_p_frame_pred(pred_y, pred_u, pred_v, coeff_idx, coeff_val,
     return y, u, v
 
 
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h",
+                                             "chroma_qp_off",
+                                             "fold_i16"))
+def recon_p_frame_pred_noscan(pred_y, pred_u, pred_v, coeff_idx,
+                              coeff_val, qp, kind, mb_w: int, mb_h: int,
+                              chroma_qp_off: int, fold_i16: bool):
+    """recon_p_frame_pred without the intra scan: returns the pre-intra
+    planes plus the MB-tile residual tensors (lres_t [nMB, 16, 16],
+    cres_t [nMB, 2, 8, 8]) for intra_pallas.intra_scan_pallas, which
+    replaces the XLA lax.scan intra pass in the shipping decode step."""
+    nmb = mb_w * mb_h
+    W, H = mb_w * 16, mb_h * 16
+    coeffs = jnp.zeros(nmb * 27 * 16, jnp.int32).at[coeff_idx].set(
+        coeff_val.astype(jnp.int32), mode="drop").reshape(nmb, 27, 16)
+    lres, cres = _residuals(coeffs, qp, chroma_qp_off, nmb,
+                            is_i16=(kind == 3) if fold_i16 else None)
+
+    lres_t = lres.reshape(nmb, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(nmb, 16, 16)
+    rec_y = jnp.clip(pred_y.astype(jnp.int32) + lres_t, 0, 255)
+    y = rec_y.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3) \
+        .reshape(H, W).astype(jnp.uint8)
+
+    cres_t = cres.transpose(0, 1, 2, 4, 3, 5).reshape(nmb, 2, 8, 8)
+
+    def cplane(pred, res):
+        rec = jnp.clip(pred.astype(jnp.int32) + res, 0, 255)
+        return rec.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(H // 2, W // 2).astype(jnp.uint8)
+
+    u = cplane(pred_u, cres_t[:, 0])
+    v = cplane(pred_v, cres_t[:, 1])
+    return y, u, v, lres_t, cres_t
+
+
 # ---------------------------------------------------------------------------
 # in-loop deblocking (§8.7) as an anti-diagonal MB wavefront
 # ---------------------------------------------------------------------------

@@ -330,6 +330,92 @@ def test_pallas_mc_and_pred_recon_bit_exact():
     assert n >= 4
 
 
+@pytest.mark.slow
+def test_pallas_intra_scan_bit_exact():
+    """The Pallas intra kernel (intra_pallas.intra_scan_pallas,
+    interpret mode) matches the XLA lax.scan intra pass bit-exactly on
+    dense intra-in-P frames (adjacent intra chains, I_4x4 + I_16x16,
+    frame edges)."""
+    from librempeg_tpu.codecs.h264 import mc_pallas as M
+    from librempeg_tpu.codecs.h264.codec import H264Decoder
+    from librempeg_tpu.codecs.h264.intra_pallas import (
+        build_intra_scalars, intra_scan_pallas)
+
+    w, h = 96, 64
+    mb_w, mb_h = w // 16, h // 16
+    nmb = mb_w * mb_h
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h * 2, w * 2)).astype(np.uint8)
+    frames = []
+    for i in range(5):
+        y = base[i:h + i, i * 2:w + i * 2].copy()
+        y[:16, :] = rng.integers(0, 256, (16, w))
+        y[32:64, 32:80] = rng.integers(0, 256, (32, 48))
+        u = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        v = rng.integers(90, 166, (h // 2, w // 2)).astype(np.uint8)
+        frames.append(VideoFrame(planes=(y, u, v), format="yuv420p",
+                                 width=w, height=h, pts=i,
+                                 time_base=Rational(1, 25)))
+    enc = H264Encoder(width=w, height=h, qp=28, g=5, variety=1)
+    pkts = [enc.encode(f)[0] for f in frames]
+    sps = P.parse_sps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[0]).rbsp)
+    pps = P.parse_pps(P.NalUnit.parse(
+        list(P.split_annexb(bytes(pkts[0].data)))[1]).rbsp)
+    dec = H264Decoder(enc.codec_parameters())
+    ref_host = tuple(np.ascontiguousarray(np.asarray(p))
+                     for p in dec.decode(pkts[0])[0].planes)
+    n = 0
+    for pkt in pkts[1:]:
+        sh, res = _entropy(pkt, sps, pps)
+        intra = np.flatnonzero(res["kind"] >= 2).astype(np.int32)
+        if len(intra):
+            icap = len(intra) + 3          # incl. -1 padding rows
+            ilist = np.full(icap, -1, np.int32)
+            ilist[:len(intra)] = intra
+            luma4, up, vp = D.make_refpack(*[jnp.asarray(p)
+                                             for p in ref_host])
+            idx, vals = _sparse(res)
+            kind = jnp.asarray(res["kind"])
+            args = (jnp.asarray(res["qp"]), kind,
+                    jnp.asarray(res["info"]),
+                    jnp.asarray(res["i4modes"]), jnp.asarray(ilist))
+            y0, u0, v0 = D.recon_p_frame(
+                luma4[None], up[None], vp[None], idx, vals,
+                jnp.asarray(res["mv"]), jnp.asarray(res["ref"]), *args,
+                mb_w, mb_h, 0, icap)
+            lt, ct = M.tile_refpack(luma4, up, vp)
+            selA, selB = M.build_selectors(
+                res, mb_w, mb_h, luma4.shape[1], luma4.shape[2],
+                up.shape[0], up.shape[1])
+            nb = max(len(selB) // 16, 1)
+            sb = np.zeros((nb * 16, 6), np.int32)
+            sb[:] = selA[0]
+            sb[:, 5] = nmb << 4
+            sb[:len(selB)] = selB
+            py, pu, pv = M.mc_predict(lt, ct, jnp.asarray(selA),
+                                      jnp.asarray(sb), nmb, nb,
+                                      interpret=True)
+            y1, u1, v1, lres_t, cres_t = D.recon_p_frame_pred_noscan(
+                py, pu, pv, idx, vals, jnp.asarray(res["qp"]), kind,
+                mb_w, mb_h, 0, True)
+            scal = build_intra_scalars(
+                jnp.asarray(ilist), kind, jnp.asarray(res["info"]),
+                jnp.asarray(res["i4modes"]), mb_w, mb_h, icap)
+            y2, u2, v2 = intra_scan_pallas(y1, u1, v1, scal, lres_t,
+                                           cres_t, mb_w, mb_h, icap,
+                                           interpret=True)
+            assert np.array_equal(np.asarray(y0), np.asarray(y2))
+            assert np.array_equal(np.asarray(u0), np.asarray(u2))
+            assert np.array_equal(np.asarray(v0), np.asarray(v2))
+            n += 1
+        fs = dec.decode(pkt)
+        if fs:
+            ref_host = tuple(np.ascontiguousarray(np.asarray(p))
+                             for p in fs[-1].planes)
+    assert n >= 2, "test stream produced too few intra-in-P frames"
+
+
 def test_decode_ahead_worker_bit_exact():
     """prefetch=2 (decode-ahead entropy worker) produces the same frame
     sequence as the synchronous decoder -- mixed IDR/P stream with
