@@ -102,6 +102,13 @@ class Chooser:
     def mvp_flag(self):
         return int(self.rng.integers(0, 2))
 
+    # ---- B-slice choices ----
+    def inter_pred_idc(self, w, h):
+        """0 = L0, 1 = L1, 2 = BI (BI illegal for 8x4/4x8 PUs)."""
+        if w + h == 12:
+            return int(self.rng.integers(0, 2))
+        return int(self.rng.choice((0, 1, 2, 2)))
+
     def rqt_root(self):
         return int(self.rng.random() < 0.7)
 
@@ -158,8 +165,11 @@ class CtuCoder:
         self.on_pu = on_pu      # (x0, y0, w, h, part_mode, part_idx, pu)
         self.slice_type = slice_type
         self.max_merge = max_merge
+        self.mvd_l1_zero = False    # B slices: slice-header flag
         self.sao_luma = sao_luma
         self.sao_chroma = sao_chroma
+        self._cu_depth = 0          # current CU's cqt depth (ct_depth
+        #                             ctx of inter_pred_idc, §9.3.4.2.2)
         # per-CTB SAO params [hctb, wctb, 3, 6]: per component
         # (type 0/1/2, off1..off4 signed, band_pos-or-eo_class)
         self.saog = np.zeros((sps.pic_h_ctb, sps.pic_w_ctb, 3, 6),
@@ -353,6 +363,7 @@ class CtuCoder:
         size = 1 << log2
         g0x, g0y = x0 // 4, y0 // 4
         self.depth4[g0y:g0y + size // 4, g0x:g0x + size // 4] = depth
+        self._cu_depth = depth
         cbx, cby = x0 >> sps.log2_min_cb, y0 >> sps.log2_min_cb
         ncb = size >> sps.log2_min_cb
         if self.slice_type != 2:
@@ -521,14 +532,15 @@ class CtuCoder:
             self.on_tu(x0, y0, log2, 0, None, -1)
 
     def prediction_unit(self, x0, y0, w, h, part, idx, skip=False):
-        """PU syntax for a P slice (§7.3.8.6: merge, or mvd + mvp
-        flag; inter_pred_idc/ref_idx absent with one L0 reference)."""
+        """PU syntax (§7.3.8.6): merge, or per-list mvd + mvp flag.
+        P slices have one L0 reference (inter_pred_idc/ref_idx absent);
+        B slices add inter_pred_idc and the L1 motion fields."""
         merge = 1
         if not skip:
             want = self.ch.merge() if self.ch else None
             merge = self._bin("MERGE_FLAG", 0, want)
         pu = {"merge": bool(merge), "merge_idx": 0, "mvd": (0, 0),
-              "mvp": 0}
+              "mvp": 0, "idc": 0, "mvd1": (0, 0), "mvp1": 0}
         if merge:
             mi = 0
             if self.max_merge > 1:
@@ -545,12 +557,37 @@ class CtuCoder:
                         mi += 1
             pu["merge_idx"] = mi
         else:
-            pu["mvd"] = self.mvd_coding()
-            want = self.ch.mvp_flag() if self.ch else None
-            pu["mvp"] = self._bin("MVP_LX_FLAG", 0, want)
+            idc = 0
+            if self.slice_type == 0:
+                idc = self._inter_pred_idc(w, h)
+            pu["idc"] = idc
+            if idc != 1:                # L0 motion
+                pu["mvd"] = self.mvd_coding()
+                want = self.ch.mvp_flag() if self.ch else None
+                pu["mvp"] = self._bin("MVP_LX_FLAG", 0, want)
+            if idc != 0:                # L1 motion
+                if not (self.mvd_l1_zero and idc == 2):
+                    pu["mvd1"] = self.mvd_coding()
+                want = self.ch.mvp_flag() if self.ch else None
+                pu["mvp1"] = self._bin("MVP_LX_FLAG", 0, want)
         if self.on_pu:
             self.on_pu(x0, y0, w, h, part, idx, pu)
         return merge
+
+    def _inter_pred_idc(self, w, h):
+        """§9.3.4.2.2: bin 0 ctx = cqt depth (PRED_BI), bin 1 ctx 4
+        (L0/L1); 8x4 and 4x8 PUs code only the L0/L1 bin
+        (hevc cabac ff_hevc_inter_pred_idc_decode)."""
+        want = self.ch.inter_pred_idc(w, h) if self.ch else None
+        if w + h == 12:
+            return self._bin("INTER_PRED_IDC", 4,
+                             None if want is None else int(want == 1))
+        bi = self._bin("INTER_PRED_IDC", self._cu_depth,
+                       None if want is None else int(want == 2))
+        if bi:
+            return 2
+        return self._bin("INTER_PRED_IDC", 4,
+                         None if want is None else int(want == 1))
 
     def mvd_coding(self):
         """§7.3.8.9 (both greater0 flags, then both greater1 flags,

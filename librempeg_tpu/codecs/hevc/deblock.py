@@ -36,13 +36,17 @@ def compute_bs(maps, vertical: bool) -> np.ndarray:
 
     maps: dict with [h4, w4] arrays: intra, cbf (luma), tuedge_v/h,
     pbedge_v/h (TB/PB left-or-top boundary flags of the cell), mv
-    [h4, w4, 2] (quarter-pel, inter cells), inter (bool).
+    [h4, w4, 2, 2] per-list quarter-pel MVs, pflag [h4, w4, 2]
+    per-list use flags, refpoc (pocL0, pocL1) — slice-constant with
+    one reference per list — and inter (bool).
     Returns bs [h4, w4]; bs[gy, gx] describes the edge on the LEFT
     (vertical) or TOP (horizontal) side of the cell, 0 where no edge.
     """
     intra = maps["intra"]
     cbf = maps["cbf"]
     mv = maps["mv"]
+    pf = maps["pflag"]
+    poc0, poc1 = maps.get("refpoc", (None, None))
     inter = maps["inter"]
     h4, w4 = intra.shape
     bs = np.zeros((h4, w4), np.int32)
@@ -59,13 +63,39 @@ def compute_bs(maps, vertical: bool) -> np.ndarray:
         P = lambda a: np.roll(a, 1, axis=0)
         tued = maps["tuedge_h"]
     any_intra = intra | P(intra)
-    # bS 1: TU edge with nonzero luma coeffs on either side, or MV
-    # delta >= 1 integer pel (single ref, one MV per side -- the
-    # ref/count mismatch branches activate once B lands)
     cbf_cond = tued & (cbf | P(cbf))
     both_inter = inter & P(inter)
-    dmv = np.abs(mv - P(mv)).max(axis=2) >= 4
-    mv_cond = both_inter & dmv
+    # MV condition (§8.7.2.4): per-picture the reference set is
+    # {refpoc[L] for used L}; with one ref per list this reduces to
+    # per-cell pflags. bS 1 when the two sides use different MV counts,
+    # different reference pictures, or any matched-pair component
+    # differs by >= 1 integer pel.
+    pfp = P(pf)
+    mvp = P(mv)
+    n_cur = pf[..., 0].astype(np.int32) + pf[..., 1]
+    n_prv = pfp[..., 0].astype(np.int32) + pfp[..., 1]
+    d_list = np.abs(mv - mvp).max(axis=3)        # [h4, w4, 2]
+    d_cross0 = np.abs(mv[..., 0, :] - mvp[..., 1, :]).max(axis=2)
+    d_cross1 = np.abs(mv[..., 1, :] - mvp[..., 0, :]).max(axis=2)
+    # uni/uni: selected list per side (0 when pf0 else 1)
+    lc = np.where(pf[..., 0], 0, 1)
+    lp = np.where(pfp[..., 0], 0, 1)
+    pocs = np.array([poc0 if poc0 is not None else -1,
+                     poc1 if poc1 is not None else -1], np.int64)
+    same_ref_uni = pocs[lc] == pocs[lp]
+    d_uni = np.where(lc[..., None] == 0, mv[..., 0, :],
+                     mv[..., 1, :]) \
+        - np.where(lp[..., None] == 0, mvp[..., 0, :], mvp[..., 1, :])
+    uni_bad = (~same_ref_uni) | (np.abs(d_uni).max(axis=2) >= 4)
+    # bi/bi: both sides use both refs; straight pairing always valid,
+    # cross pairing only when both lists reference the same picture
+    straight_bad = d_list.max(axis=2) >= 4
+    cross_bad = np.maximum(d_cross0, d_cross1) >= 4
+    same_pic_pair = (poc0 is not None and poc0 == poc1)
+    bi_bad = straight_bad & (cross_bad | (not same_pic_pair))
+    mv_bad = np.where(n_cur != n_prv, True,
+                      np.where(n_cur == 2, bi_bad, uni_bad))
+    mv_cond = both_inter & mv_bad
     bs1 = (cbf_cond | mv_cond).astype(np.int32)
     bs[edge] = np.where(any_intra, 2, bs1)[edge]
     return bs

@@ -79,6 +79,7 @@ class HevcSPS:
     amp_enabled: bool = False
     strong_intra_smoothing: bool = False
     max_dec_pic_buffering: int = 1
+    num_reorder: int = 0            # sps_max_num_reorder_pics
 
     @property
     def ctb_size(self) -> int:
@@ -184,8 +185,8 @@ def write_sps(sps: HevcSPS) -> bytes:
     _write_ue(bw, 0)                # bit_depth_chroma - 8
     _write_ue(bw, sps.log2_max_poc_lsb - 4)
     bw.write(0, 1)                  # sub_layer_ordering_info_present
-    _write_ue(bw, sps.max_dec_pic_buffering)   # minus1... keep 1
-    _write_ue(bw, 0)                # num_reorder
+    _write_ue(bw, sps.max_dec_pic_buffering)   # minus1
+    _write_ue(bw, sps.num_reorder)
     _write_ue(bw, 0)                # max_latency
     _write_ue(bw, sps.log2_min_cb - 3)
     _write_ue(bw, sps.log2_ctb - sps.log2_min_cb)
@@ -249,7 +250,7 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
     sub_info = g.u(1)
     for _ in range((max_sub + 1) if sub_info else 1):
         s.max_dec_pic_buffering = g.ue()
-        g.ue()
+        s.num_reorder = g.ue()
         g.ue()
     s.log2_min_cb = g.ue() + 3
     s.log2_ctb = s.log2_min_cb + g.ue()
@@ -398,6 +399,7 @@ class HevcSliceHeader:
     poc_delta: int = 1              # st RPS: negative (past) ref delta
     poc_delta_pos: int = 0          # st RPS: positive (future) delta
     max_merge: int = 5
+    mvd_l1_zero: bool = False
     sao_luma: bool = False
     sao_chroma: bool = False
 
@@ -411,7 +413,8 @@ class HevcSliceHeader:
 def write_slice_header(sps: HevcSPS, pps: HevcPPS, qp: int, *,
                        slice_type: int = 2, poc_lsb: int = 0,
                        poc_delta: int = 1, poc_delta_pos: int = 0,
-                       max_merge: int = 5, sao_luma: bool = False,
+                       max_merge: int = 5, mvd_l1_zero: bool = False,
+                       sao_luma: bool = False,
                        sao_chroma: bool = False, first_slice: bool = True,
                        segment_address: int = 0) -> BitWriterMSB:
     """Slice segment header bits (IDR I, or a TRAIL_R P/B slice with a
@@ -445,7 +448,7 @@ def write_slice_header(sps: HevcSPS, pps: HevcPPS, qp: int, *,
     if slice_type != 2:
         bw.write(0, 1)              # num_ref_idx_active_override
         if slice_type == 0:
-            bw.write(0, 1)          # mvd_l1_zero_flag
+            bw.write(1 if mvd_l1_zero else 0, 1)
         _write_ue(bw, 5 - max_merge)
     _write_se(bw, qp - pps.init_qp)
     # deblocking control present + override disabled: no override flag.
@@ -502,8 +505,7 @@ def parse_slice_header(rbsp: bytes, sps: HevcSPS, pps: HevcPPS,
         if g.u(1):                  # num_ref_idx_active_override
             raise Unsupported("hevc: ref idx override")
         if sh.slice_type == 0:
-            if g.u(1):              # mvd_l1_zero_flag
-                raise Unsupported("hevc: mvd_l1_zero")
+            sh.mvd_l1_zero = bool(g.u(1))
         sh.max_merge = 5 - g.ue()
         if not 1 <= sh.max_merge <= 5:
             raise InvalidData("hevc: bad merge cand count")

@@ -99,11 +99,12 @@ def _gather(ref: np.ndarray, ys: np.ndarray, xs: np.ndarray):
     return ref[ys[:, None], xs[None, :]].astype(np.int64)
 
 
-def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
-            mvx: int, mvy: int) -> np.ndarray:
-    """Uni-directional luma MC, quarter-pel MV -> uint8 block
-    (8-tap DCTIF both passes, then the default weighted-sample
-    rounding (p + 32) >> 6 of §8.5.3.3.4.2)."""
+def mc_luma_int(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+                mvx: int, mvy: int) -> np.ndarray:
+    """Luma MC intermediate at 14-bit scale (the pre-rounding value of
+    §8.5.3.3.3; 8-tap DCTIF both passes).  Uni-prediction rounds it
+    with (p + 32) >> 6, bi-prediction averages two of these with
+    (p0 + p1 + 64) >> 7 (§8.5.3.3.4.2/3)."""
     ix, iy = mvx >> 2, mvy >> 2
     fx, fy = mvx & 3, mvy & 3
     ys = np.arange(y0 + iy - 3, y0 + iy + h + 4)
@@ -121,13 +122,26 @@ def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
         p = sum(c[k] * blk[k:k + h, 3:3 + w] for k in range(8))
     else:
         p = blk[3:3 + h, 3:3 + w] << 6
+    return p
+
+
+def mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+            mvx: int, mvy: int) -> np.ndarray:
+    """Uni-directional luma MC, quarter-pel MV -> uint8 block."""
+    p = mc_luma_int(ref, x0, y0, w, h, mvx, mvy)
     return np.clip((p + 32) >> 6, 0, 255).astype(np.uint8)
 
 
-def mc_chroma(ref: np.ndarray, cx0: int, cy0: int, w: int, h: int,
-              mvx: int, mvy: int) -> np.ndarray:
-    """Chroma MC at eighth-pel (4-tap filters); cx0/cy0/w/h in chroma
-    samples, MV in luma quarter-pel units."""
+def bi_avg(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Default weighted bi-prediction of two 14-bit intermediates
+    (§8.5.3.3.4.3, 8-bit: shift 7, offset 64)."""
+    return np.clip((p0 + p1 + 64) >> 7, 0, 255).astype(np.uint8)
+
+
+def mc_chroma_int(ref: np.ndarray, cx0: int, cy0: int, w: int, h: int,
+                  mvx: int, mvy: int) -> np.ndarray:
+    """Chroma MC 14-bit intermediate (4-tap filters, eighth-pel);
+    cx0/cy0/w/h in chroma samples, MV in luma quarter-pel units."""
     ix, iy = mvx >> 3, mvy >> 3
     fx, fy = mvx & 7, mvy & 7
     ys = np.arange(cy0 + iy - 1, cy0 + iy + h + 2)
@@ -145,6 +159,13 @@ def mc_chroma(ref: np.ndarray, cx0: int, cy0: int, w: int, h: int,
         p = sum(c[k] * blk[k:k + h, 1:1 + w] for k in range(4))
     else:
         p = blk[1:1 + h, 1:1 + w] << 6
+    return p
+
+
+def mc_chroma(ref: np.ndarray, cx0: int, cy0: int, w: int, h: int,
+              mvx: int, mvy: int) -> np.ndarray:
+    """Uni-directional chroma MC -> uint8 block."""
+    p = mc_chroma_int(ref, cx0, cy0, w, h, mvx, mvy)
     return np.clip((p + 32) >> 6, 0, 255).astype(np.uint8)
 
 

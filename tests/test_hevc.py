@@ -46,8 +46,10 @@ def our_decode(stream: bytes):
     from librempeg_tpu.codecs.hevc.decoder import HevcDecoder
     from librempeg_tpu.core.packet import Packet
 
-    return [f.planes for f in HevcDecoder().decode(
-        Packet(data=stream, pts=0))]
+    dec = HevcDecoder()
+    frames = dec.decode(Packet(data=stream, pts=0))
+    frames.extend(dec.flush())          # drain the B reorder queue
+    return [f.planes for f in frames]
 
 
 def check(w=64, h=64, **kw):
@@ -148,6 +150,49 @@ def test_p_frames_ctb_sizes():
           p_frames=True)
     check(ctb_log2=6, n_frames=3, seed=28, split_prob=0.6,
           p_frames=True)
+
+
+def test_b_frames_basic():
+    check(n_frames=5, seed=40, split_prob=0.4, b_frames=True)
+
+
+def test_b_frames_merge_cands():
+    check(n_frames=5, seed=41, max_merge=1, b_frames=True)
+    check(n_frames=5, seed=42, max_merge=3, b_frames=True)
+
+
+def test_b_frames_mvd_l1_zero():
+    check(n_frames=5, seed=43, b_frames=True, mvd_l1_zero=True)
+
+
+def test_b_frames_parts_and_ctb():
+    check(w=96, h=64, n_frames=5, seed=44, split_prob=0.5,
+          nxn_prob=0.4, b_frames=True)
+    check(ctb_log2=4, n_frames=5, seed=45, split_prob=0.4,
+          b_frames=True)
+
+
+def test_b_frames_deblock():
+    check(n_frames=5, seed=46, b_frames=True, deblock=True)
+
+
+def test_b_frames_sao():
+    check(n_frames=5, seed=47, b_frames=True, deblock=True, sao=True)
+
+
+@pytest.mark.slow
+def test_b_frames_sweep():
+    for s in range(50, 56):
+        check(n_frames=7, seed=s, split_prob=0.45, nxn_prob=0.4,
+              density=0.35, amp=12, b_frames=True,
+              deblock=(s % 2 == 0), sao=(s % 3 == 0))
+
+
+@pytest.mark.slow
+def test_b_frames_multi_slice():
+    check(n_frames=5, seed=60, b_frames=True, slices=3)
+    check(n_frames=5, seed=61, b_frames=True, slices=2, deblock=True,
+          sao=True)
 
 
 def test_hvcc_roundtrip():
