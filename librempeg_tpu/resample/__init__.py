@@ -13,10 +13,12 @@ from librempeg_tpu.codecs.pcm import from_float, to_float
 from librempeg_tpu.core.frame import AudioFrame
 from librempeg_tpu.core.rational import NOPTS, Rational
 from librempeg_tpu.core.samplefmt import ChannelLayout
+from librempeg_tpu.resample.dither import DITHER_METHODS, Ditherer
 from librempeg_tpu.resample.rematrix import apply_matrix, build_matrix
 from librempeg_tpu.resample.resampler import Resampler
 
-__all__ = ["Swr", "Resampler", "build_matrix"]
+__all__ = ["Swr", "Resampler", "build_matrix", "Ditherer",
+           "DITHER_METHODS"]
 
 
 class Swr:
@@ -26,7 +28,7 @@ class Swr:
                  in_layout: ChannelLayout | int = 2,
                  out_layout: ChannelLayout | int | None = None,
                  in_fmt: str = "fltp", out_fmt: str = "fltp",
-                 dither: bool = False, **resample_opts):
+                 dither: bool | str = False, **resample_opts):
         if isinstance(in_layout, int):
             in_layout = ChannelLayout.default(in_layout)
         if out_layout is None:
@@ -44,7 +46,22 @@ class Swr:
                           Resampler(in_rate, out_rate,
                                     out_layout.nb_channels, **resample_opts))
         self._next_pts = 0
-        self._rng = np.random.default_rng(0)
+        # dither: False/None -> off, True -> TPDF, or a method name
+        # from DITHER_METHODS (swr dither_method option analog)
+        method = ("triangular" if dither is True else dither) or None
+        self._ditherer = (Ditherer(method) if method and method != "none"
+                          else None)
+
+    def set_compensation(self, sample_delta: int,
+                         compensation_distance: int) -> None:
+        """swr_set_compensation: soft-adjust the effective ratio (see
+        Resampler.set_compensation). Activates a unity resampler if
+        none is configured, like the reference does."""
+        if self.resampler is None:
+            self.resampler = Resampler(self.in_rate, self.out_rate,
+                                       self.out_layout.nb_channels)
+        self.resampler.set_compensation(sample_delta,
+                                        compensation_distance)
 
     def convert(self, samples: np.ndarray, final: bool = False) -> np.ndarray:
         """[in_ch, n] in in_fmt -> [out_ch, m] in out_fmt."""
@@ -53,12 +70,10 @@ class Swr:
             x = np.asarray(apply_matrix(x, self.matrix))
         if self.resampler is not None:
             x = self.resampler.process(x, final=final)
-        d = None
-        if self.dither and self.out_fmt.rstrip("p") in ("s16", "s32", "u8"):
-            # TPDF dither: sum of two uniforms in [-.5,.5] LSB
-            d = (self._rng.random(x.shape) - self._rng.random(x.shape)).astype(
-                np.float32)
-        return from_float(x, self.out_fmt, dither=d)
+        if (self._ditherer is not None
+                and self.out_fmt.rstrip("p") in ("s16", "s32", "u8")):
+            return self._ditherer.apply(x, self.out_fmt)
+        return from_float(x, self.out_fmt)
 
     def convert_frame(self, frame: AudioFrame, final: bool = False) -> AudioFrame:
         out = self.convert(np.asarray(frame.data), final=final)

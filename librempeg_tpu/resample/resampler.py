@@ -22,6 +22,18 @@ Irrational/huge-p ratios fall back to a quantized-phase gather kernel
 Streaming: the object keeps T-1 samples of history and an input-position
 carry so arbitrary chunking is exact (same contract as swr_convert's
 internal buffering).
+
+Soft compensation (swr_set_compensation analog, reference
+/root/reference/libswresample/resample.c:328 set_compensation:
+dst_incr = ideal_dst_incr * (1 - sample_delta/compensation_distance)):
+while active the stream switches to a second cached bank built for the
+compensated ratio p*D / (q*(D-delta)), quantized to <=1024 phases, and
+reverts to the ideal bank once `compensation_distance` outputs have
+been produced (rounded up to a whole period of the compensation bank,
+an error of < one period ~ at most 1024/D relative — the reference's
+phase quantization carries the same order of ratio error). The
+streaming state is position-based (absolute input origin per period),
+so bank switches splice exactly at integer input positions.
 """
 from __future__ import annotations
 
@@ -118,14 +130,66 @@ class Resampler(OptionedObject):
         if self.p < self.q:
             # keep absolute transition width when downsampling: more taps
             taps = int(math.ceil(taps * self.q / self.p / 2)) * 2
+        self._cutoff = cutoff
         self._m_np, self.L, self.left_pad = _bank_matrix(
             self.p, self.q, taps, int(cutoff * 1e6),
             int(self.opts["kaiser_beta"] * 10), self.opts["window"])
         self.taps = taps
         self._m = jnp.asarray(self._m_np)
-        # streaming state: unconsumed input tail (includes history)
-        self._hist = np.zeros((channels, self.left_pad), np.float32)
-        self._out_count = 0  # total outputs produced
+        # streaming state, position-based: _buf[:, 0] sits at absolute
+        # input index _buf_start; the next output period's windows start
+        # reaching back from input position _next_origin.
+        self._keep = self.left_pad + taps        # history retention
+        self._buf = np.zeros((channels, self._keep), np.float32)
+        self._buf_start = -self._keep
+        self._next_origin = 0
+        self._out_count = 0   # total outputs produced
+        self._total_in = 0
+        self._comp = None     # active compensation bank, or None
+
+    # -- compensation --------------------------------------------------
+    def set_compensation(self, sample_delta: int,
+                         compensation_distance: int) -> None:
+        """swr_set_compensation semantics: over the next
+        `compensation_distance` output samples the input advance per
+        output is scaled by (1 - sample_delta/compensation_distance),
+        i.e. positive sample_delta stretches output (produces
+        `sample_delta` extra samples). distance 0 cancels."""
+        if compensation_distance < 0:
+            raise ValueError("compensation_distance must be >= 0")
+        if compensation_distance == 0:
+            if sample_delta:
+                raise ValueError("sample_delta without distance")
+            self._comp = None
+            return
+        if not (-compensation_distance < sample_delta
+                < compensation_distance):
+            raise ValueError("|sample_delta| must be < distance")
+        from fractions import Fraction
+
+        f = Fraction(self.p * compensation_distance,
+                     self.q * (compensation_distance - sample_delta))
+        f = f.limit_denominator(_MAX_EXACT_PHASES)
+        p2, q2 = f.numerator, f.denominator
+        m2, L2, lp2 = _bank_matrix(
+            p2, q2, self.taps, int(self._cutoff * 1e6),
+            int(self.opts["kaiser_beta"] * 10), self.opts["window"])
+        have_hist = self._next_origin - self._buf_start
+        if lp2 > have_hist:   # deeper bank than retained history:
+            pad = lp2 - have_hist          # zero-extend (stream start)
+            self._buf = np.concatenate(
+                [np.zeros((self.channels, pad), np.float32), self._buf],
+                axis=1)
+            self._buf_start -= pad
+        self._keep = max(self._keep, lp2)
+        self._comp = {"m": jnp.asarray(m2), "p": p2, "q": q2, "L": L2,
+                      "lp": lp2, "remaining": compensation_distance}
+
+    def _bank(self):
+        c = self._comp
+        if c is not None:
+            return c["m"], c["p"], c["q"], c["L"], c["lp"]
+        return self._m, self.p, self.q, self.L, self.left_pad
 
     # -- core ---------------------------------------------------------
     def process(self, samples: np.ndarray | jax.Array, final: bool = False
@@ -135,33 +199,61 @@ class Resampler(OptionedObject):
         With final=True, flushes the tail (zero-padded history drain).
         """
         samples = np.asarray(samples, np.float32)
-        self._total_in = getattr(self, "_total_in", 0) + samples.shape[1]
-        x = np.concatenate([self._hist, samples], axis=1)
+        self._total_in += samples.shape[1]
+        self._buf = np.concatenate([self._buf, samples], axis=1)
+        outs = []
 
+        want_total = None
         if final:
-            # exact total output length: ceil(total_in * p / q)
-            want_total = -(-self._total_in * self.p // self.q)
-            need_periods = max(0, -(-(want_total - self._out_count) // self.p))
-            # zero-pad so every needed window is computable
-            need_len = (need_periods - 1) * self.q + self.L if need_periods else 0
-            pad = max(0, need_len - x.shape[1])
-            if pad:
-                x = np.concatenate(
-                    [x, np.zeros((self.channels, pad), np.float32)], axis=1)
-            n_periods = need_periods
-        else:
-            # periods fully computable from real data:
-            # need i*q + L <= avail  for i = 0..n_periods-1
-            n_periods = max(0, (x.shape[1] - self.L) // self.q + 1)
+            # exact total output length: outputs produced so far plus
+            # the remainder of the input timeline at the CURRENT ratio
+            m_, p_, q_, L_, lp_ = self._bank()
+            want_total = self._out_count + max(
+                0, -(-(self._total_in - self._next_origin) * p_ // q_))
 
-        if n_periods == 0:
-            self._hist = x
+        while True:
+            m_, p_, q_, L_, lp_ = self._bank()
+            avail_end = self._buf_start + self._buf.shape[1]
+            if final:
+                n_per = max(0, -(-(want_total - self._out_count) // p_))
+            else:
+                # periods whose every window is fully inside real data:
+                # need origin - lp + L <= avail_end
+                n_per = max(0, (avail_end - (self._next_origin - lp_)
+                                - L_) // q_ + 1)
+            if self._comp is not None and n_per > 0:
+                n_per = min(n_per,
+                            -(-self._comp["remaining"] // p_))
+            if n_per <= 0:
+                break
+            s0 = self._next_origin - lp_ - self._buf_start
+            need = s0 + (n_per - 1) * q_ + L_
+            x = self._buf
+            if need > x.shape[1]:        # flush: zero-pad the tail
+                x = np.concatenate(
+                    [x, np.zeros((self.channels, need - x.shape[1]),
+                                 np.float32)], axis=1)
+            out = np.asarray(_resample_gemm(
+                jnp.asarray(x[:, s0:need]), m_, q_, n_per))
+            outs.append(out)
+            self._out_count += out.shape[1]
+            self._next_origin += n_per * q_
+            if self._comp is not None:
+                self._comp["remaining"] -= out.shape[1]
+                if self._comp["remaining"] <= 0:
+                    self._comp = None    # revert to the ideal bank
+            # trim consumed input, retaining _keep history samples
+            cut = self._next_origin - self._keep - self._buf_start
+            if cut > 0:
+                self._buf = self._buf[:, cut:]
+                self._buf_start += cut
+
+        if not outs:
             return np.zeros((self.channels, 0), np.float32)
-        out = np.asarray(_resample_gemm(jnp.asarray(x), self._m, self.q, n_periods))
-        self._hist = x[:, n_periods * self.q:]
-        self._out_count += n_periods * self.p
+        out = np.concatenate(outs, axis=1)
         if final and self._out_count > want_total:
-            out = out[:, : out.shape[1] - (self._out_count - want_total)]
+            extra = self._out_count - want_total
+            out = out[:, :out.shape[1] - extra]
             self._out_count = want_total
         return out
 
@@ -171,4 +263,4 @@ class Resampler(OptionedObject):
     @property
     def delay(self) -> int:
         """Pending input samples not yet represented in output."""
-        return self._hist.shape[1] - self.left_pad
+        return self._total_in - self._next_origin
