@@ -36,7 +36,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # so leg timeouts are generous -- but a global deadline bounds the whole
 # bench so a dead tunnel can never exceed the driver's patience
 ATTEMPTS = 2
-TIMEOUT_S = {"probe": 420, "kernel": 1500, "e2e": 2100}
+TIMEOUT_S = {"probe": 420, "kernel": 1500, "e2e": 2100, "stages": 900}
 BACKOFF_S = 20
 DEADLINE_S = 5100          # hard cap on total bench wall-clock
 _T0 = time.monotonic()
@@ -108,6 +108,11 @@ def main() -> None:
         result["e2e_error"] = e2e["error"]
     if "split" in e2e:
         result["e2e_split"] = e2e["split"]
+    if _budget_left() > 180:
+        stages = _run_leg("stages", attempts=1)
+        if "ms" in stages:
+            result["stage_ms"] = stages["ms"]
+            result["roofline"] = stages.get("roofline", {})
     print(json.dumps(result))
 
 
@@ -234,10 +239,56 @@ def _leg_e2e(warm: int = 16, measured: int = 24) -> dict:
     return out
 
 
+def _leg_stages() -> dict:
+    """Per-device-program stage timings (tools/profile_decode.py /
+    profile_encoder.py) plus a memory-roofline figure per stage:
+    speed-of-light ms = plane/window bytes moved / v5e HBM BW (819
+    GB/s). The x_of_sol ratio is the honest 'how far from the
+    hardware' number the fps headline can hide (fftools/ffmpeg.c:575
+    -benchmark is the reference's analog of the measured side)."""
+    out: dict = {"fps": 1.0, "ms": {}, "roofline": {}}
+    for script in ("profile_decode.py", "profile_encoder.py"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", script),
+                 *(["--frames", "6", "--reps", "4"]
+                   if script == "profile_decode.py" else [])],
+                capture_output=True, text=True,
+                timeout=max(60, _budget_left() - 30), cwd=REPO)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    d = json.loads(line)
+                except (ValueError, TypeError):
+                    continue
+                out["ms"].update({k: round(v, 2) for k, v in d.items()
+                                  if isinstance(v, (int, float))})
+                break
+        except subprocess.TimeoutExpired:
+            out["ms"][script] = "timeout"
+    # bytes-roofline @ 1080p/720p (HBM 819e9 B/s on v5e): planes or
+    # DMA windows in+out per frame
+    bw = 819e9
+    sol_bytes = {
+        "deblock_alone": 2 * (1088 * 1920 * 1.5),       # rw planes u8
+        "mc_alone": 8160 * 4 * 32 * 256 + 1088 * 1920 * 1.5,
+        "refpack_tile": 6 * 1088 * 1920 * 1.5,          # 4 luma + pad
+        "hpel_refine_mc": 3600 * (48 * 256 + 2 * 32 * 256),
+        "full_search": 2 * 720 * 1280 * 4,
+        "dct_quant_recon": 6 * 720 * 1280 * 1.5 * 4,    # f32 passes
+    }
+    for k, nbytes in sol_bytes.items():
+        if isinstance(out["ms"].get(k), (int, float)):
+            sol_ms = nbytes / bw * 1e3
+            out["roofline"][k] = {
+                "sol_ms": round(sol_ms, 4),
+                "x_of_sol": round(out["ms"][k] / sol_ms, 1)}
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
         leg = {"probe": _leg_probe, "kernel": _leg_kernel,
-               "e2e": _leg_e2e}[sys.argv[2]]
+               "e2e": _leg_e2e, "stages": _leg_stages}[sys.argv[2]]
         try:
             print(json.dumps(leg()))
         except Exception as exc:  # noqa: BLE001 — report, don't crash

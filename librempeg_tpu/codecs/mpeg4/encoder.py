@@ -213,74 +213,45 @@ def _sparsify_fat(zz, cap, ecap):
     return [pos16, vals, cnt16]
 
 
-# slim-path capacities (static; one XLA program total — every distinct
-# cap is a separate ~30s tunnel compile, so these never adapt. Typical
-# 720p 4Mbps P frame measures ~6.4K DC events, ~2.7K hi blocks, ~4.9K
-# hi events, 0 escapes; the fetch is round-trip-latency dominated so
-# doubling the caps costs ~nothing. A frame that still overflows falls
-# back to the fat program AND downgrades the stream (see encode_finish):
-# re-dispatching every frame twice is far worse than fat's fetch size.)
-_SLIM_HCAP = 8192          # blocks with any AC coefficient
-_SLIM_ECAP = 16384         # AC events at zigzag positions 1..32
-_SLIM_TCAP = 512           # blocks with any coefficient beyond 32
-_SLIM_DCAP = 256           # |DC| > 127 escapes
+# slim-path tail capacity (static; one XLA program total — every
+# distinct cap is a separate ~30s tunnel compile, so it never adapts.
+# A frame that overflows falls back to the fat program AND downgrades
+# the stream — see encode_finish.)
+_SLIM_TCAP = 768           # blocks with any coefficient beyond zz 31
 
 
 def _sparsify_slim(zz):
-    """Structure-aware compaction sized for typical P frames.
+    """Dense-band fetch layout sized for typical P frames.
 
-    The fetch layout exploits how inter-MPEG4 coefficients actually
-    distribute (measured on the bench stream): ~55% of events are the
-    zigzag-DC coefficient and levels fit int8, so the DC column goes
-    DENSE as packed int8 (no device compaction at all); a 1-bit-per-
-    block map marks blocks with AC energy; their rows are gathered and
-    element-compacted only over zigzag 1..32 (bounding the scatter
-    input); the rare tail past 32 moves as whole rows.
+    v1 of this program compacted AC events on device (flatnonzero +
+    row gathers); measured on a v5e that costs ~12 ms/720p-frame —
+    XLA gathers/scatters price every ELEMENT (~12 ns), so compacting
+    500K elements is slower than just shipping them. v2 ships the hot
+    zigzag band 0..31 DENSE as two packed int8 planes (low/high bytes,
+    pure elementwise device work) and lets the host's C loops find the
+    nonzeros; only the rare tail past zigzag 31 still moves as
+    compacted whole rows (flatnonzero over nblk block FLAGS, which is
+    small).
 
     zz [nblk, 64] int16, nblk even multiple of 16. Returns int16 parts
-    [dc8 (nblk/2), himap8 (nblk/16), eslot (E), ej (E), eval (E),
-    tslot (T), trows (T*31), dbid (D), dval (D), counts (8xi16)]."""
-    nblk = zz.shape[0]
-    dc = zz[:, 0].astype(jnp.int32)
-    esc = jnp.abs(dc) > 127
-    dc8 = _pack_i8_pairs(jnp.where(esc, -128, dc))
-    cnt_d = jnp.count_nonzero(esc)
-    dbid = jnp.flatnonzero(esc, size=_SLIM_DCAP,
-                           fill_value=0).astype(jnp.int16)
-    dval = dc[dbid.astype(jnp.int32)].astype(jnp.int16)
+    [lo (nblk*16), hi (nblk*16), tslot (T), trows (T*32), counts
+    (2xi16)]."""
+    band = zz[:, :32].astype(jnp.int32).ravel()
+    lo = _pack_i8_pairs(band)
+    hi = _pack_i8_pairs(band >> 8)
 
-    hi = jnp.any(zz[:, 1:] != 0, axis=1)
-    cnt_h = jnp.count_nonzero(hi)
-    bits = hi.reshape(nblk // 8, 8).astype(jnp.int32)
-    himap8 = _pack_i8_pairs(
-        (bits * (1 << jnp.arange(8))[None, :]).sum(axis=1))
-    hbids = jnp.flatnonzero(hi, size=_SLIM_HCAP,
-                            fill_value=0).astype(jnp.int32)
-    hrows = zz[hbids[:, None], jnp.arange(64)[None, :]].astype(jnp.int16)
-    hrows = jnp.where((jnp.arange(_SLIM_HCAP) < cnt_h)[:, None],
-                      hrows, 0)
-
-    flatA = hrows[:, 1:33].ravel()
-    cnt_e = jnp.count_nonzero(flatA)
-    pos = jnp.flatnonzero(flatA, size=_SLIM_ECAP,
-                          fill_value=0).astype(jnp.int32)
-    evals = flatA[pos].astype(jnp.int16)
-    eslot = (pos // 32).astype(jnp.int16)
-    ej = (pos % 32 + 1).astype(jnp.int16)
-
-    tail = jnp.any(hrows[:, 33:] != 0, axis=1)
+    tail = jnp.any(zz[:, 32:] != 0, axis=1)
     cnt_t = jnp.count_nonzero(tail)
     tslot = jnp.flatnonzero(tail, size=_SLIM_TCAP,
                             fill_value=0).astype(jnp.int32)
-    trows = hrows[tslot[:, None], jnp.arange(33, 64)[None, :]]
+    trows = zz[tslot[:, None], jnp.arange(32, 64)[None, :]] \
+        .astype(jnp.int16)
     trows = jnp.where((jnp.arange(_SLIM_TCAP) < cnt_t)[:, None],
                       trows, 0)
 
     cnt16 = jax.lax.bitcast_convert_type(
-        jnp.stack([cnt_h, cnt_e, cnt_t, cnt_d]).astype(jnp.int32),
-        jnp.int16).ravel()
-    return [dc8, himap8, eslot, ej, evals,
-            tslot.astype(jnp.int16), trows.ravel(), dbid, dval, cnt16]
+        jnp.stack([cnt_t]).astype(jnp.int32), jnp.int16).ravel()
+    return [lo, hi, tslot.astype(jnp.int16), trows.ravel(), cnt16]
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "ecap", "trellis"))
@@ -1110,34 +1081,25 @@ class Mpeg4Encoder(Encoder):
 
     def _unsparsify_slim(self, packed: np.ndarray):
         """Parse the slim layout (see _sparsify_slim) -> dense flat zz
-        int16 [total]; (None, None) on any capacity overflow (caller
+        int16 [total]; (None, None) on tail-capacity overflow (caller
         re-dispatches the fat program)."""
         self._sp_init()
         nblk = self._sp_nblk
-        H, E, T, D = (_SLIM_HCAP, _SLIM_ECAP, _SLIM_TCAP, _SLIM_DCAP)
+        T = _SLIM_TCAP
         o = 0
-        dc8 = packed[o:o + nblk // 2].view(np.int8); o += nblk // 2
-        himap = packed[o:o + nblk // 16].view(np.uint8); o += nblk // 16
-        eslot = packed[o:o + E]; o += E
-        ej = packed[o:o + E]; o += E
-        evals = packed[o:o + E]; o += E
+        lo = packed[o:o + nblk * 16].view(np.int8); o += nblk * 16
+        hi = packed[o:o + nblk * 16].view(np.int8); o += nblk * 16
         tslot = packed[o:o + T]; o += T
-        trows = packed[o:o + T * 31].reshape(T, 31); o += T * 31
-        dbid = packed[o:o + D]; o += D
-        dval = packed[o:o + D]; o += D
-        cnt_h, cnt_e, cnt_t, cnt_d = packed[o:o + 8].view(np.int32)
-        o += 8
-        if cnt_h > H or cnt_e > E or cnt_t > T or cnt_d > D:
+        trows = packed[o:o + T * 32].reshape(T, 32); o += T * 32
+        (cnt_t,) = packed[o:o + 2].view(np.int32)
+        o += 2
+        if cnt_t > T:
             return None, None
         blocks = np.zeros((nblk, 64), np.int16)
-        blocks[:, 0] = dc8
-        hbids = np.flatnonzero(np.unpackbits(
-            himap, bitorder="little"))           # ascending, == device
-        blocks[hbids[eslot[:cnt_e]], ej[:cnt_e]] = evals[:cnt_e]
+        band = (hi.astype(np.int16) << 8) | (lo.astype(np.int16) & 255)
+        blocks[:, :32] = band.reshape(nblk, 32)
         if cnt_t:
-            blocks[hbids[tslot[:cnt_t]], 33:] = trows[:cnt_t]
-        if cnt_d:
-            blocks[dbid[:cnt_d], 0] = dval[:cnt_d]
+            blocks[tslot[:cnt_t], 32:] = trows[:cnt_t]
         return blocks.ravel(), packed[o:]
 
     def _pack_i(self, bw: BitWriter, flat, tail, q: int) -> bytes:

@@ -160,6 +160,155 @@ def _refine_mc_luma(tiles, selev, cur_b, bh: int, bw: int, rnd: int,
 
 
 # ---------------------------------------------------------------------------
+# luma, lane-packed group form: 8 MBs per grid step
+# ---------------------------------------------------------------------------
+
+_G = 8                      # MBs per grid step, one per 32-lane segment
+
+
+def _refine_group_kernel(s_ref, *refs, rnd: int):
+    """8 macroblocks per grid step, LANE-PACKED: each MB's rolled
+    search window occupies one 32-lane segment of a [32, 256] tile, so
+    every candidate's interpolation/SAD runs once on full-width vectors
+    instead of 8 times on [16, 16] tiles (the [1, 16]-lane ops of the
+    per-MB kernel waste 7/8 of the VPU). Candidate order and strict-<
+    tie-breaking are unchanged -> bit-identical results."""
+    wins = refs[:_G]
+    cur, pred_o, mv_o = refs[_G], refs[_G + 1], refs[_G + 2]
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    seg = lane % 32                        # lane within the segment
+
+    # stack the 8 rolled windows into one [32, 256] tile
+    acc = jnp.zeros((32, 256), jnp.int32)
+    for g in range(_G):
+        rr = s_ref[(i * _G + g) * 4 + 1]
+        w = wins[g][0, 0].astype(jnp.int32)
+        # positive complement shifts (negative dynamic rolls miscompile
+        # on hardware; see _refine_kernel)
+        w = pltpu.roll(w, (48 - ((rr >> 8) & 255)) % 48, 0)[0:32, :]
+        w = pltpu.roll(w, (256 - (rr & 255)) & 255, 1)
+        w = jnp.where(lane < 32, w, 0)
+        if g:
+            w = pltpu.roll(w, 32 * g, 1)
+        acc = acc + w
+    # lane-rolled copies: R[k] segment column j = window column j + k
+    R = [acc]
+    for k in (1, 2, 3):
+        R.append(pltpu.roll(acc, 256 - k, 1))
+
+    c = cur[0].astype(jnp.int32)           # [16, 256] packed cur MBs
+    valid = seg < 16
+    r1 = 1 - rnd
+    r2 = 2 - rnd
+
+    preds = []
+    srows = []
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            r0 = 1 + (dy >> 1)
+            c0 = 1 + (dx >> 1)
+            fy, fx = dy & 1, dx & 1
+            a = R[c0][r0:r0 + 16, :]
+            if fy == 0 and fx == 0:
+                p = a
+            elif fy == 0:
+                p = (a + R[c0 + 1][r0:r0 + 16, :] + r1) >> 1
+            elif fx == 0:
+                p = (a + R[c0][r0 + 1:r0 + 17, :] + r1) >> 1
+            else:
+                p = (a + R[c0 + 1][r0:r0 + 16, :]
+                     + R[c0][r0 + 1:r0 + 17, :]
+                     + R[c0 + 1][r0 + 1:r0 + 17, :] + r2) >> 2
+            d = jnp.where(valid, jnp.abs(c - p), 0)
+            preds.append(p)
+            srows.append(jnp.sum(d, axis=0, keepdims=True))
+
+    # one group-reduce + broadcast for ALL 25 candidates at once
+    S = jnp.concatenate(srows + [jnp.zeros((32 - len(srows), 256),
+                                           jnp.int32)], axis=0)
+    for sh in (1, 2, 4, 8, 16):            # lane i = sum lanes i..i+31
+        S = S + pltpu.roll(S, 256 - sh, 1)
+    S = jnp.where(seg == 0, S, 0)
+    for sh in (1, 2, 4, 8, 16):            # splat segment head down
+        S = S + pltpu.roll(S, sh, 1)
+
+    big = jnp.int32(2 ** 31 - 1)
+    best_cost = jnp.full((1, 256), big, jnp.int32)
+    best_pred = jnp.zeros((16, 256), jnp.int32)
+    best_dy = jnp.zeros((1, 256), jnp.int32)
+    best_dx = jnp.zeros((1, 256), jnp.int32)
+    k = 0
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            sk = S[k:k + 1, :]
+            take = sk < best_cost
+            best_cost = jnp.where(take, sk, best_cost)
+            best_pred = jnp.where(take, preds[k], best_pred)
+            best_dy = jnp.where(take, jnp.int32(dy), best_dy)
+            best_dx = jnp.where(take, jnp.int32(dx), best_dx)
+            k += 1
+    pred_o[0] = best_pred.astype(pred_o.dtype)
+    mv_o[0] = jnp.concatenate(
+        [best_dy, best_dx, best_cost,
+         jnp.zeros((5, 256), jnp.int32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "rnd",
+                                             "interpret"))
+def _refine_mc_luma_group(tiles, selev, cur_b, bh: int, bw: int,
+                          rnd: int, interpret: bool = False):
+    """Group form of _refine_mc_luma: returns (pred [bh,bw,16,16] u8,
+    ddy [nmb], ddx [nmb] half-pel deltas)."""
+    nmb = bh * bw
+    ng = (nmb + _G - 1) // _G
+    npad = ng * _G
+    if npad > nmb:
+        selev = jnp.concatenate(
+            [selev, jnp.zeros(4 * (npad - nmb), selev.dtype)])
+    # pack cur MBs: group gi lanes 32g..32g+15 = MB 8*gi+g
+    curf = cur_b.reshape(nmb, 16, 16)
+    curf = jnp.concatenate(
+        [curf, jnp.zeros((npad - nmb, 16, 16), curf.dtype)])
+    curp = jnp.pad(curf, ((0, 0), (0, 0), (0, 16)))     # [npad,16,32]
+    curp = curp.reshape(ng, _G, 16, 32).transpose(0, 2, 1, 3) \
+        .reshape(ng, 16, 256)
+
+    wspecs = []
+    for g in range(_G):
+        wspecs.append(pl.BlockSpec(
+            (1, 1, 48, 256),
+            functools.partial(
+                lambda i, s, g=0: (s[(i * _G + g) * 4] >> 16,
+                                   s[(i * _G + g) * 4] & 0xFFFF, 0, 0),
+                g=g)))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(ng,),
+        in_specs=wspecs + [pl.BlockSpec((1, 16, 256),
+                                        lambda i, s: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, 16, 256), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, 8, 256), lambda i, s: (i, 0, 0)),
+        ])
+    pred, mv = pl.pallas_call(
+        functools.partial(_refine_group_kernel, rnd=rnd),
+        grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((ng, 16, 256), jnp.uint8),
+                   jax.ShapeDtypeStruct((ng, 8, 256), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(selev, *([tiles] * _G), curp)
+    # unpack: [ng,16,256] -> [npad,16,16] -> [bh,bw,16,16]
+    pb = pred.reshape(ng, 16, _G, 32)[:, :, :, :16] \
+        .transpose(0, 2, 1, 3).reshape(npad, 16, 16)[:nmb] \
+        .reshape(bh, bw, 16, 16)
+    ddy = mv[:, 0, ::32].reshape(-1)[:nmb]
+    ddx = mv[:, 1, ::32].reshape(-1)[:nmb]
+    return pb, ddy, ddx
+
+
+# ---------------------------------------------------------------------------
 # chroma: half-pel MC at derived MVs
 # ---------------------------------------------------------------------------
 
@@ -223,6 +372,99 @@ def _mc_chroma(ctiles, selc, bh: int, bw: int, rnd: int,
 
 
 # ---------------------------------------------------------------------------
+# chroma, lane-packed group form
+# ---------------------------------------------------------------------------
+
+
+def _chroma_group_kernel(s_ref, *refs, rnd: int):
+    """8 MBs per grid step, lane-packed like _refine_group_kernel: the
+    8x8 chroma MC of every MB runs once on [8, 256] vectors. The
+    half-pel flags vary per MB, so all four interpolation variants are
+    computed and selected through per-lane flag fields."""
+    wu = refs[:_G]
+    wv = refs[_G:2 * _G]
+    pu_o, pv_o = refs[2 * _G], refs[2 * _G + 1]
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    r1 = 1 - rnd
+    r2 = 2 - rnd
+
+    # per-lane half-pel flag fields (one segment per MB)
+    fyv = jnp.zeros((1, 256), jnp.int32)
+    fxv = jnp.zeros((1, 256), jnp.int32)
+    for g in range(_G):
+        rr = s_ref[(i * _G + g) * 2 + 1]
+        m = (lane >= 32 * g) & (lane < 32 * (g + 1))
+        fyv = jnp.where(m, (rr >> 8) & 1, fyv)
+        fxv = jnp.where(m, rr & 1, fxv)
+
+    for wins, out in ((wu, pu_o), (wv, pv_o)):
+        acc = jnp.zeros((16, 256), jnp.int32)
+        for g in range(_G):
+            rr = s_ref[(i * _G + g) * 2 + 1]
+            w = wins[g][0, 0, 0].astype(jnp.int32)
+            w = pltpu.roll(w, (32 - ((rr >> 24) & 255)) & 31, 0)[0:16, :]
+            w = pltpu.roll(w, (256 - ((rr >> 16) & 255)) & 255, 1)
+            w = jnp.where(lane < 32, w, 0)
+            if g:
+                w = pltpu.roll(w, 32 * g, 1)
+            acc = acc + w
+        accx = pltpu.roll(acc, 255, 1)      # segment col j -> j + 1
+        a = acc[0:8, :]
+        b = accx[0:8, :]
+        c = acc[1:9, :]
+        d = accx[1:9, :]
+        p_h = (a + b + r1) >> 1
+        p_v = (a + c + r1) >> 1
+        p_hv = (a + b + c + d + r2) >> 2
+        p = jnp.where(fyv == 0, jnp.where(fxv == 0, a, p_h),
+                      jnp.where(fxv == 0, p_v, p_hv))
+        out[0] = p.astype(out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "rnd",
+                                             "interpret"))
+def _mc_chroma_group(ctiles, selc, bh: int, bw: int, rnd: int,
+                     interpret: bool = False):
+    """Group form of _mc_chroma: returns (pu, pv) as [bh,bw,8,8]."""
+    nmb = bh * bw
+    ng = (nmb + _G - 1) // _G
+    npad = ng * _G
+    if npad > nmb:
+        selc = jnp.concatenate(
+            [selc, jnp.zeros(2 * (npad - nmb), selc.dtype)])
+
+    def wspec(g, plane):
+        def imap(i, s, g=g, plane=plane):
+            w = s[(i * _G + g) * 2]
+            return (plane, w >> 16, w & 0xFFFF, 0, 0)
+        return pl.BlockSpec((1, 1, 1, 32, 256), imap)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(ng,),
+        in_specs=[wspec(g, 0) for g in range(_G)]
+        + [wspec(g, 1) for g in range(_G)],
+        out_specs=[pl.BlockSpec((1, 8, 256), lambda i, s: (i, 0, 0)),
+                   pl.BlockSpec((1, 8, 256), lambda i, s: (i, 0, 0))])
+    pu, pv = pl.pallas_call(
+        functools.partial(_chroma_group_kernel, rnd=rnd),
+        grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((ng, 8, 256), jnp.uint8),
+                   jax.ShapeDtypeStruct((ng, 8, 256), jnp.uint8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(selc, *([ctiles] * (2 * _G)))
+
+    def unpack(p):
+        return p.reshape(ng, 8, _G, 32)[:, :, :, :8] \
+            .transpose(0, 2, 1, 3).reshape(npad, 8, 8)[:nmb] \
+            .reshape(bh, bw, 8, 8)
+
+    return unpack(pu), unpack(pv)
+
+
+# ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
@@ -270,11 +512,12 @@ def hpel_refine_mc(cur_y, ref_y, ref_u, ref_v, mv_i, rnd: int = 0,
 
     cur_b = cur_y.astype(jnp.uint8).reshape(bh, 16, bw, 16) \
         .transpose(0, 2, 1, 3)
-    pred_b, mvrow = _refine_mc_luma(lt, sel, cur_b, bh, bw, rnd,
-                                    interpret)
+    pred_b, ddy, ddx = _refine_mc_luma_group(lt, sel, cur_b, bh, bw,
+                                             rnd, interpret)
     pred_y = pred_b.transpose(0, 2, 1, 3).reshape(h, w) \
         .astype(jnp.float32)
-    mv_h = mvrow[:, 0, :2].reshape(bh, bw, 2)
+    mv_h = 2 * mv_i + jnp.stack([ddy, ddx], axis=-1) \
+        .reshape(bh, bw, 2)
 
     # chroma selectors from the refined MV
     mv_c = _chroma_mv(mv_h)
@@ -286,7 +529,7 @@ def hpel_refine_mc(cur_y, ref_y, ref_u, ref_v, mv_i, rnd: int = 0,
                       (((cy & 15) << 24) | ((cx & 127) << 16)
                        | ((mv_c[..., 0] & 1) << 8) | (mv_c[..., 1] & 1))],
                      axis=-1).reshape(-1).astype(jnp.int32)
-    pu, pv = _mc_chroma(ct, selc, bh, bw, rnd, interpret)
+    pu, pv = _mc_chroma_group(ct, selc, bh, bw, rnd, interpret)
     pred_u = pu.transpose(0, 2, 1, 3).reshape(h // 2, w // 2) \
         .astype(jnp.float32)
     pred_v = pv.transpose(0, 2, 1, 3).reshape(h // 2, w // 2) \

@@ -109,9 +109,15 @@ def snapshot(tc) -> bytes:
                 swr = getattr(node.filter, "_swr", None)
                 if swr is not None and swr.resampler is not None:
                     r = swr.resampler
-                    rs_states.append({
-                        "_hist": r._hist, "_out_count": r._out_count,
-                        "_total_in": getattr(r, "_total_in", 0)})
+                    rs = {a: getattr(r, a) for a in
+                          ("_buf", "_buf_start", "_next_origin",
+                           "_out_count", "_total_in", "_keep")}
+                    if r._comp is not None:
+                        # bank matrix is rebuilt on restore from its
+                        # rational (data-only snapshot format)
+                        rs["_comp_pqr"] = (r._comp["p"], r._comp["q"],
+                                           r._comp["remaining"])
+                    rs_states.append(rs)
                 else:
                     rs_states.append(None)
             state["resamplers"] = rs_states
@@ -151,5 +157,22 @@ def restore(tc, blob: bytes) -> None:
                     continue
                 swr = getattr(node.filter, "_swr", None)
                 if swr is not None and swr.resampler is not None:
+                    r = swr.resampler
+                    pqr = rs.pop("_comp_pqr", None)
                     for attr, val in rs.items():
-                        setattr(swr.resampler, attr, val)
+                        setattr(r, attr, val)
+                    r._comp = None
+                    if pqr is not None:
+                        from librempeg_tpu.resample.resampler import (
+                            _bank_matrix,
+                        )
+                        import jax.numpy as jnp
+
+                        p2, q2, rem = pqr
+                        m2, L2, lp2 = _bank_matrix(
+                            p2, q2, r.taps, int(r._cutoff * 1e6),
+                            int(r.opts["kaiser_beta"] * 10),
+                            r.opts["window"])
+                        r._comp = {"m": jnp.asarray(m2), "p": p2,
+                                   "q": q2, "L": L2, "lp": lp2,
+                                   "remaining": rem}

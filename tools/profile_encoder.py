@@ -104,6 +104,31 @@ def main():
     res["dct_quant_sparsify"] = _t(
         lambda: resid(y, u, v, py, pu, pv, q, mvh))
 
+    # finer split: transform+quant+recon WITHOUT the compaction, and
+    # the two sparsify programs alone on a fixed coefficient tensor
+    @jax.jit
+    def dct_only(y, u, v, py, pu, pv, q):
+        out = []
+        for plane, pred in ((y, py), (u, pu), (v, pv)):
+            rs = plane - pred
+            coeffs = ME._fdct_spec(dct8x8.to_blocks(rs))
+            level, rec = ME._quant_inter(coeffs, q)
+            zz = level.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)] \
+                .astype(jnp.int16)
+            recon = jnp.clip(pred + dct8x8.from_blocks(
+                rec, plane.shape[0], plane.shape[1]), 0, 255)
+            out.append((zz, recon))
+        return jnp.concatenate([o[0] for o in out]), \
+            tuple(o[1] for o in out)
+
+    res["dct_quant_recon"] = _t(lambda: dct_only(y, u, v, py, pu, pv, q))
+    zzb, _ = dct_only(y, u, v, py, pu, pv, q)
+    sf = jax.jit(lambda z: jnp.concatenate(
+        ME._sparsify_fat(z, caps[0], caps[1])))
+    res["sparsify_fat"] = _t(lambda: sf(zzb))
+    ss = jax.jit(lambda z: jnp.concatenate(ME._sparsify_slim(z)))
+    res["sparsify_slim"] = _t(lambda: ss(zzb))
+
     # ablation: total with XLA-gather MC instead of pallas
     res["encode_p_xla_mc"] = _t(lambda: ME._encode_p_packed(
         y, u, v, ry, ru, rv, q, 8, False, cap=caps[0], ecap=caps[1],
